@@ -1,0 +1,67 @@
+"""Distributed CDC: high-watermark change detection as anti-join dataflow.
+
+The reference detects changes by fetching *every* key's watermark tuple to
+the Airflow worker and doing a Python ``set`` difference
+(``dags/track_delta.py:121-123, 284-286, 386-388``), then inlines the changed
+keys back into SQL as a ``VALUES (%s,%s,%s)...`` literal list
+(``:127-128, 191-194``). Both patterns are O(keys) on a single node and die
+at 100 TB. Here the same semantics are a 2-join dataflow that never leaves
+the cluster:
+
+    changed = oltp_watermarks LEFT ANTI olap_watermarks ON keys+[version]
+    upserts = full_extract    LEFT SEMI changed          ON keys+[version]
+
+The anti-join replaces the set difference; the semi-join replaces the VALUES
+literal re-extract (``track_delta.py:191-216``). Changed-key sets are small
+relative to the fact tables, so Spark's AQE broadcasts them automatically;
+``broadcast_changed=True`` forces the hint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarks(
+    df: DataFrame,
+    keys: Sequence[str],
+    watermark_col: Column,
+    alias: str = "rtm_delta",
+) -> DataFrame:
+    """Per-key high watermark: ``GREATEST``-style max version per key
+    (``dags/track_delta.py:42-88``)."""
+    return df.groupBy(*keys).agg(watermark_col.alias(alias))
+
+
+def changed_keys(
+    oltp_keys: DataFrame,
+    olap_keys: DataFrame,
+    keys: Sequence[str],
+    version: str = "rtm_delta",
+) -> DataFrame:
+    """Keys whose watermark is new or moved: distributed set-difference
+    (anti-join) over ``keys + [version]`` (``dags/track_delta.py:121-123``)."""
+    return oltp_keys.join(
+        olap_keys.select(*keys, version),
+        on=[*keys, version],
+        how="left_anti",
+    )
+
+
+def select_changed(
+    full_extract: DataFrame,
+    changed: DataFrame,
+    keys: Sequence[str],
+    version: str = "rtm_delta",
+    broadcast_changed: bool = True,
+) -> DataFrame:
+    """Rows of the full extract belonging to changed keys — the reference's
+    INNER JOIN against the VALUES literal CTE (``dags/track_delta.py:191-216``)
+    as a semi-join against the in-engine changed-key frame."""
+    ck = changed.select(*keys, version)
+    if broadcast_changed:
+        ck = F.broadcast(ck)
+    return full_extract.join(ck, on=[*keys, version], how="left_semi")

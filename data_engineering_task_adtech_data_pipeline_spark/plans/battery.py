@@ -1,0 +1,559 @@
+"""Oracle-checked query battery over the driver testdata.
+
+Each entry pairs a PySpark DataFrame program with the equivalent ANSI SQL
+(run by DuckDB on the same parquet files). The driver compares row count +
+schema + order-insensitive value hash, so every query here is written to be
+*bit-deterministic across engines*:
+
+- money/quantity sums go through ``DECIMAL(18,s)`` (double summation order
+  varies across engines/partitionings; decimal sums are exact),
+- per-row double arithmetic is fine (IEEE ops on identical bits),
+- ratios are derived from exact counts/decimals, never rounded at scales
+  where a double can sit exactly on a rounding midpoint,
+- every computed column is aliased identically on both sides.
+
+Role mapping (FIXTURES.md §B): ``orders``/``customer`` play campaign/advertiser,
+``lineitem`` and ``events`` play the impression/click fact roles, so the
+reference's operator inventory (SURVEY.md §2) is exercised 1:1 on shared data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.compat import ch_left_join, greatest_watermark, safe_div
+from ..sources.readers import Testdata
+
+
+@dataclass(frozen=True)
+class Q:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Q(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ===========================================================================
+# q01 — pricing summary (flagship): scan + filter + hash agg, TPC-H Q1 shape.
+# Exercises S1 scan, P2 filter (pushed to parquet), A1-style agg.
+# ===========================================================================
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary; decimal-exact aggregates.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Testdata(spark, sf_dir).lineitem.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ===========================================================================
+# q02 — campaign-totals extract: the reference's 4-CTE initial-load query
+# (dags/initial_load_generate_postgres_data.py:150-230) role-mapped.
+# J1 (dim left join, broadcast) + J2 (agg-side left joins) + A1 + F1/F2.
+# ===========================================================================
+
+@query(
+    "q02_campaign_totals",
+    oracle="""
+    WITH impressions_total AS (
+      SELECT l_orderkey AS campaign_id,
+             COUNT(*) AS impressions_count,
+             MAX(l_shipdate) AS last_impression_at
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    clicks_total AS (
+      SELECT l_orderkey AS campaign_id,
+             COUNT(*) AS clicks_count,
+             MAX(l_shipdate) AS last_click_at
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    )
+    SELECT
+      c.c_custkey AS rtm_advertiser_id,
+      c.c_name    AS advertiser_name,
+      o.o_orderkey AS rtm_campaign_id,
+      o.o_orderpriority AS campaign_name,
+      CAST(o.o_totalprice AS DECIMAL(18,2)) AS campaign_budget,
+      COALESCE(i.impressions_count, 0) AS campaign_impressions_count,
+      i.last_impression_at AS campaign_last_impression_at,
+      COALESCE(cl.clicks_count, 0) AS campaign_clicks_count,
+      cl.last_click_at AS campaign_last_click_at,
+      GREATEST(o.o_orderdate, i.last_impression_at, cl.last_click_at) AS rtm_delta
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN impressions_total i ON o.o_orderkey = i.campaign_id
+    LEFT JOIN clicks_total cl ON o.o_orderkey = cl.campaign_id
+    """,
+    doc="Reference initial-load 4-CTE denormalized totals extract "
+    "(initial_load_generate_postgres_data.py:150-230), COALESCE-normalized "
+    "per SURVEY.md §4.3-2.",
+)
+def q02_campaign_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    orders, customer, lineitem = td.orders, td.customer, td.lineitem
+
+    impressions_total = lineitem.groupBy(
+        F.col("l_orderkey").alias("campaign_id")
+    ).agg(
+        F.count(F.lit(1)).alias("impressions_count"),
+        F.max("l_shipdate").alias("last_impression_at"),
+    )
+    clicks_total = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("campaign_id"))
+        .agg(
+            F.count(F.lit(1)).alias("clicks_count"),
+            F.max("l_shipdate").alias("last_click_at"),
+        )
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        .join(
+            impressions_total,
+            orders.o_orderkey == impressions_total.campaign_id,
+            "left",
+        )
+        .drop(impressions_total.campaign_id)
+        .join(clicks_total, orders.o_orderkey == clicks_total.campaign_id, "left")
+        .drop(clicks_total.campaign_id)
+        .select(
+            F.col("c_custkey").alias("rtm_advertiser_id"),
+            F.col("c_name").alias("advertiser_name"),
+            F.col("o_orderkey").alias("rtm_campaign_id"),
+            F.col("o_orderpriority").alias("campaign_name"),
+            _dec("o_totalprice").alias("campaign_budget"),
+            F.coalesce("impressions_count", F.lit(0)).alias(
+                "campaign_impressions_count"
+            ),
+            F.col("last_impression_at").alias("campaign_last_impression_at"),
+            F.coalesce("clicks_count", F.lit(0)).alias("campaign_clicks_count"),
+            F.col("last_click_at").alias("campaign_last_click_at"),
+            greatest_watermark(
+                "o_orderdate", "last_impression_at", "last_click_at"
+            ).alias("rtm_delta"),
+        )
+    )
+
+
+# ===========================================================================
+# q03 — daily rollup (A2): COUNT/MAX grouped by (key, CAST(ts AS DATE)) —
+# the reference's impressions/clicks daily grain
+# (initial_load_generate_postgres_data.py:252-273).
+# ===========================================================================
+
+@query(
+    "q03_daily_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS event_count,
+           MAX(ts) AS last_event_at
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    doc="Daily-grain rollup (initial_load_generate_postgres_data.py:252-273).",
+)
+def q03_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Testdata(spark, sf_dir).events
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.max("ts").alias("last_event_at"),
+    )
+
+
+# ===========================================================================
+# q04 — daily CTR report: W1 row_number day-ordinal + J5 ClickHouse
+# zero-fill left join (track_delta.py:548-606 / SURVEY.md §4.3-1).
+# ===========================================================================
+
+@query(
+    "q04_daily_ctr_report",
+    oracle="""
+    WITH impressions_daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS impressions_daily
+      FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    clicks_daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date, COUNT(*) AS clicks_daily
+      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT
+      i.user_id AS rtm_user_id,
+      i.event_date,
+      i.impressions_daily,
+      COALESCE(c.clicks_daily, 0) AS clicks_daily,
+      CAST(COALESCE(c.clicks_daily, 0) AS DOUBLE) / CAST(i.impressions_daily AS DOUBLE) * 100 AS ctr_daily,
+      CAST(ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.event_date ASC) AS INTEGER) AS campaign_day
+    FROM impressions_daily i
+    LEFT JOIN clicks_daily c
+      ON i.user_id = c.user_id AND i.event_date = c.event_date
+    """,
+    doc="Daily CTR gold report with ClickHouse join_use_nulls=0 zero-fill "
+    "semantics (track_delta.py:588-590) and row_number day ordinal "
+    "(track_delta.py:582).",
+)
+def q04_daily_ctr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Testdata(spark, sf_dir).events
+    daily = lambda etype, cname: (  # noqa: E731
+        events.where(F.col("event_type") == etype)
+        .groupBy("user_id", F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias(cname))
+    )
+    imp = daily("view", "impressions_daily")
+    clk = daily("click", "clicks_daily")
+    joined = ch_left_join(imp, clk, on=["user_id", "event_date"])
+    day_w = W.partitionBy("user_id").orderBy(F.col("event_date").asc())
+    return joined.select(
+        F.col("user_id").alias("rtm_user_id"),
+        "event_date",
+        "impressions_daily",
+        "clicks_daily",
+        (
+            F.col("clicks_daily").cast("double")
+            / F.col("impressions_daily").cast("double")
+            * 100
+        ).alias("ctr_daily"),
+        F.row_number().over(day_w).cast("int").alias("campaign_day"),
+    )
+
+
+# ===========================================================================
+# q05 — CDC change detection: high-watermark extraction + left-anti diff.
+# Replaces the reference's driver-side Python set difference
+# (track_delta.py:121-123) with a distributed anti-join (J6/E1).
+# "OLAP state" is simulated as the watermarks computed from events before a
+# cutoff; "OLTP now" is the full table — changed keys are those whose
+# watermark moved or that are new.
+# ===========================================================================
+
+_CUTOFF = "2024-01-20 00:00:00"
+
+@query(
+    "q05_delta_antijoin",
+    oracle=f"""
+    WITH oltp AS (
+      SELECT user_id, event_type, MAX(ts) AS rtm_delta
+      FROM events GROUP BY user_id, event_type
+    ),
+    olap AS (
+      SELECT user_id, event_type, MAX(ts) AS rtm_delta
+      FROM events WHERE ts < TIMESTAMP '{_CUTOFF}' GROUP BY user_id, event_type
+    )
+    SELECT o.user_id, o.event_type, o.rtm_delta
+    FROM oltp o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM olap s
+      WHERE s.user_id = o.user_id AND s.event_type = o.event_type
+        AND s.rtm_delta = o.rtm_delta
+    )
+    """,
+    doc="Distributed CDC delta detection (anti-join) replacing the driver-side "
+    "set diff at track_delta.py:121-123.",
+)
+def q05_delta_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Testdata(spark, sf_dir).events
+    wm = lambda df: df.groupBy("user_id", "event_type").agg(  # noqa: E731
+        F.max("ts").alias("rtm_delta")
+    )
+    oltp = wm(events)
+    olap = wm(events.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    return oltp.join(
+        olap, on=["user_id", "event_type", "rtm_delta"], how="left_anti"
+    )
+
+
+# ===========================================================================
+# q06 — ReplacingMergeTree read-time dedup (S10/W2): append-only versions +
+# latest-version-wins view via row_number (SURVEY.md §2.1-S10).
+# ===========================================================================
+
+@query(
+    "q06_upsert_dedup",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT user_id, event_type, COUNT(*) AS event_count, MAX(ts) AS rtm_delta
+      FROM events WHERE ts < TIMESTAMP '{_CUTOFF}' GROUP BY user_id, event_type
+    ),
+    v2 AS (
+      SELECT user_id, event_type, COUNT(*) AS event_count, MAX(ts) AS rtm_delta
+      FROM events GROUP BY user_id, event_type
+    ),
+    appended AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT user_id, event_type, event_count, rtm_delta
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY rtm_delta DESC, event_count DESC
+             ) AS rn
+      FROM appended
+    ) WHERE rn = 1
+    """,
+    doc="ReplacingMergeTree(rtm_delta) upsert semantics on append-only storage: "
+    "latest-version dedup view (DDL initial_load_generate_postgres_data.py:97-98).",
+)
+def q06_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import latest_version
+
+    events = Testdata(spark, sf_dir).events
+    snap = lambda df: df.groupBy("user_id", "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("event_count"), F.max("ts").alias("rtm_delta")
+    )
+    v1 = snap(events.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    v2 = snap(events)
+    appended = v1.unionByName(v2)
+    return latest_version(
+        appended,
+        keys=["user_id", "event_type"],
+        version="rtm_delta",
+        tiebreak=["event_count"],
+    )
+
+
+# ===========================================================================
+# q07 — totals report: the gold KPI report with FLOOR / CASE / datediff /
+# guarded-division classifiers (initial_load_generate_postgres_data.py:426-492).
+# as_of injected as a constant for reproducibility (SURVEY.md §4.3-6).
+# ===========================================================================
+
+_AS_OF = "1998-01-01"
+
+@query(
+    "q07_totals_report",
+    oracle=f"""
+    WITH item_totals AS (
+      SELECT l_orderkey,
+             COUNT(*) AS impressions_count,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS clicks_count,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bid,
+             MAX(l_shipdate) AS last_event_at
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      o.o_orderkey AS rtm_campaign_id,
+      CAST(o.o_totalprice AS DECIMAL(18,2)) AS campaign_budget,
+      i.bid AS campaign_bid,
+      i.impressions_count,
+      i.clicks_count,
+      CAST(FLOOR(o.o_totalprice / CAST(i.bid AS DOUBLE)) AS BIGINT) AS budget_bids_amount,
+      CAST(i.bid AS DOUBLE) * i.clicks_count AS budget_spent,
+      CASE
+        WHEN CAST(i.bid AS DOUBLE) * i.clicks_count > o.o_totalprice THEN 'exceeded'
+        WHEN i.clicks_count = 0 THEN 'unused'
+        ELSE 'unspent'
+      END AS budget_status,
+      CAST(i.clicks_count AS DOUBLE) / CAST(i.impressions_count AS DOUBLE) * 100 AS ctr,
+      CAST(i.bid AS DOUBLE) * i.clicks_count / i.impressions_count AS cpm,
+      CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE), CAST(i.last_event_at AS DATE)) AS INTEGER) AS campaign_days,
+      CASE
+        WHEN CAST(i.last_event_at AS DATE) < DATE '{_AS_OF}' THEN 'ended'
+        WHEN CAST(o.o_orderdate AS DATE) > DATE '{_AS_OF}' THEN 'pending'
+        ELSE 'ongoing'
+      END AS period_status
+    FROM orders o
+    JOIN item_totals i ON o.o_orderkey = i.l_orderkey
+    """,
+    doc="Gold totals report: FLOOR/CASE/datediff/guarded-division KPIs "
+    "(initial_load_generate_postgres_data.py:426-492; 'cpm' deliberately "
+    "lacks the x1000, matching the reference's formula at :449).",
+)
+def q07_totals_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    item_totals = td.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("impressions_count"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "clicks_count"
+        ),
+        F.min(_dec("l_extendedprice")).cast("decimal(18,2)").alias("bid"),
+        F.max("l_shipdate").alias("last_event_at"),
+    )
+    o = td.orders
+    j = o.join(item_totals, o.o_orderkey == item_totals.l_orderkey, "inner")
+    bid_d = F.col("bid").cast("double")
+    spent = bid_d * F.col("clicks_count")
+    as_of = F.lit(_AS_OF).cast("date")
+    return j.select(
+        F.col("o_orderkey").alias("rtm_campaign_id"),
+        _dec("o_totalprice").alias("campaign_budget"),
+        F.col("bid").alias("campaign_bid"),
+        "impressions_count",
+        "clicks_count",
+        F.floor(F.col("o_totalprice") / bid_d).cast("bigint").alias(
+            "budget_bids_amount"
+        ),
+        spent.alias("budget_spent"),
+        F.when(spent > F.col("o_totalprice"), "exceeded")
+        .when(F.col("clicks_count") == 0, "unused")
+        .otherwise("unspent")
+        .alias("budget_status"),
+        (
+            F.col("clicks_count").cast("double")
+            / F.col("impressions_count").cast("double")
+            * 100
+        ).alias("ctr"),
+        (bid_d * F.col("clicks_count") / F.col("impressions_count")).alias("cpm"),
+        F.datediff(
+            F.to_date("last_event_at"), F.to_date("o_orderdate")
+        ).cast("int").alias("campaign_days"),
+        F.when(F.to_date("last_event_at") < as_of, "ended")
+        .when(F.to_date("o_orderdate") > as_of, "pending")
+        .otherwise("ongoing")
+        .alias("period_status"),
+    )
+
+
+# ===========================================================================
+# q08 — DISTINCT projection (P3, track_delta.py:568-576).
+# ===========================================================================
+
+@query(
+    "q08_distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    doc="DISTINCT projection (track_delta.py:568-576).",
+)
+def q08_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Testdata(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+# ===========================================================================
+# q09 — stats CLI aggregate: INNER + LEFT joins + COUNT(DISTINCT)
+# (scripts/main.py:96-111, J7/A4).
+# ===========================================================================
+
+@query(
+    "q09_stats",
+    oracle="""
+    SELECT
+      n.n_nationkey AS nation_id,
+      n.n_name AS nation_name,
+      COUNT(DISTINCT c.c_custkey) AS n_customers,
+      COUNT(DISTINCT o.o_orderkey) AS n_orders,
+      CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+    doc="Stats aggregate with exact COUNT(DISTINCT) (scripts/main.py:96-111).",
+)
+def q09_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    n, c, o = td.nation, td.customer, td.orders
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "inner")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            F.col("n_nationkey").alias("nation_id"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(_dec(F.coalesce("o_totalprice", F.lit(0))))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+# ===========================================================================
+# q10 — watermark projection: GREATEST + COALESCE + guarded division
+# (F1/F2/F9) at row grain.
+# ===========================================================================
+
+@query(
+    "q10_watermark_projection",
+    oracle="""
+    SELECT
+      o_orderkey,
+      GREATEST(o_orderdate, TIMESTAMP '1997-01-01 00:00:00') AS rtm_delta,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0) AS guarded_ratio
+    FROM orders
+    """,
+    doc="Row-grain scalar surface: GREATEST watermark, COALESCE/NULLIF, "
+    "zero-guarded division (SURVEY.md §2.8).",
+)
+def q10_watermark_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Testdata(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.greatest(
+            F.col("o_orderdate"), F.lit("1997-01-01 00:00:00").cast("timestamp")
+        ).alias("rtm_delta"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        safe_div(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("guarded_ratio"),
+    )

@@ -1,0 +1,96 @@
+"""Sources: parquet readers (primary) and an optional JDBC path.
+
+Replaces the reference's cursor-based scans (S1,
+``dags/initial_load_generate_postgres_data.py:139-148``) with lazy DataFrame
+scans: no fetchall, no driver materialization — Catalyst pushes filters and
+column pruning into the parquet footer/row-group level.
+
+At 100 TB the same reader works unchanged: parquet directories partitioned by
+date are partition-pruned via the `event_date` filter, and
+``spark.sql.files.maxPartitionBytes`` (default 128 MB) bounds per-task input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table; schema comes from the parquet footer
+    (written by the driver — declared copies live in ``schemas.TESTDATA_SCHEMAS``
+    for validation, not for inference).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it via the legacy nanos-as-long path
+    and truncate to microseconds (matching DuckDB's ns->us cast), keeping the
+    public schema TimestampType.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer `div`, not float `/`: doubles near 1.7e15 have 0.25 spacing
+        # and could round up across the truncation boundary
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+class Testdata:
+    """Lazy handle on one scale-factor directory of the shared testdata.
+
+    ``td = Testdata(spark, "/root/testdata/sf0.01"); td.lineitem`` — each
+    access returns a fresh lazy DataFrame (no caching side effects).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TESTDATA_TABLES:
+            return read_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register all tables as temp views for the SQL API."""
+        for name in TESTDATA_TABLES:
+            read_table(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source for a live deployment (the reference reads Postgres via
+    PostgresHook, ``dags/track_delta.py:33-40``). Partitioned reads split the
+    scan across executors instead of one cursor; aggregate pushdown lets the
+    source DB pre-aggregate like the reference's SQL-side CTEs did.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("pushDownPredicate", "true")
+        .option("pushDownAggregate", "true")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
