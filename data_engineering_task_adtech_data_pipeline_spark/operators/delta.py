@@ -64,4 +64,8 @@ def select_changed(
     ck = changed.select(*keys, version)
     if broadcast_changed:
         ck = F.broadcast(ck)
-    return full_extract.join(ck, on=[*keys, version], how="left_semi")
+    # semi-joins move the join keys to the front; restore the extract's
+    # column order so appended files keep a stable schema
+    return full_extract.join(ck, on=[*keys, version], how="left_semi").select(
+        *full_extract.columns
+    )

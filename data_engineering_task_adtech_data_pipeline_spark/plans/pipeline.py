@@ -1,0 +1,131 @@
+"""Pipeline orchestration — the reference's two DAGs as Spark jobs.
+
+- ``initial_load`` = DAG `initial_load` (``dags/initial_load_generate_postgres_data.py:570-658``):
+  bronze → silver (full extract) → gold reports.
+- ``track_deltas`` = DAG `track_deltas` (``dags/track_delta.py:617-664``):
+  watermark extraction → distributed anti-join change detection → semi-join
+  re-extract → versioned append (upsert) → gold rebuild.
+
+All the reference's process boundaries (fetchall → XCom → INSERT,
+``initial_load_generate_postgres_data.py:232-343``) collapse into lazy
+DataFrame lineage; the only materializations are the silver/gold writes.
+
+Scale notes: silver tables are append-only parquet partitioned by nothing at
+test size — at 100 TB partition the daily tables by ``event_date`` (so delta
+appends touch only recent partitions and compaction is per-day) and leave the
+campaign-grain totals unpartitioned (dimension-sized). Gold rebuilds read the
+deduped silver view, not bronze.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.delta import changed_keys, select_changed
+from ..operators.upsert import latest_version, upsert_append
+from .reports import daily_ctr_report, totals_report
+from .silver import advertiser_campaigns, events_daily
+
+TOTALS_KEYS = ["rtm_advertiser_id", "rtm_campaign_id"]
+DAILY_KEYS = ["rtm_advertiser_id", "rtm_campaign_id", "event_date"]
+
+
+@dataclass
+class Paths:
+    root: str
+
+    def bronze(self, table: str) -> str:
+        return os.path.join(self.root, "bronze", table)
+
+    def silver(self, table: str) -> str:
+        return os.path.join(self.root, "silver", table)
+
+    def gold(self, table: str) -> str:
+        return os.path.join(self.root, "gold", table)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, root: str, as_of: str | None = None):
+        self.spark = spark
+        self.paths = Paths(root)
+        self.as_of = as_of
+
+    # -- bronze -----------------------------------------------------------
+    def write_bronze(self, tables: dict[str, DataFrame]) -> None:
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(self.paths.bronze(name))
+
+    def append_bronze(self, tables: dict[str, DataFrame]) -> None:
+        for name, df in tables.items():
+            df.write.mode("append").parquet(self.paths.bronze(name))
+
+    def bronze(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.paths.bronze(name))
+
+    # -- silver extract (shared by both DAG paths) ------------------------
+    def _extracts(self) -> dict[str, DataFrame]:
+        adv, camp = self.bronze("advertiser"), self.bronze("campaign")
+        imp, clk = self.bronze("impressions"), self.bronze("clicks")
+        return {
+            "advertiser_campaigns": advertiser_campaigns(adv, camp, imp, clk),
+            "advertiser_campaigns_impressions": events_daily(imp, camp),
+            "advertiser_campaigns_clicks": events_daily(clk, camp),
+        }
+
+    def silver(self, name: str) -> DataFrame:
+        """Read-time dedup view = ReplacingMergeTree read semantics."""
+        totals = name == "advertiser_campaigns"
+        keys = TOTALS_KEYS if totals else DAILY_KEYS
+        raw = self.spark.read.parquet(self.paths.silver(name))
+        return latest_version(
+            raw,
+            keys=keys,
+            version="rtm_delta",
+            tiebreak=[] if totals else ["event_count"],
+        )
+
+    # -- entry point 1: initial load --------------------------------------
+    def initial_load(self) -> None:
+        for name, df in self._extracts().items():
+            df.write.mode("overwrite").parquet(self.paths.silver(name))
+        self.rebuild_reports()
+
+    # -- entry point 2: incremental delta ---------------------------------
+    def track_deltas(self) -> dict[str, int]:
+        """Returns per-table changed-row counts (0s on a no-op cycle)."""
+        counts: dict[str, int] = {}
+        for name, extract in self._extracts().items():
+            keys = TOTALS_KEYS if name == "advertiser_campaigns" else DAILY_KEYS
+            olap_state = self.spark.read.parquet(self.paths.silver(name))
+            changed = changed_keys(
+                extract.select(*keys, "rtm_delta"),
+                olap_state.select(*keys, "rtm_delta"),
+                keys=keys,
+            )
+            upserts = select_changed(extract, changed, keys=keys)
+            n = upserts.count()
+            counts[name] = n
+            if n:
+                upsert_append(upserts, self.paths.silver(name))
+        if any(counts.values()):
+            self.rebuild_reports()
+        return counts
+
+    # -- gold --------------------------------------------------------------
+    def rebuild_reports(self) -> None:
+        """Full rebuild each cycle (``dags/track_delta.py:438, 548``)."""
+        ac = self.silver("advertiser_campaigns")
+        imp_d = self.silver("advertiser_campaigns_impressions")
+        clk_d = self.silver("advertiser_campaigns_clicks")
+        totals_report(ac, as_of=self.as_of).write.mode("overwrite").parquet(
+            self.paths.gold("advertiser_campaigns_totals_report")
+        )
+        daily_ctr_report(ac, imp_d, clk_d).write.mode("overwrite").parquet(
+            self.paths.gold("advertiser_campaigns_daily_ctr_report")
+        )
+
+    def gold(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.paths.gold(name))

@@ -1,0 +1,106 @@
+"""Unit tests for operator families (SURVEY.md §5.2) with the §4.3 edge
+cases: NULL timestamps, zero-match left joins, version ties, CDC key moves."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_task_adtech_data_pipeline_spark.functions.compat import (
+    ch_left_join,
+    greatest_watermark,
+    safe_div,
+)
+from data_engineering_task_adtech_data_pipeline_spark.operators.delta import (
+    changed_keys,
+)
+from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+    latest_version,
+)
+
+TS = datetime
+
+
+def test_greatest_watermark_null_skipping(spark):
+    df = spark.createDataFrame(
+        [
+            (TS(2024, 1, 1), TS(2024, 1, 5), None),
+            (None, None, None),
+            (None, TS(2024, 2, 1), TS(2024, 1, 1)),
+        ],
+        "a timestamp, b timestamp, c timestamp",
+    )
+    out = df.select(greatest_watermark("a", "b", "c").alias("wm")).collect()
+    assert out[0].wm == TS(2024, 1, 5)  # NULLs skipped (Postgres GREATEST)
+    assert out[1].wm is None  # all-NULL -> NULL
+    assert out[2].wm == TS(2024, 2, 1)
+
+
+def test_ch_left_join_zero_fill(spark):
+    left = spark.createDataFrame([(1, "d1"), (2, "d2")], "k int, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 0.5, "x")], "k int, cnt int, ratio double, label string"
+    )
+    out = {r.k: r for r in ch_left_join(left, right, on=["k"]).collect()}
+    assert (out[2].cnt, out[2].ratio, out[2].label) == (0, 0.0, "")  # CH defaults
+    assert (out[1].cnt, out[1].ratio, out[1].label) == (10, 0.5, "x")
+
+
+def test_safe_div_zero_guard(spark):
+    df = spark.createDataFrame([(10.0, 2.0), (10.0, 0.0), (10.0, None)],
+                               "n double, d double")
+    out = df.select(safe_div(F.col("n"), F.col("d")).alias("q")).collect()
+    assert [r.q for r in out] == [5.0, None, None]
+
+
+def test_latest_version_ties_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 5), (1, TS(2024, 1, 2), 7),
+         (2, TS(2024, 1, 1), 3), (2, TS(2024, 1, 1), 9)],
+        "k int, v timestamp, payload int",
+    )
+    out = {r.k: r for r in
+           latest_version(df, keys=["k"], version="v", tiebreak=["payload"]).collect()}
+    assert out[1].payload == 7  # max version wins
+    assert out[2].payload == 9  # tie on version -> tiebreak col desc
+
+
+def test_changed_keys_new_moved_unchanged(spark):
+    oltp = spark.createDataFrame(
+        [(1, TS(2024, 1, 2)), (2, TS(2024, 1, 1)), (3, TS(2024, 1, 3))],
+        "k int, rtm_delta timestamp",
+    )
+    olap = spark.createDataFrame(
+        [(1, TS(2024, 1, 1)), (2, TS(2024, 1, 1))], "k int, rtm_delta timestamp"
+    )
+    got = {r.k for r in changed_keys(oltp, olap, keys=["k"]).collect()}
+    assert got == {1, 3}  # 1 moved, 3 new, 2 unchanged
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 10), st.integers(0, 100)),
+        min_size=1, max_size=40,
+    )
+)
+def test_latest_version_matches_python_oracle(spark, rows):
+    """Property (SURVEY.md §5.4): latest_version == per-key max over
+    (version, tiebreak, ...) computed in plain Python."""
+    df = spark.createDataFrame(rows, "k int, v int, payload int")
+    got = {
+        r.k: (r.v, r.payload)
+        for r in latest_version(df, keys=["k"], version="v",
+                                tiebreak=["payload"]).collect()
+    }
+    expect: dict[int, tuple[int, int]] = {}
+    for k, v, p in rows:
+        if k not in expect or (v, p) > expect[k]:
+            expect[k] = (v, p)
+    assert got == expect

@@ -1,0 +1,109 @@
+"""End-to-end pipeline tests (SURVEY.md §5.3): initial load, delta no-op,
+incremental batch, and the fundamental invariant delta ≡ full recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_task_adtech_data_pipeline_spark.plans.pipeline import (
+    DAILY_KEYS,
+    TOTALS_KEYS,
+    Pipeline,
+)
+from data_engineering_task_adtech_data_pipeline_spark.sources.generators import (
+    GenConfig,
+    gen_all,
+)
+
+AS_OF = "2024-01-15"
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    p = Pipeline(spark, root, as_of=AS_OF)
+    p.write_bronze(gen_all(spark, GenConfig(advertisers=4,
+                                            campaigns_per_advertiser=3,
+                                            impressions_per_campaign=200)))
+    p.initial_load()
+    return p
+
+
+def test_initial_load_shapes(pipe):
+    ac = pipe.silver("advertiser_campaigns")
+    assert ac.count() == 12  # 4 advertisers x 3 campaigns
+    assert len(ac.columns) == 17
+    # zero-impression campaigns exist and are zero-filled, not NULL
+    zero = ac.where(F.col("campaign_impressions_count") == 0)
+    assert zero.count() > 0
+    assert zero.where(F.col("campaign_clicks_count").isNull()).count() == 0
+
+
+def test_totals_report_classifiers(pipe):
+    rep = pipe.gold("advertiser_campaigns_totals_report")
+    statuses = {r.budget_status for r in rep.select("budget_status").collect()}
+    assert "unused" in statuses  # zero-click campaigns
+    periods = {r.period_status for r in rep.select("period_status").collect()}
+    assert {"ended", "ongoing"} <= periods
+    # ctr guarded: zero-impression campaigns -> NULL, never error/inf
+    bad = rep.where(F.col("campaign_impressions_count") == 0).where(
+        F.col("campaign_ctr").isNotNull()
+    )
+    assert bad.count() == 0
+
+
+def test_daily_ctr_zero_fill_and_ordinal(pipe):
+    rep = pipe.gold("advertiser_campaigns_daily_ctr_report")
+    # ClickHouse zero-fill semantics: no NULL click counts or CTRs
+    assert rep.where(F.col("campaign_clicks_count_daily").isNull()).count() == 0
+    assert rep.where(F.col("campaign_ctr_daily").isNull()).count() == 0
+    # some impression-days genuinely lack clicks (edge from the generator)
+    assert rep.where(F.col("campaign_clicks_count_daily") == 0).count() > 0
+    # campaign_day is a dense per-campaign ordinal over days-with-impressions
+    first_days = (
+        rep.groupBy("rtm_advertiser_id", "rtm_campaign_id")
+        .agg(F.min("campaign_day").alias("d0"), F.max("campaign_day").alias("dn"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    assert first_days.where(
+        (F.col("d0") != 1) | (F.col("dn") != F.col("n"))
+    ).count() == 0
+
+
+def test_delta_second_run_noop(pipe):
+    counts = pipe.track_deltas()
+    assert all(v == 0 for v in counts.values()), counts
+
+
+def test_delta_picks_up_new_batch_and_matches_full_recompute(pipe, spark, tmp_path):
+    # append a generator tick (the reference's generate_new_data DAG shape)
+    batch = gen_all(
+        spark,
+        GenConfig(advertisers=2, campaigns_per_advertiser=2,
+                  impressions_per_campaign=100, ctr=0.12, seed=7, id_offset=100),
+    )
+    pipe.append_bronze(batch)
+    counts = pipe.track_deltas()
+    assert counts["advertiser_campaigns"] > 0
+    assert counts["advertiser_campaigns_impressions"] > 0
+
+    # invariant: incremental state == full recompute from bronze
+    full = Pipeline(spark, str(tmp_path / "full"), as_of=AS_OF)
+    for t in ("advertiser", "campaign", "impressions", "clicks"):
+        pipe.bronze(t).write.mode("overwrite").parquet(full.paths.bronze(t))
+    full.initial_load()
+
+    for table, keys in [
+        ("advertiser_campaigns", TOTALS_KEYS),
+        ("advertiser_campaigns_impressions", DAILY_KEYS),
+        ("advertiser_campaigns_clicks", DAILY_KEYS),
+    ]:
+        inc = pipe.silver(table)
+        ful = full.silver(table)
+        assert inc.count() == ful.count(), table
+        assert inc.exceptAll(ful).count() == 0, table
+        assert ful.exceptAll(inc).count() == 0, table
+
+    # third run: no-op again
+    assert all(v == 0 for v in pipe.track_deltas().values())
