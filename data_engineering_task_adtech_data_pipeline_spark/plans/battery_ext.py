@@ -1,0 +1,302 @@
+"""Battery part 2: LLM-data-pipeline extension queries over
+``documents``/``embeddings`` (SURVEY.md §7.1 phase 6).
+
+Oracle pairing policy: operators whose only nondeterminism is engine hash
+functions (minhash/simhash/LSH use xxhash64, which DuckDB lacks) register
+rows-only; everything else — exact dedup, n-gram Jaccard, brute-force
+cosine, text analysis — gets a full DuckDB oracle. Normalization SQL
+mirrors ``operators.dedup.normalize_text`` exactly (DuckDB regexp_replace
+needs the 'g' flag; Spark's replaces all matches by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.readers import Testdata
+from .battery import query
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+@query(
+    "q11_dedup_exact",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, lang, md5({_NORM.format(c='text')}) AS content_hash
+      FROM documents
+    ),
+    keep AS (
+      SELECT content_hash, MIN(doc_id) AS doc_id FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.source, h.lang, h.content_hash
+    FROM hashed h JOIN keep k
+      ON h.content_hash = k.content_hash AND h.doc_id = k.doc_id
+    """,
+    doc="Exact dedup via normalized-content hash, min-id survivor.",
+)
+def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.exact_dedup(docs).select(
+        "doc_id", "source", "lang", "content_hash"
+    )
+
+
+@query(
+    "q12_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs via shingle self-join "
+    "(the verification stage of MinHash pipelines).",
+)
+def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.2, max_shingles=None
+    )
+
+
+@query(
+    "q13_minhash_dedup",
+    oracle=None,  # xxhash64-based signatures are not reproducible in DuckDB
+    doc="MinHash(64)+LSH(16 bands) near-dedup with exact-Jaccard verify; "
+    "rows-only check (engine-specific hash family).",
+)
+def q13_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.minhash_dedup(docs, verify_threshold=0.5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q14_simhash_candidates",
+    oracle=None,
+    doc="64-bit SimHash banded near-dup candidates (hamming<=10); rows-only.",
+)
+def q14_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    sigs = dedup.simhash_signatures(docs)
+    return dedup.simhash_candidates(sigs, max_hamming=10)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@query(
+    "q15_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS corpus_id,
+             list_sum(list_transform(list_zip(q.e, v.e), t -> t[1] * t[2]))
+             / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cosine_sim
+      FROM q, v WHERE q.vec_id <> v.vec_id
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for queries vec_id<10 — the exact ANN "
+    "baseline; double-accumulated dot products match across engines.",
+)
+def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "q16_lsh_topk",
+    oracle=None,
+    doc="Random-hyperplane LSH ANN top-5 (16 planes, 8 bands) — the scale "
+    "path; rows-only (xxhash64-derived hyperplanes).",
+)
+def q16_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    return similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, planes=16, bands=8
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+def _marker_sql(col_words: str, markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter({col_words}, x -> list_contains([{lst}], x)))"
+    )
+
+
+@query(
+    "q17_lang_id",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split({_NORM.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        {_marker_sql('w', text.LANG_MARKERS['en'])} AS h_en,
+        {_marker_sql('w', text.LANG_MARKERS['es'])} AS h_es,
+        {_marker_sql('w', text.LANG_MARKERS['fr'])} AS h_fr,
+        {_marker_sql('w', text.LANG_MARKERS['de'])} AS h_de,
+        {_marker_sql('w', text.LANG_MARKERS['zh'])} AS h_zh
+      FROM words
+    )
+    SELECT doc_id, lang,
+      CASE
+        WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+        WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+        WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+        WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+        WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+        ELSE 'zh'
+      END AS lang_pred
+    FROM hits
+    """,
+    doc="Marker-word language ID (argmax of per-language stopword hits, "
+    "deterministic tie-break by language code).",
+)
+def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "q18_quality_features",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x <> '') AS w,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             {_marker_sql(f"string_split({_NORM.format(c='text')}, ' ')", text.LANG_MARKERS['en'])} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      len(w) AS n_words,
+      CASE WHEN len(w) > 0
+           THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_word_len,
+      CASE WHEN len(w) > 0 THEN CAST(stop_hits AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio,
+      CASE WHEN n_chars_raw > 0 THEN CAST(n_digits AS DOUBLE) / n_chars_raw ELSE 0.0 END AS digit_ratio,
+      CASE WHEN n_chars_raw > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_raw ELSE 0.0 END AS upper_ratio
+    FROM base
+    """,
+    doc="Per-document quality features: word stats, stopword/digit/upper "
+    "ratios (C4/Gopher-style filters), all exact-integer-derived.",
+)
+def q18_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.quality_features(docs).select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio",
+        "digit_ratio", "upper_ratio",
+    )
+
+
+@query(
+    "q19_token_counts",
+    oracle="""
+    SELECT doc_id,
+      len(regexp_split_to_array(trim(text), '\\s+')) AS whitespace_tokens,
+      len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS regex_tokens,
+      CASE WHEN len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) > 0
+           THEN CAST(length(text) AS DOUBLE)
+                / len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1))
+           ELSE 0.0 END AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting: whitespace words + GPT-2-pre-tokenizer-shaped "
+    "regex tokens + chars-per-token.",
+)
+def q19_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.token_counts(docs).select(
+        "doc_id", "whitespace_tokens", "regex_tokens", "chars_per_token"
+    )
+
+
+@query(
+    "q20_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5({_NORM.format(c='text')}) AS normalized_md5
+    FROM documents
+    """,
+    doc="Content fingerprints (raw + normalized md5); the winnowing rolling "
+    "hash is covered rows-only inside q13's pipeline.",
+)
+def q20_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.fingerprints(docs).select(
+        "doc_id", "content_md5", "normalized_md5"
+    )
+
+
+@query(
+    "q21_doc_stats_by_source",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Corpus composition rollup (source x lang) — the reporting query of "
+    "a data-curation pipeline.",
+)
+def q21_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

@@ -1,0 +1,130 @@
+"""Tests for the LLM-data-pipeline operators (dedup / similarity / text /
+multimodal) on constructed frames with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_task_adtech_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "El rapido zorro marron salta sobre el perro que duerme en la casa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 removed, survivor is min-id 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_dedup_removes_dups(docs):
+    kept = {r.doc_id for r in dedup.minhash_dedup(docs, verify_threshold=0.5).collect()}
+    assert 2 not in kept  # exact dup always caught
+    assert {4, 5} <= kept  # distinct docs survive
+    assert 1 in kept  # min-id survivor
+
+
+def test_simhash_near_dup_distance(docs):
+    sigs = dedup.simhash_signatures(docs)
+    cand = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_candidates(sigs, max_hamming=16).collect()
+    }
+    assert cand.get((1, 2)) == 0  # identical text -> identical simhash
+    assert (1, 3) in cand  # near dup within a few bits
+
+
+def test_brute_force_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),  # closest to 1
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.corpus_id for r in rows] == [2, 3, 4]
+    assert rows[0].cosine_sim == pytest.approx(0.9939, abs=1e-3)
+    assert rows[2].cosine_sim == pytest.approx(-1.0)
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    from conftest import SF_ORACLE
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.corpus_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    lsh = {(r.query_id, r.corpus_id) for r in
+           similarity.lsh_topk(emb, q, k=5, planes=16, bands=8).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.8, recall  # 2-bit bands: high multi-probe recall
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house with the mouse"),
+            (2, "el perro y la casa de los gatos por una calle"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_quality_and_tokens_edge_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "ab 12 CD!")],
+                               "doc_id long, text string")
+    q = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert q[1].n_words == 0 and q[1].mean_word_len == 0.0
+    assert q[2].digit_ratio == pytest.approx(2 / 9)
+    t = {r.doc_id: r for r in text.token_counts(df).collect()}
+    assert t[2].regex_tokens == 4  # ab / 12 / CD / !
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, None)], "media_id long, payload binary"
+    )
+    media = multimodal.attach_meta(media, modality="image", mime="image/fake")
+    metas = {r.media_id: r.meta for r in media.collect()}
+    assert metas[1].n_bytes == 6 and metas[1].modality == "image"
+
+    feats = {r.media_id: r for r in
+             multimodal.decode_images(media, fake=True).collect()}
+    assert feats[1].decode_ok and len(feats[1].feature) == 8
+    assert not feats[2].decode_ok and feats[2].feature is None
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        multimodal.decode_images(media, fake=False).collect()
