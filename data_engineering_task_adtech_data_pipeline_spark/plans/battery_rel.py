@@ -1,0 +1,345 @@
+"""Battery part 3: relational breadth beyond the reference's inventory —
+set ops, pivot, rollup, window frames, top-k, TPC-H-shaped joins, and the
+temporal operators (as-of join, range join, sessionization) from
+``operators.joins``. Everything oracle-paired; numeric discipline as in
+``battery.py`` (decimal-exact sums, deterministic orderings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, range_join, sessionize
+from ..sources.readers import Testdata
+from .battery import query
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+@query(
+    "q22_revenue_filter",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped selective filter + global agg (predicate pushdown "
+    "showcase: all four filters reach the parquet scan).",
+)
+def q22_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Testdata(spark, sf_dir).lineitem
+    f = l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q23_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped top-k: dim filter -> fact joins -> agg -> "
+    "deterministic ORDER BY + LIMIT (decimal revenue, id tie-break).",
+)
+def q23_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    c = td.customer.where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        td.orders.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(td.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q24_nation_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped multi-dim join chain (region->nation->supplier->"
+    "lineitem), broadcast dims, one fact shuffle.",
+)
+def q24_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    dims = (
+        td.region.where(F.col("r_name") == "ASIA")
+        .join(td.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(td.supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        td.lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q25_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+         building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         auto AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'building_buyers' AS segment, custkey FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT 'building_never_bought' AS segment, custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT 'building_or_auto' AS segment, custkey FROM (SELECT custkey FROM building UNION SELECT custkey FROM auto)
+    """,
+    doc="Set operations (INTERSECT / EXCEPT / UNION-distinct) over customer "
+    "segments (SURVEY.md §2.7 extension surface).",
+)
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    buyers = td.orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    seg = lambda s: td.customer.where(F.col("c_mktsegment") == s).select(  # noqa: E731
+        F.col("c_custkey").alias("custkey")
+    )
+    building, auto = seg("BUILDING"), seg("AUTOMOBILE")
+    tag = lambda df, t: df.select(F.lit(t).alias("segment"), "custkey")  # noqa: E731
+    return (
+        tag(building.intersect(buyers), "building_buyers")
+        .unionByName(tag(building.exceptAll(buyers), "building_never_bought"))
+        .unionByName(tag(building.union(auto).distinct(), "building_or_auto"))
+    )
+
+
+@query(
+    "q26_pivot_events",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="Pivot (wide daily event-type counts); absent combos zero-filled on "
+    "both sides.",
+)
+def q26_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+@query(
+    "q27_rollup_events",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+    doc="ROLLUP hierarchy (type -> type x day -> grand total).",
+)
+def q27_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return (
+        ev.select("event_type", F.to_date("ts").alias("event_date"))
+        .rollup("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q28_window_frames",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DECIMAL(18,2)) AS running_value,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS event_ordinal
+    FROM events
+    """,
+    doc="Window frames: running decimal sum, lag/lead, per-key ordinals "
+    "(pinned total order: ts then event_id).",
+)
+def q28_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(_dec("value")).over(run).cast("decimal(18,2)").alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).cast("int").alias("event_ordinal"),
+    )
+
+
+@query(
+    "q29_asof_join",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, ts, MAX(event_id) AS signup_event_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           s.ts AS signup_ts_asof, s.signup_event_id AS signup_event_id_asof
+    FROM clicks c
+    ASOF LEFT JOIN signups s
+      ON c.user_id = s.user_id AND s.ts <= c.ts
+    """,
+    doc="As-of join (latest signup at or before each click, per user) — "
+    "union+window composition vs DuckDB's native ASOF JOIN as oracle.",
+)
+def q29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_event_id")
+    )
+    return asof_join(
+        clicks,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_payload=["signup_ts", "signup_event_id"],
+    )
+
+
+@query(
+    "q30_range_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(abs(date_diff('second', c.ts, p.ts)) AS BIGINT) AS dt_seconds
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND abs(epoch(p.ts) - epoch(c.ts)) <= 3600
+    """,
+    doc="Range join (click-purchase pairs within 1h per user) — bucketed "
+    "equi-join composition vs DuckDB inequality join as oracle.",
+)
+def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    pick = lambda t, alias: ev.where(F.col("event_type") == t).select(  # noqa: E731
+        F.col("event_id").alias(alias), "user_id", F.col("ts").alias(f"{alias}_ts")
+    )
+    clicks = pick("click", "click_id")
+    purchases = pick("purchase", "purchase_id")
+    out = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_id_ts",
+        right_ts="purchase_id_ts",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.abs(
+            F.unix_timestamp("purchase_id_ts") - F.unix_timestamp("click_id_ts")
+        ).alias("dt_seconds"),
+    )
+
+
+@query(
+    "q31_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) + 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via cumulative "
+    "new-session flags — one window + one agg, no state loops.",
+)
+def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return sessionize(ev, key=["user_id"], ts_col="ts", gap_seconds=1800)

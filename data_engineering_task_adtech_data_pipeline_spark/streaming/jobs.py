@@ -1,0 +1,123 @@
+"""Structured Streaming variant of the incremental pipeline.
+
+The reference emulates streaming with a 5-minute Airflow DAG that re-extracts
+watermarks, diffs them on the driver, and re-queries changed keys
+(``dags/track_delta.py:617-624`` — SURVEY.md §2.9). The idiomatic Spark
+replacement is a continuous job:
+
+    events files land → readStream → watermarked day-grain aggregation →
+    foreachBatch: versioned append (the ReplacingMergeTree-style upsert)
+
+Semantics mapping:
+- Airflow ``schedule_interval=5min``  → ``trigger(processingTime="5 minutes")``
+  (tests use ``availableNow`` for run-to-completion),
+- the per-key high-watermark ``rtm_delta`` → ``max(created_at)`` inside each
+  update — identical version column, so batch and streaming rows interleave
+  correctly under the same latest-version-wins dedup view,
+- late/out-of-order data → ``withWatermark``: a (campaign, day) group is
+  re-emitted whenever late events arrive inside the lateness bound, and each
+  re-emission carries a higher rtm_delta, upserting the older row — exactly
+  the reference's re-aggregate-and-version-bump behavior
+  (``dags/track_delta.py:291-325``),
+- state at scale: update-mode day-grain groups expire once the watermark
+  passes; state size is O(active (campaign, day) keys), not O(history).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.upsert import upsert_append
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("campaign_id", T.LongType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+
+def streaming_daily_agg(events: DataFrame, lateness: str = "1 day") -> DataFrame:
+    """Watermarked day-grain rollup of an event stream: COUNT(*) and
+    max(created_at) per (campaign_id, day). The max doubles as the
+    ``rtm_delta`` version column (``dags/track_delta.py:78``)."""
+    return (
+        events.withWatermark("created_at", lateness)
+        .groupBy(
+            F.col("campaign_id").alias("rtm_campaign_id"),
+            F.window("created_at", "1 day").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.max("created_at").alias("rtm_delta"),
+        )
+        .select(
+            "rtm_campaign_id",
+            F.to_date(F.col("__w.start")).alias("event_date"),
+            "event_count",
+            "rtm_delta",
+        )
+    )
+
+
+def stream_events_daily(
+    spark: SparkSession,
+    input_dir: str,
+    silver_path: str,
+    checkpoint_dir: str,
+    campaign_map: DataFrame | None = None,
+    lateness: str = "1 day",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+    post_batch: Callable[[SparkSession, int], None] | None = None,
+):
+    """File-source streaming job: new event parquet files → day-grain
+    versioned upserts into the silver daily table.
+
+    ``foreachBatch`` appends each micro-batch's updated groups with their
+    bumped ``rtm_delta``; readers apply the latest-version dedup view
+    (``operators.upsert.latest_version``), so the streaming path and the
+    batch ``track_deltas`` path produce interchangeable tables.
+    ``post_batch`` (e.g. gold-report rebuild) runs after each append — the
+    analog of the reference's report tasks downstream of the delta tasks
+    (``dags/track_delta.py:662-664``).
+    """
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    agg = streaming_daily_agg(stream, lateness)
+    if campaign_map is not None:
+        cmap = F.broadcast(
+            campaign_map.select(
+                F.col("id").alias("rtm_campaign_id"),
+                F.col("advertiser_id").alias("rtm_advertiser_id"),
+            )
+        )
+        agg = agg.join(cmap, "rtm_campaign_id", "left").select(
+            "rtm_advertiser_id",
+            "rtm_campaign_id",
+            "event_date",
+            "event_count",
+            "rtm_delta",
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_append(batch_df, silver_path)
+        if post_batch is not None:
+            post_batch(batch_df.sparkSession, epoch_id)
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

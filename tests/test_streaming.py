@@ -1,0 +1,71 @@
+"""Streaming-vs-batch equivalence: the Structured Streaming daily rollup
+must converge to the same silver state as the batch path, including when a
+second (late-ish) file batch arrives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+    latest_version,
+)
+from data_engineering_task_adtech_data_pipeline_spark.sources.generators import (
+    GenConfig,
+    gen_impressions,
+)
+from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+    stream_events_daily,
+)
+
+KEYS = ["rtm_campaign_id", "event_date"]
+
+
+@pytest.mark.slow
+def test_streaming_matches_batch(spark, tmp_path):
+    input_dir = str(tmp_path / "events_in")
+    silver = str(tmp_path / "silver_daily")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = gen_impressions(spark, GenConfig(impressions_per_campaign=300))
+    batch1.write.mode("append").parquet(input_dir)
+
+    # lateness must cover the gap between file batches: groups older than
+    # the watermark are expired state and late rows for them are dropped
+    # (that drop is the *correct* streaming behavior; equivalence with batch
+    # holds only within the lateness bound)
+    q = stream_events_daily(
+        spark, input_dir, silver, ckpt, available_now=True, lateness="30 days"
+    )
+    q.awaitTermination(120)
+
+    # second file lands (new + late events for already-seen days)
+    batch2 = gen_impressions(
+        spark, GenConfig(impressions_per_campaign=200, seed=7, id_offset=50)
+    )
+    batch2.write.mode("append").parquet(input_dir)
+    q2 = stream_events_daily(
+        spark, input_dir, silver, ckpt, available_now=True, lateness="30 days"
+    )
+    q2.awaitTermination(120)
+
+    got = latest_version(
+        spark.read.parquet(silver), keys=KEYS, version="rtm_delta",
+        tiebreak=["event_count"],
+    )
+    expect = (
+        spark.read.parquet(input_dir)
+        .groupBy(
+            F.col("campaign_id").alias("rtm_campaign_id"),
+            F.to_date("created_at").alias("event_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.max("created_at").alias("rtm_delta"),
+        )
+    )
+    g = got.select(*KEYS, "event_count", "rtm_delta")
+    e = expect.select(*KEYS, "event_count", "rtm_delta")
+    assert g.count() == e.count()
+    assert g.exceptAll(e).count() == 0
+    assert e.exceptAll(g).count() == 0
