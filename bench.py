@@ -27,6 +27,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # warm the JVM/codegen/file-listing paths so per-query timings measure
+    # the queries, not session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in queries.items():

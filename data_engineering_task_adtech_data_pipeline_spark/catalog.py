@@ -1,0 +1,51 @@
+"""Catalog/DDL surface — the reference's idempotent schema bootstrap and
+rebuild statements (S6/S7/S9 in SURVEY.md §2.1) expressed against the Spark
+catalog:
+
+- ``CREATE DATABASE/TABLE IF NOT EXISTS`` bootstrap
+  (``dags/initial_load_generate_postgres_data.py:57-135``)
+- ``DROP TABLE IF EXISTS`` + rebuild for gold reports
+  (``dags/track_delta.py:438, 548``)
+- FK-order reset/truncate (``scripts/main.py:126-139``)
+
+Tables are external parquet locations so the medallion paths in
+``plans.pipeline`` and SQL-API users see the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def register_parquet_table(
+    spark: SparkSession, name: str, path: str, database: str = "default"
+) -> None:
+    """Idempotent external-table registration (CREATE TABLE IF NOT EXISTS
+    ... USING PARQUET LOCATION): schema comes from the files."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.{name} "
+        f"USING PARQUET LOCATION '{path}'"
+    )
+
+
+def rebuild_table(
+    spark: SparkSession, name: str, df: DataFrame, database: str = "default"
+) -> None:
+    """The reference's DROP + CREATE + INSERT...SELECT report rebuild as one
+    atomic replace."""
+    df.write.mode("overwrite").saveAsTable(f"{database}.{name}")
+
+
+def drop_table(spark: SparkSession, name: str, database: str = "default") -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+
+
+def truncate_tables(spark: SparkSession, names: list[str], database: str = "default") -> None:
+    """FK-safe ordered reset (children first), mirroring
+    ``scripts/main.py:133-139``."""
+    for name in names:
+        spark.sql(f"TRUNCATE TABLE {database}.{name}")
