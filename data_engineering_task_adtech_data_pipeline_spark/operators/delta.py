@@ -15,6 +15,13 @@ The anti-join replaces the set difference; the semi-join replaces the VALUES
 literal re-extract (``track_delta.py:191-216``). Changed-key sets are small
 relative to the fact tables, so Spark's AQE broadcasts them automatically;
 ``broadcast_changed=True`` forces the hint.
+
+Caveat (inherent to high-watermark CDC, shared with the reference): a new
+row whose timestamp does NOT advance its key's max watermark is invisible to
+change detection — the reference's tuple set-diff misses it identically.
+The invariant "incremental == full recompute" therefore assumes per-key
+time-advancing arrivals (true for event streams stamped at ingest); found
+and pinned by ``tests/test_properties.py``.
 """
 
 from __future__ import annotations

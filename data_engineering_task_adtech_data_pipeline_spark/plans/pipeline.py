@@ -95,7 +95,15 @@ class Pipeline:
 
     # -- entry point 2: incremental delta ---------------------------------
     def track_deltas(self) -> dict[str, int]:
-        """Returns per-table changed-row counts (0s on a no-op cycle)."""
+        """Returns per-table changed-row counts (0s on a no-op cycle).
+
+        First run against an empty lake falls back to ``initial_load`` —
+        the reference's empty-table branch guard (BranchPythonOperator at
+        ``dags/initial_load_generate_postgres_data.py:41-55``).
+        """
+        if not os.path.isdir(self.paths.silver("advertiser_campaigns")):
+            self.initial_load()
+            return {name: df.count() for name, df in self._extracts().items()}
         counts: dict[str, int] = {}
         for name, extract in self._extracts().items():
             keys = TOTALS_KEYS if name == "advertiser_campaigns" else DAILY_KEYS

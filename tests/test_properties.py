@@ -1,0 +1,100 @@
+"""Property-based tests (SURVEY.md §5.4): random inputs vs plain-Python
+oracles for the engine's hardest invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_task_adtech_data_pipeline_spark.operators.delta import (
+    changed_keys,
+    select_changed,
+)
+from data_engineering_task_adtech_data_pipeline_spark.operators.joins import asof_join
+
+T0 = datetime(2024, 1, 1)
+
+event_lists = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2000)),  # (key, minute offset)
+    min_size=1,
+    max_size=60,
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(before=event_lists, after=event_lists)
+def test_cdc_incremental_equals_full(spark, before, after):
+    """The CDC invariant: applying changed_keys/select_changed to
+    (old_state, new_extract) then unioning the changed rows onto old state
+    (latest-version-wins) equals recomputing the extract from scratch.
+
+    Holds under per-key time-advancing arrivals (the event-stream reality);
+    hypothesis originally found the counterexample of a new row whose
+    timestamp equals the key's existing watermark — invisible to
+    high-watermark CDC by construction, in the reference's set-diff too
+    (``operators/delta.py`` module docstring). We shift the second batch
+    past the first to model ingest-stamped arrival order.
+    """
+    after = [(k, m + 2001) for k, m in after]  # strictly advance watermarks
+    def extract(rows):
+        df = spark.createDataFrame(
+            [(k, T0 + timedelta(minutes=m)) for k, m in rows],
+            "k int, created_at timestamp",
+        )
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("created_at").alias("rtm_delta")
+        )
+
+    old_state = extract(before)
+    full = extract(before + after)
+    changed = changed_keys(
+        full.select("k", "rtm_delta"), old_state.select("k", "rtm_delta"), keys=["k"]
+    )
+    upserts = select_changed(full, changed, keys=["k"])
+
+    # latest-version-wins merge of old state + upserts
+    merged = {r.k: (r.rtm_delta, r.n) for r in old_state.collect()}
+    for r in upserts.collect():
+        merged[r.k] = (r.rtm_delta, r.n)
+    expect = {r.k: (r.rtm_delta, r.n) for r in full.collect()}
+    assert merged == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                   min_size=1, max_size=30),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                    min_size=0, max_size=30),
+)
+def test_asof_join_matches_python_oracle(spark, lefts, rights):
+    # unique (key, ts) on the right so as-of is well-defined
+    rights = list({(k, m) for k, m in rights})
+    left = spark.createDataFrame(
+        [(i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "lid long, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), float(m)) for k, m in rights],
+        "k int, rts timestamp, px double",
+    ) if rights else spark.createDataFrame([], "k int, rts timestamp, px double")
+
+    out = {
+        r.lid: r.px_asof
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["px"],
+        ).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        prior = [mm for kk, mm in rights if kk == k and mm <= m]
+        expect = float(max(prior)) if prior else None
+        assert out[i] == expect, (i, k, m)
