@@ -343,3 +343,91 @@ def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Testdata(spark, sf_dir).events
     return sessionize(ev, key=["user_id"], ts_col="ts", gap_seconds=1800)
+
+
+@query(
+    "q32_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont on identical doubles — verified bit-exact).",
+)
+def q32_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "q33_profile",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS n FROM events)
+    SELECT 'event_id' AS column, n AS n_rows,
+           (SELECT COUNT(*) FROM events WHERE event_id IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT event_id) FROM events) AS n_distinct,
+           (SELECT MIN(CAST(event_id AS VARCHAR)) FROM events) AS min_str,
+           (SELECT MAX(CAST(event_id AS VARCHAR)) FROM events) AS max_str
+    FROM base
+    UNION ALL
+    SELECT 'event_type', n,
+           (SELECT COUNT(*) FROM events WHERE event_type IS NULL),
+           (SELECT COUNT(DISTINCT event_type) FROM events),
+           (SELECT MIN(event_type) FROM events),
+           (SELECT MAX(event_type) FROM events)
+    FROM base
+    UNION ALL
+    SELECT 'user_id', n,
+           (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+           (SELECT COUNT(DISTINCT user_id) FROM events),
+           (SELECT MIN(CAST(user_id AS VARCHAR)) FROM events),
+           (SELECT MAX(CAST(user_id AS VARCHAR)) FROM events)
+    FROM base
+    UNION ALL
+    SELECT 'value', n,
+           (SELECT COUNT(*) FROM events WHERE value IS NULL),
+           (SELECT COUNT(DISTINCT value) FROM events),
+           (SELECT MIN(CAST(value AS VARCHAR)) FROM events),
+           (SELECT MAX(CAST(value AS VARCHAR)) FROM events)
+    FROM base
+    """,
+    doc="Expectation-style column profile (nulls/distinct/min/max in one "
+    "pass, long format) — operators/profile.py.",
+)
+def q33_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    ev = Testdata(spark, sf_dir).events
+    return profile(ev, ["event_id", "event_type", "user_id", "value"])
+
+
+@query(
+    "q34_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS k_over_50
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON property extraction + aggregation over the events.props "
+    "string column (get_json_object, JVM-side).",
+)
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        F.count(F.when(k > 50, 1)).alias("k_over_50"),
+    )
