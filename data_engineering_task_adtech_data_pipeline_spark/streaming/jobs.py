@@ -65,6 +65,31 @@ def streaming_daily_agg(events: DataFrame, lateness: str = "1 day") -> DataFrame
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    key: str = "campaign_id",
+    ts_col: str = "created_at",
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization via the built-in ``session_window``
+    (dynamic-gap tumbling state): one session row per (key, session window)
+    with start/end/count. The streaming twin of ``operators.joins.sessionize``
+    — state expires once the watermark passes a session's close, so memory
+    is O(open sessions)."""
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_events_daily(
     spark: SparkSession,
     input_dir: str,
