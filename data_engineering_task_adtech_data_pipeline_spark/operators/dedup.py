@@ -308,6 +308,97 @@ def minhash_dedup(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) by
+    iterative min-label propagation — the fixpoint grouping for transitive
+    near-dup closure (a ~ b ~ c ⇒ one group even if a !~ c).
+
+    Each iteration joins every node's current label against its neighbors'
+    and keeps the minimum; converges in O(log(diameter)) iterations for the
+    short chains dedup produces. Iterations checkpoint via ``localCheckpoint``
+    to cut the growing lineage (the standard Spark iterative-algorithm
+    pattern); the loop exits early when no label changes.
+
+    Returns (id, component) with component = min id in the group.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-dup removal with FULL transitive closure: verified candidate
+    pairs → connected components → keep the min-id doc per component.
+    Use instead of ``minhash_dedup`` when duplicate chains matter more than
+    the extra component iterations."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    if verify_threshold is not None:
+        sets = shingle_sets(df, text_col, id_col, shingle_k)
+        a = sets.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("__sh_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("__sh_b"))
+        jac = (
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+        )
+        cand = (
+            cand.join(a, "id_a").join(b, "id_b")
+            .where(jac >= verify_threshold)
+            .select("id_a", "id_b")
+        )
+    comp = connected_components(cand)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -300,3 +300,16 @@ def q21_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+@query(
+    "q35_minhash_dedup_transitive",
+    oracle=None,
+    doc="MinHash near-dedup with full transitive closure via iterative "
+    "min-label connected components (rows-only: xxhash64 signatures).",
+)
+def q35_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.minhash_dedup_transitive(docs, verify_threshold=0.5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -90,7 +90,12 @@ class Pipeline:
     # -- entry point 1: initial load --------------------------------------
     def initial_load(self) -> None:
         for name, df in self._extracts().items():
-            df.write.mode("overwrite").parquet(self.paths.silver(name))
+            writer = df.write.mode("overwrite")
+            if name != "advertiser_campaigns":
+                # daily tables partition by event_date so delta appends and
+                # compaction touch only recent partitions (SCALING.md)
+                writer = writer.partitionBy("event_date")
+            writer.parquet(self.paths.silver(name))
         self.rebuild_reports()
 
     # -- entry point 2: incremental delta ---------------------------------
@@ -117,7 +122,13 @@ class Pipeline:
             n = upserts.count()
             counts[name] = n
             if n:
-                upsert_append(upserts, self.paths.silver(name))
+                upsert_append(
+                    upserts,
+                    self.paths.silver(name),
+                    partition_by=[]
+                    if name == "advertiser_campaigns"
+                    else ["event_date"],
+                )
         if any(counts.values()):
             self.rebuild_reports()
         return counts

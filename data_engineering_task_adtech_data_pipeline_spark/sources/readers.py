@@ -62,6 +62,35 @@ class Testdata:
             read_table(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV source with a REQUIRED explicit schema — inference double-scans
+    the data and guesses types; this engine never infers (SURVEY.md §1.3)."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema (same no-inference
+    policy; corrupt records land in _corrupt_record if included in schema)."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -128,3 +128,34 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         multimodal.decode_images(media, fake=False).collect()
+
+
+def test_connected_components_chains(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_minhash_dedup_transitive_closure(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_transitive,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today ok"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight ok"),
+            (3, "a quick brown fox jumps over the lazy dog near the river bank tonight ok"),
+            (4, "completely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in minhash_dedup_transitive(docs, verify_threshold=0.5).collect())
+    # 3 is a near-dup of 2 which is a near-dup of 1: the whole chain collapses
+    assert kept == [1, 4]
