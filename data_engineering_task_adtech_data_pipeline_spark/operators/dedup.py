@@ -160,32 +160,29 @@ def minhash_lsh_candidates(
     ``max_bucket`` are truncated (boilerplate guard) with min-id-first
     ordering so truncation is deterministic.
     """
-    sig_len = None  # derived in-plan; bands slice uses dynamic size
+    # band hash = one multi-arg xxhash64 over the band's signature elements
+    # (element_at unrolled statically — no string building, no sub-arrays)
+    sig_len = signatures.select(F.size("signature").alias("n")).first().n
+    width = sig_len // bands
     banded = signatures.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("signature"),
-                                    b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                                    (F.size(F.col("signature")) / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * width + j + 1)
+                                for j in range(width)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    _ = sig_len
 
     # bucket-local pairing: collect ids per bucket (capped), emit i<j pairs
     buckets = banded.groupBy("band_idx", "band_hash").agg(

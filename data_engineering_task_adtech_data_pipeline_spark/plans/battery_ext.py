@@ -313,3 +313,22 @@ def q35_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_transitive(docs, verify_threshold=0.5).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "q36_hash_split",
+    oracle=None,
+    doc="Deterministic train/val/test hash-split summary (rows-only: "
+    "xxhash64 bucket assignment); disjoint+exhaustive invariants in tests.",
+)
+def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = Testdata(spark, sf_dir).documents
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, keys=["doc_id"]
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
