@@ -119,6 +119,31 @@ def shingles(
     return _grams(F.split(normalize_text(text), " "), k, max_shingles)
 
 
+def minhash_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    max_shingles: int | None = 512,
+) -> DataFrame:
+    """(id, shingle_set, signature) in ONE shingle pass: the groupBy computes
+    ``collect_set`` and all ``num_hashes`` minima together, so dedup
+    pipelines that need both candidates (signature) and verification
+    (shingle set) shuffle the exploded shingles once, not twice."""
+    sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
+    aggs = [F.collect_set("s").alias("shingle_set")] + [
+        F.min(F.xxhash64("s", F.lit(p))).alias(f"__h{p}")
+        for p in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*aggs)
+    return agg.select(
+        F.col("id").alias(id_col),
+        "shingle_set",
+        F.array(*[f"__h{p}" for p in range(num_hashes)]).alias("signature"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -284,25 +309,43 @@ def minhash_dedup(
     LSH candidate pairs (two broadcast-ish joins against per-doc shingle
     arrays + ``array_intersect``), not for the whole corpus — at scale the
     candidate set is orders of magnitude smaller than the all-pairs set.
+    Signatures and shingle sets come from one shared ``minhash_profile``
+    pass; identical subtrees reuse the shuffle (ReusedExchange).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, bands)
-    if verify_threshold is not None:
-        sets = shingle_sets(df, text_col, id_col, shingle_k)
-        a = sets.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("__sh_a"))
-        b = sets.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("__sh_b"))
-        jac = (
-            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-            / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
-        )
-        cand = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .where(jac >= verify_threshold)
-            .select("id_a", "id_b")
-        )
+    cand = _verified_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold
+    )
     drop = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def _verified_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    verify_threshold: float | None,
+) -> DataFrame:
+    profile = minhash_profile(df, text_col, id_col, num_hashes, shingle_k)
+    cand = minhash_lsh_candidates(
+        profile.select(id_col, "signature"), id_col, bands
+    )
+    if verify_threshold is None:
+        return cand
+    a = profile.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sh_a"))
+    b = profile.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sh_b"))
+    jac = (
+        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(jac >= verify_threshold)
+        .select("id_a", "id_b")
+    )
 
 
 def connected_components(
@@ -374,21 +417,9 @@ def minhash_dedup_transitive(
     pairs → connected components → keep the min-id doc per component.
     Use instead of ``minhash_dedup`` when duplicate chains matter more than
     the extra component iterations."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cand = minhash_lsh_candidates(sigs, id_col, bands)
-    if verify_threshold is not None:
-        sets = shingle_sets(df, text_col, id_col, shingle_k)
-        a = sets.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("__sh_a"))
-        b = sets.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("__sh_b"))
-        jac = (
-            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-            / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
-        )
-        cand = (
-            cand.join(a, "id_a").join(b, "id_b")
-            .where(jac >= verify_threshold)
-            .select("id_a", "id_b")
-        )
+    cand = _verified_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold
+    )
     comp = connected_components(cand)
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
