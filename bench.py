@@ -33,24 +33,28 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            _ = n
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "battery_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "battery_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,50 @@
+"""Plan-shape regression tests: lock in the physical-plan properties the
+100 TB design depends on (SCALING.md). If a refactor reintroduces a
+cartesian product or loses parquet pushdown, these fail before any bench
+regression is noticed."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from conftest import SF_ORACLE
+
+from data_engineering_task_adtech_data_pipeline_spark.plans import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_to_parquet(spark):
+    plan = _plan(spark, "q22_revenue_filter")
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read  # unused columns pruned from the scan
+    assert "l_quantity" in read
+
+
+def test_dim_joins_broadcast_no_smj(spark):
+    for q in ("q02_campaign_totals", "q24_nation_volume"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_range_join_is_equi_join(spark):
+    plan = _plan(spark, "q30_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -69,3 +69,41 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert g.count() == e.count()
     assert g.exceptAll(e).count() == 0
     assert e.exceptAll(g).count() == 0
+
+
+@pytest.mark.slow
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState running totals: state survives a query restart
+    (checkpoint) and cumulative counts match the batch recompute."""
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_running_totals,
+    )
+
+    d = str(tmp_path)
+    gen_impressions(spark, GenConfig(impressions_per_campaign=100)).write.mode(
+        "append"
+    ).parquet(d + "/in")
+    q = stream_running_totals(spark, d + "/in", d + "/out", d + "/ckpt")
+    q.awaitTermination(120)
+
+    gen_impressions(
+        spark, GenConfig(impressions_per_campaign=50, seed=5)
+    ).write.mode("append").parquet(d + "/in")
+    q = stream_running_totals(spark, d + "/in", d + "/out", d + "/ckpt")
+    q.awaitTermination(120)
+
+    got = latest_version(
+        spark.read.parquet(d + "/out"),
+        keys=["rtm_campaign_id"], version="rtm_delta", tiebreak=["event_count"],
+    )
+    from pyspark.sql import functions as F
+
+    expect = (
+        spark.read.parquet(d + "/in")
+        .groupBy(F.col("campaign_id").alias("rtm_campaign_id"))
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             F.max("created_at").alias("rtm_delta"))
+    )
+    g = {r.rtm_campaign_id: (r.event_count, r.rtm_delta) for r in got.collect()}
+    e = {r.rtm_campaign_id: (r.event_count, r.rtm_delta) for r in expect.collect()}
+    assert g == e
