@@ -431,3 +431,74 @@ def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("k_total"),
         F.count(F.when(k > 50, 1)).alias("k_over_50"),
     )
+
+
+@query(
+    "q37_exists_semi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    """,
+    doc="Correlated EXISTS as a left-semi join (TPC-H Q4 shape).",
+)
+def q37_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    returned = td.lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return td.orders.join(returned, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_orderstatus", _dec("o_totalprice").alias("total_price")
+    )
+
+
+@query(
+    "q38_not_exists_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    doc="Correlated NOT EXISTS as a left-anti join (customers with no "
+    "pending orders; non-degenerate at every test SF).",
+)
+def q38_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    pending = td.orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return td.customer.join(pending, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q39_order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: double aggregation (orders-per-customer histogram, "
+    "zero-order customers included via left join + COUNT(col)).",
+)
+def q39_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    customer, orders = td.customer, td.orders
+    per_cust = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
