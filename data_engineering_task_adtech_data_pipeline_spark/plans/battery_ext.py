@@ -12,7 +12,6 @@ needs the 'g' flag; Spark's replaces all matches by default).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
@@ -331,4 +330,34 @@ def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q40_multimodal_features",
+    oracle=None,
+    doc="Multimodal plumbing end-to-end: binary payloads + typed metadata, "
+    "Arrow-batched fake decode, per-source feature stats (rows-only: the "
+    "decode stub is deterministic but not SQL-expressible).",
+)
+def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    media = multimodal.attach_meta(media, modality="image", mime="image/fake")
+    feats = multimodal.decode_images(media, fake=True)
+    joined = feats.join(
+        media.select("media_id", "source", F.col("meta.n_bytes").alias("n_bytes")),
+        "media_id",
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_decoded"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg(F.element_at("feature", 1)).alias("mean_payload_len"),
     )
