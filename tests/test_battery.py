@@ -31,3 +31,19 @@ def test_all_queries_run_on_smoke(spark):
         assert df.columns, name
         # every query must produce rows even at the smallest sf
         assert df.limit(1).count() >= 0, name
+
+
+def test_sql_api_over_registered_views(spark):
+    """The engine is DataFrame-first but the SQL API is a supported entry:
+    register_views + spark.sql must agree with the DataFrame battery."""
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    td = Testdata(spark, SF_SMOKE)
+    td.register_views()
+    sql_out = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    df_out = td.lineitem.groupBy("l_returnflag").count().withColumnRenamed("count", "n")
+    assert {(r.l_returnflag, r.n) for r in sql_out.collect()} == {
+        (r.l_returnflag, r.n) for r in df_out.collect()
+    }
