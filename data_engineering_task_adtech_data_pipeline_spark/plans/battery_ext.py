@@ -361,3 +361,57 @@ def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg(F.element_at("feature", 1)).alias("mean_payload_len"),
     )
+
+
+@query(
+    "q41_curation_pipeline",
+    oracle=f"""
+    WITH lang AS (
+      SELECT doc_id, text, source, n_chars,
+             list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, source, n_chars,
+             len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                  ELSE 0.0 END AS mean_word_len
+      FROM lang
+    ),
+    filtered AS (
+      SELECT *, md5({_NORM.format(c='text')}) AS content_hash
+      FROM quality
+      WHERE n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 12.0
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY content_hash ORDER BY n_words DESC, doc_id ASC
+      ) AS rn
+      FROM filtered
+    )
+    SELECT doc_id, source, n_chars, n_words, content_hash
+    FROM best WHERE rn = 1
+    """,
+    doc="Corpus-curation capstone: quality gate -> exact dedup keeping the "
+    "best (longest) representative per content group -- the operators "
+    "composing as a user would chain them.",
+)
+def q41_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = Testdata(spark, sf_dir).documents
+    q = text.quality_features(docs).where(
+        (F.col("n_words") >= 10)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+    )
+    hashed = q.withColumn("content_hash", F.md5(dedup.normalize_text("text")))
+    best = W.partitionBy("content_hash").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hashed.withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_chars", "n_words", "content_hash")
+    )
