@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.compat import ch_left_join, safe_div
+from ..functions.compat import ch_left_join
 
 
 def _as_of_col(as_of: str | None) -> Column:
@@ -22,13 +22,19 @@ def _as_of_col(as_of: str | None) -> Column:
 
 
 def totals_report(advertiser_campaigns: DataFrame, as_of: str | None = None) -> DataFrame:
-    """24-col KPI report (``initial_load_generate_postgres_data.py:426-492``;
+    """24-col KPI report, column- and formula-exact to the reference
+    (``initial_load_generate_postgres_data.py:426-492``; DDL ``:395-423``;
     delta twin ``track_delta.py:471-537``).
 
-    Inherits the silver table's columns and derives: budget arithmetic
-    (FLOOR/ROUND), three CASE classifiers, day-count datediffs, CTR and the
-    reference's "CPM" (which deliberately lacks the x1000 —
-    ``initial_load_generate_postgres_data.py:449``).
+    Reference semantics reproduced deliberately:
+    - ``campaign_cpm`` lacks the x1000 (it is cost-per-impression; ``:449``),
+    - division by zero -> NULL via try_divide (ClickHouse Float64 would
+      yield inf/nan, but ANSI Spark errors on zero division; DEVIATIONS.md #9),
+    - ``campaign_budget_daily_status`` compares the ROUNDED norm/used values
+      and is NULL when they are equal (``:443-445``),
+    - ``campaign_period_status``: end==as_of -> 'ended', future -> 'ongoing',
+      past -> 'exceeded' (``:455-459``),
+    - ``today()``/``now()`` become the injectable ``as_of`` (SURVEY §4.3-6).
     """
     ac = advertiser_campaigns
     as_of_d = _as_of_col(as_of)
@@ -36,56 +42,57 @@ def totals_report(advertiser_campaigns: DataFrame, as_of: str | None = None) -> 
     budget = F.col("campaign_budget")
     clicks = F.col("campaign_clicks_count")
     imps = F.col("campaign_impressions_count")
-    spent = F.round(bid * clicks, 2)
+    used = bid * clicks
     start_d = F.to_date("campaign_start_date")
     end_d = F.to_date("campaign_end_date")
+    period_days = F.datediff(end_d, start_d)
+    # try_divide: ANSI Spark (4.x default) errors on ANY division by zero;
+    # ClickHouse Float64 yields inf/nan. NULL is the idiomatic Spark
+    # resolution — DEVIATIONS.md #9
+    daily_norm = F.round(F.try_divide(budget, period_days), 2)
+    daily_used = F.round(F.try_divide(used, period_days), 2)
+    remaining = F.datediff(end_d, as_of_d)
 
     return ac.select(
-        "rtm_advertiser_id",
         "advertiser_name",
-        "rtm_campaign_id",
         "campaign_name",
         bid.alias("campaign_bid"),
+        F.floor(F.try_divide(budget, bid)).alias("campaign_bids_max"),
+        (F.floor(F.try_divide(budget, bid)) - clicks).alias("campaign_bids_remaining"),
         budget.alias("campaign_budget"),
+        used.alias("campaign_budget_used"),
+        F.when(budget < used, "exceeded")
+        .when(used == 0, "unused")
+        .when(budget > used, "unspent")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("campaign_budget_status"),
+        daily_norm.alias("campaign_budget_daily_norm"),
+        daily_used.alias("campaign_budget_daily_used"),
+        F.when(daily_norm > daily_used, "below_norm")
+        .when(daily_norm < daily_used, "above_norm")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("campaign_budget_daily_status"),
+        imps.alias("campaign_impressions_count_total"),
+        clicks.alias("campaign_clicks_count_total"),
+        (F.try_divide(clicks.cast("double"), imps.cast("double")) * 100).alias(
+            "campaign_ctr"
+        ),
+        F.try_divide(used, imps.cast("double")).alias("campaign_cpm"),
         start_d.alias("campaign_start_date"),
         end_d.alias("campaign_end_date"),
-        imps.alias("campaign_impressions_count"),
-        F.col("campaign_last_impression_at"),
-        clicks.alias("campaign_clicks_count"),
-        F.col("campaign_last_click_at"),
-        # budget KPIs — initial_load_generate_postgres_data.py:433-445
-        F.floor(budget / bid).cast("bigint").alias("budget_bids_amount"),
-        spent.alias("budget_spent"),
-        F.round(budget - bid * clicks, 2).alias("budget_left"),
-        F.when(spent > budget, "exceeded")
-        .when(clicks == 0, "unused")
-        .when(spent < budget, "unspent")
+        period_days.alias("campaign_period_days"),
+        F.datediff(as_of_d, start_d).alias("campaign_period_days_elapsed"),
+        remaining.alias("campaign_days_remaining"),
+        F.when(remaining == 0, "ended")
+        .when(remaining > 0, "ongoing")
+        .when(remaining < 0, "exceeded")
         .otherwise(F.lit(None).cast("string"))
-        .alias("budget_status"),
-        # performance KPIs — :448-449
-        safe_div(clicks.cast("double"), imps.cast("double")).alias("campaign_ctr"),
-        safe_div(bid * clicks, imps.cast("double")).alias("campaign_cpm"),
-        # period KPIs — :452-461
-        F.datediff(end_d, start_d).alias("campaign_period_days"),
-        F.datediff(as_of_d, start_d).alias("campaign_days_passed"),
-        F.when(end_d < as_of_d, "ended")
-        .when(start_d > as_of_d, "pending")
-        .otherwise("ongoing")
-        .alias("period_status"),
-        F.when(
-            F.datediff(end_d, start_d) > 0,
-            F.round(budget / F.datediff(end_d, start_d), 2),
-        ).alias("budget_daily_norm"),
-        F.when(
-            (F.datediff(as_of_d, start_d) > 0)
-            & (safe_div(spent, F.datediff(as_of_d, start_d).cast("double"))
-               > safe_div(budget, F.datediff(end_d, start_d).cast("double"))),
-            "above_norm",
-        )
-        .when(F.datediff(as_of_d, start_d) > 0, "below_norm")
-        .otherwise(F.lit(None).cast("string"))
-        .alias("budget_daily_status"),
-        as_of_d.alias("report_date"),
+        .alias("campaign_period_status"),
+        "rtm_advertiser_id",
+        "rtm_campaign_id",
+        (
+            F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+        ).alias("rtm_timestamp_datetime"),
     )
 
 
@@ -136,19 +143,15 @@ def daily_ctr_report(
     imps_d = F.col("campaign_impressions_count_daily")
     clks_d = F.col("campaign_clicks_count_daily")
     return joined.select(
-        "rtm_advertiser_id",
         "advertiser_name",
-        "rtm_campaign_id",
         "campaign_name",
+        F.row_number().over(day_w).alias("campaign_day"),
         "campaign_impressions_date",
         imps_d,
         clks_d,
         F.round(
-            F.coalesce(
-                safe_div(clks_d.cast("double"), imps_d.cast("double")) * 100,
-                F.lit(0.0),
-            ),
-            2,
+            clks_d.cast("double") / imps_d.cast("double") * 100, 2
         ).alias("campaign_ctr_daily"),
-        F.row_number().over(day_w).alias("campaign_day"),
+        "rtm_advertiser_id",
+        "rtm_campaign_id",
     )
