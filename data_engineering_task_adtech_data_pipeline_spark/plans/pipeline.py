@@ -30,7 +30,24 @@ from .reports import daily_ctr_report, totals_report
 from .silver import advertiser_campaigns, events_daily
 
 TOTALS_KEYS = ["rtm_advertiser_id", "rtm_campaign_id"]
-DAILY_KEYS = ["rtm_advertiser_id", "rtm_campaign_id", "event_date"]
+# ORDER BY keys of the three ReplacingMergeTree tables (DDL
+# initial_load_generate_postgres_data.py:97-120) -- per-table date columns
+TABLE_KEYS = {
+    "advertiser_campaigns": TOTALS_KEYS,
+    "advertiser_campaigns_impressions": [*TOTALS_KEYS, "campaign_impressions_date"],
+    "advertiser_campaigns_clicks": [*TOTALS_KEYS, "campaign_clicks_date"],
+}
+TABLE_TIEBREAK = {
+    "advertiser_campaigns": [],
+    "advertiser_campaigns_impressions": ["campaign_impressions_count_daily"],
+    "advertiser_campaigns_clicks": ["campaign_clicks_count_daily"],
+}
+TABLE_PARTITION = {
+    "advertiser_campaigns": [],
+    "advertiser_campaigns_impressions": ["campaign_impressions_date"],
+    "advertiser_campaigns_clicks": ["campaign_clicks_date"],
+}
+DAILY_KEYS = TABLE_KEYS["advertiser_campaigns_impressions"]  # impressions twin
 
 
 @dataclass
@@ -71,30 +88,28 @@ class Pipeline:
         imp, clk = self.bronze("impressions"), self.bronze("clicks")
         return {
             "advertiser_campaigns": advertiser_campaigns(adv, camp, imp, clk),
-            "advertiser_campaigns_impressions": events_daily(imp, camp),
-            "advertiser_campaigns_clicks": events_daily(clk, camp),
+            "advertiser_campaigns_impressions": events_daily(imp, camp, "impressions"),
+            "advertiser_campaigns_clicks": events_daily(clk, camp, "clicks"),
         }
 
     def silver(self, name: str) -> DataFrame:
         """Read-time dedup view = ReplacingMergeTree read semantics."""
-        totals = name == "advertiser_campaigns"
-        keys = TOTALS_KEYS if totals else DAILY_KEYS
         raw = self.spark.read.parquet(self.paths.silver(name))
         return latest_version(
             raw,
-            keys=keys,
+            keys=TABLE_KEYS[name],
             version="rtm_delta",
-            tiebreak=[] if totals else ["event_count"],
+            tiebreak=TABLE_TIEBREAK[name],
         )
 
     # -- entry point 1: initial load --------------------------------------
     def initial_load(self) -> None:
         for name, df in self._extracts().items():
             writer = df.write.mode("overwrite")
-            if name != "advertiser_campaigns":
-                # daily tables partition by event_date so delta appends and
-                # compaction touch only recent partitions (SCALING.md)
-                writer = writer.partitionBy("event_date")
+            if TABLE_PARTITION[name]:
+                # daily tables partition by their date column so delta
+                # appends and compaction touch only recent partitions
+                writer = writer.partitionBy(*TABLE_PARTITION[name])
             writer.parquet(self.paths.silver(name))
         self.rebuild_reports()
 
@@ -111,7 +126,7 @@ class Pipeline:
             return {name: df.count() for name, df in self._extracts().items()}
         counts: dict[str, int] = {}
         for name, extract in self._extracts().items():
-            keys = TOTALS_KEYS if name == "advertiser_campaigns" else DAILY_KEYS
+            keys = TABLE_KEYS[name]
             olap_state = self.spark.read.parquet(self.paths.silver(name))
             changed = changed_keys(
                 extract.select(*keys, "rtm_delta"),
@@ -125,9 +140,7 @@ class Pipeline:
                 upsert_append(
                     upserts,
                     self.paths.silver(name),
-                    partition_by=[]
-                    if name == "advertiser_campaigns"
-                    else ["event_date"],
+                    partition_by=TABLE_PARTITION[name],
                 )
         if any(counts.values()):
             self.rebuild_reports()

@@ -40,8 +40,8 @@ def totals_report(advertiser_campaigns: DataFrame, as_of: str | None = None) -> 
     as_of_d = _as_of_col(as_of)
     bid = F.col("campaign_bid")
     budget = F.col("campaign_budget")
-    clicks = F.col("campaign_clicks_count")
-    imps = F.col("campaign_impressions_count")
+    clicks = F.col("campaign_clicks_count_total")
+    imps = F.col("campaign_impressions_count_total")
     used = bid * clicks
     start_d = F.to_date("campaign_start_date")
     end_d = F.to_date("campaign_end_date")
@@ -117,14 +117,16 @@ def daily_ctr_report(
     imp = impressions_daily.select(
         "rtm_advertiser_id",
         "rtm_campaign_id",
-        F.col("event_date").alias("campaign_impressions_date"),
-        F.col("event_count").alias("campaign_impressions_count_daily"),
+        "campaign_impressions_date",
+        "campaign_impressions_count_daily",
     )
+    # the reference equi-joins campaign_clicks_date onto
+    # campaign_impressions_date (initial_load:543); rename for the join key
     clk = clicks_daily.select(
         "rtm_advertiser_id",
         "rtm_campaign_id",
-        F.col("event_date").alias("campaign_impressions_date"),
-        F.col("event_count").alias("campaign_clicks_count_daily"),
+        F.col("campaign_clicks_date").alias("campaign_impressions_date"),
+        "campaign_clicks_count_daily",
     )
     joined = ch_left_join(
         imp,

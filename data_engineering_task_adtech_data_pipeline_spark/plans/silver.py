@@ -1,12 +1,14 @@
 """Silver (OLAP entity) builders — the reference's extract-transform queries.
 
-Reproduces the three ClickHouse entity tables as DataFrame programs:
+Reproduces the three ClickHouse entity tables as DataFrame programs, with
+column names exactly matching the reference DDL (including its
+``rtm_campaign_modified`` — no ``gmt_`` — quirk):
 
-- ``advertiser_campaigns`` (17-col denormalized totals) — the 4-CTE Postgres
-  extract at ``dags/initial_load_generate_postgres_data.py:150-230`` /
-  ``dags/track_delta.py:130-216``,
+- ``advertiser_campaigns`` (17-col denormalized totals) — extract at
+  ``dags/initial_load_generate_postgres_data.py:150-230`` /
+  ``dags/track_delta.py:130-216``; DDL ``initial_load...py:79-98``,
 - ``advertiser_campaigns_impressions`` / ``_clicks`` (daily grain) —
-  ``initial_load_generate_postgres_data.py:239-323``.
+  ``initial_load_generate_postgres_data.py:239-323``; DDL ``:101-120``.
 
 Plan shape at scale: the event tables are the only big inputs. Their
 aggregations reduce to campaign (or campaign×day) grain *before* any join —
@@ -31,8 +33,8 @@ def _event_totals(events: DataFrame, prefix: str) -> DataFrame:
     """COUNT(*) / MAX(created_at) per campaign (A1,
     ``initial_load_generate_postgres_data.py:169-186``)."""
     return events.groupBy("campaign_id").agg(
-        F.count(F.lit(1)).alias(f"campaign_{prefix}_count"),
-        F.max("created_at").alias(f"campaign_last_{prefix[:-1]}_at"),
+        F.count(F.lit(1)).alias(f"campaign_{prefix}_count_total"),
+        F.max("created_at").alias(f"rtm_{prefix}_gmt_created"),
     )
 
 
@@ -43,7 +45,8 @@ def advertiser_campaigns(
     clicks: DataFrame,
 ) -> DataFrame:
     """17-col denormalized totals with the GREATEST high-watermark
-    ``rtm_delta`` (``initial_load_generate_postgres_data.py:150-230``).
+    ``rtm_delta`` (``initial_load_generate_postgres_data.py:150-230``),
+    column names per the DDL at ``:79-98``.
 
     Joins: campaign ⟕ advertiser on the tiny side (broadcast), then the two
     pre-aggregated event totals (also tiny — campaign grain) broadcast onto it.
@@ -54,8 +57,8 @@ def advertiser_campaigns(
     adv = advertiser.select(
         F.col("id").alias("__adv_id"),
         F.col("name").alias("advertiser_name"),
-        F.col("created_at").alias("advertiser_created_at"),
-        F.col("updated_at").alias("advertiser_updated_at"),
+        F.col("created_at").alias("rtm_advertiser_gmt_created"),
+        F.col("updated_at").alias("rtm_advertiser_gmt_modified"),
     )
     camp = campaign.select(
         F.col("id").alias("rtm_campaign_id"),
@@ -66,8 +69,8 @@ def advertiser_campaigns(
         # initial_load_generate_postgres_data.py:22-24
         F.col("start_date").cast("timestamp").alias("campaign_start_date"),
         F.col("end_date").cast("timestamp").alias("campaign_end_date"),
-        F.col("created_at").alias("campaign_created_at"),
-        F.col("updated_at").alias("campaign_updated_at"),
+        F.col("created_at").alias("rtm_campaign_gmt_created"),
+        F.col("updated_at").alias("rtm_campaign_modified"),
         F.col("advertiser_id"),
     )
     df = (
@@ -86,38 +89,42 @@ def advertiser_campaigns(
         .drop("campaign_id")
     )
     return df.select(
-        F.col("advertiser_id").alias("rtm_advertiser_id"),
         "advertiser_name",
-        "advertiser_created_at",
-        "advertiser_updated_at",
-        "rtm_campaign_id",
         "campaign_name",
         "campaign_bid",
         "campaign_budget",
+        F.coalesce("campaign_impressions_count_total", F.lit(0)).alias(
+            "campaign_impressions_count_total"
+        ),
+        F.coalesce("campaign_clicks_count_total", F.lit(0)).alias(
+            "campaign_clicks_count_total"
+        ),
         "campaign_start_date",
         "campaign_end_date",
-        "campaign_created_at",
-        "campaign_updated_at",
-        F.coalesce("campaign_impressions_count", F.lit(0)).alias(
-            "campaign_impressions_count"
-        ),
-        "campaign_last_impression_at",
-        F.coalesce("campaign_clicks_count", F.lit(0)).alias(
-            "campaign_clicks_count"
-        ),
-        "campaign_last_click_at",
+        F.col("advertiser_id").alias("rtm_advertiser_id"),
+        "rtm_advertiser_gmt_created",
+        "rtm_advertiser_gmt_modified",
+        "rtm_campaign_id",
+        "rtm_campaign_gmt_created",
+        "rtm_campaign_modified",
+        "rtm_impressions_gmt_created",
+        "rtm_clicks_gmt_created",
         greatest_watermark(
-            "advertiser_updated_at",
-            "campaign_updated_at",
-            "campaign_last_impression_at",
-            "campaign_last_click_at",
+            "rtm_advertiser_gmt_modified",
+            "rtm_campaign_modified",
+            "rtm_impressions_gmt_created",
+            "rtm_clicks_gmt_created",
         ).alias("rtm_delta"),
     )
 
 
-def events_daily(events: DataFrame, campaign: DataFrame) -> DataFrame:
+def events_daily(
+    events: DataFrame, campaign: DataFrame, prefix: str = "impressions"
+) -> DataFrame:
     """Daily grain: COUNT(*)/MAX per (advertiser, campaign, day) — the
-    impressions/clicks twins (``initial_load_generate_postgres_data.py:252-316``).
+    impressions/clicks twins (``initial_load_generate_postgres_data.py:252-316``),
+    column names per the DDL at ``:101-120`` (``prefix`` = 'impressions' or
+    'clicks').
 
     Aggregates events to (campaign, day) first — one shuffle over the fact
     table — then broadcasts the campaign→advertiser mapping onto the
@@ -128,18 +135,15 @@ def events_daily(events: DataFrame, campaign: DataFrame) -> DataFrame:
         F.col("id").alias("campaign_id"), F.col("advertiser_id")
     )
     daily = events.groupBy(
-        "campaign_id", F.to_date("created_at").alias("event_date")
+        "campaign_id", F.to_date("created_at").alias(f"campaign_{prefix}_date")
     ).agg(
-        F.count(F.lit(1)).alias("event_count"),
+        F.count(F.lit(1)).alias(f"campaign_{prefix}_count_daily"),
         F.max("created_at").alias("rtm_delta"),
     )
-    return (
-        daily.join(F.broadcast(camp_map), "campaign_id", "left")
-        .select(
-            F.col("advertiser_id").alias("rtm_advertiser_id"),
-            F.col("campaign_id").alias("rtm_campaign_id"),
-            "event_date",
-            "event_count",
-            "rtm_delta",
-        )
+    return daily.join(F.broadcast(camp_map), "campaign_id", "left").select(
+        f"campaign_{prefix}_count_daily",
+        f"campaign_{prefix}_date",
+        F.col("advertiser_id").alias("rtm_advertiser_id"),
+        F.col("campaign_id").alias("rtm_campaign_id"),
+        "rtm_delta",
     )

@@ -58,37 +58,43 @@ CLICKS = IMPRESSIONS  # identical shape — V1__create_schema.sql:26-30
 # reproduced as append-only parquet + latest-version dedup view (operators/upsert.py)
 # --------------------------------------------------------------------------
 
-ADVERTISER_CAMPAIGNS = T.StructType(
-    [
-        T.StructField("rtm_advertiser_id", T.LongType(), False),
+ADVERTISER_CAMPAIGNS = T.StructType(  # DDL :79-98, exact names incl. the
+    [  # reference's `rtm_campaign_modified` (no gmt_) quirk
         T.StructField("advertiser_name", T.StringType(), True),
-        T.StructField("advertiser_created_at", T.TimestampType(), True),
-        T.StructField("advertiser_updated_at", T.TimestampType(), True),
-        T.StructField("rtm_campaign_id", T.LongType(), False),
         T.StructField("campaign_name", T.StringType(), True),
         T.StructField("campaign_bid", T.DoubleType(), True),
         T.StructField("campaign_budget", T.DoubleType(), True),
+        T.StructField("campaign_impressions_count_total", T.LongType(), True),
+        T.StructField("campaign_clicks_count_total", T.LongType(), True),
         T.StructField("campaign_start_date", T.TimestampType(), True),
         T.StructField("campaign_end_date", T.TimestampType(), True),
-        T.StructField("campaign_created_at", T.TimestampType(), True),
-        T.StructField("campaign_updated_at", T.TimestampType(), True),
-        T.StructField("campaign_impressions_count", T.LongType(), True),
-        T.StructField("campaign_last_impression_at", T.TimestampType(), True),
-        T.StructField("campaign_clicks_count", T.LongType(), True),
-        T.StructField("campaign_last_click_at", T.TimestampType(), True),
+        T.StructField("rtm_advertiser_id", T.LongType(), False),
+        T.StructField("rtm_advertiser_gmt_created", T.TimestampType(), True),
+        T.StructField("rtm_advertiser_gmt_modified", T.TimestampType(), True),
+        T.StructField("rtm_campaign_id", T.LongType(), False),
+        T.StructField("rtm_campaign_gmt_created", T.TimestampType(), True),
+        T.StructField("rtm_campaign_modified", T.TimestampType(), True),
+        T.StructField("rtm_impressions_gmt_created", T.TimestampType(), True),
+        T.StructField("rtm_clicks_gmt_created", T.TimestampType(), True),
         T.StructField("rtm_delta", T.TimestampType(), True),
     ]
 )
 
-ADVERTISER_CAMPAIGNS_DAILY = T.StructType(  # impressions + clicks twins (5 cols)
-    [
-        T.StructField("rtm_advertiser_id", T.LongType(), False),
-        T.StructField("rtm_campaign_id", T.LongType(), False),
-        T.StructField("event_date", T.DateType(), True),
-        T.StructField("event_count", T.LongType(), True),
-        T.StructField("rtm_delta", T.TimestampType(), True),
-    ]
-)
+
+def advertiser_campaigns_daily(prefix: str) -> T.StructType:
+    """Daily twins, DDL :101-120 (prefix = 'impressions' | 'clicks')."""
+    return T.StructType(
+        [
+            T.StructField(f"campaign_{prefix}_count_daily", T.LongType(), True),
+            T.StructField(f"campaign_{prefix}_date", T.DateType(), True),
+            T.StructField("rtm_advertiser_id", T.LongType(), False),
+            T.StructField("rtm_campaign_id", T.LongType(), False),
+            T.StructField("rtm_delta", T.TimestampType(), True),
+        ]
+    )
+
+
+ADVERTISER_CAMPAIGNS_DAILY = advertiser_campaigns_daily("impressions")
 
 # --------------------------------------------------------------------------
 # B. Driver-shared testdata (TESTDATA.md / FIXTURES.md §B)

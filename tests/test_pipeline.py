@@ -38,9 +38,9 @@ def test_initial_load_shapes(pipe):
     assert ac.count() == 12  # 4 advertisers x 3 campaigns
     assert len(ac.columns) == 17
     # zero-impression campaigns exist and are zero-filled, not NULL
-    zero = ac.where(F.col("campaign_impressions_count") == 0)
+    zero = ac.where(F.col("campaign_impressions_count_total") == 0)
     assert zero.count() > 0
-    assert zero.where(F.col("campaign_clicks_count").isNull()).count() == 0
+    assert zero.where(F.col("campaign_clicks_count_total").isNull()).count() == 0
 
 
 def test_totals_report_classifiers(pipe):
