@@ -58,7 +58,7 @@ def _grams(words: Column, k: int, max_shingles: int | None) -> Column:
     MUST be a plain attribute reference, not an expression tree: a lambda
     capturing e.g. ``split(regexp_replace(...))`` re-evaluates that tree per
     array element (measured 15-45x slowdown). Callers bind words via a named
-    projection first (``with_shingles`` / ``shingle_rows``)."""
+    projection first (``shingle_rows`` / ``shingle_sets``)."""
     n = F.greatest(F.size(words) - (k - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -114,8 +114,8 @@ def shingle_sets(
 def shingles(
     text: Column | str, k: int = 3, max_shingles: int | None = None
 ) -> Column:
-    """Column-level shingle API (for ad-hoc use). Prefer ``with_shingles`` /
-    ``shingle_rows`` inside operators — see ``_grams`` for why."""
+    """Column-level shingle API (for ad-hoc use). Prefer ``shingle_rows`` /
+    ``shingle_sets`` inside operators — see ``_grams`` for why."""
     return _grams(F.split(normalize_text(text), " "), k, max_shingles)
 
 

@@ -104,3 +104,26 @@ def test_latest_version_matches_python_oracle(spark, rows):
         if k not in expect or (v, p) > expect[k]:
             expect[k] = (v, p)
     assert got == expect
+
+
+def test_compact_preserves_latest_versions(spark, tmp_path):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        compact,
+        latest_version,
+        upsert_append,
+    )
+
+    path = str(tmp_path / "versioned")
+    v1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, v int, payload string")
+    v2 = spark.createDataFrame([(1, 2, "a2")], "k int, v int, payload string")
+    upsert_append(v1, path)
+    upsert_append(v2, path)
+    assert spark.read.parquet(path).count() == 3
+    compact(spark, path, keys=["k"], version="v")
+    after = spark.read.parquet(path)
+    assert after.count() == 2  # one row per key, max version kept
+    got = {r.k: (r.v, r.payload) for r in after.collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b")}
+    # compaction is idempotent and the dedup view is unchanged by it
+    compact(spark, path, keys=["k"], version="v")
+    assert latest_version(spark.read.parquet(path), ["k"], "v").count() == 2
