@@ -43,12 +43,16 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup on normalized content hash; keeps the min-id row per
-    group. One shuffle on the 128-bit content hash."""
-    h = F.md5(normalize_text(text_col)).alias("content_hash")
-    ranked = df.withColumn("content_hash", h)
-    keep = ranked.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    group. One shuffle on the 128-bit content hash, one pass over the text
+    (a groupBy+semi-join formulation would normalize+hash every document
+    twice — once per join side)."""
+    from pyspark.sql import Window as W
+
+    ranked = df.withColumn("content_hash", F.md5(normalize_text(text_col)))
+    w = W.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
-        ranked.join(keep, on=["content_hash", id_col], how="left_semi")
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
         .select(*df.columns, "content_hash")
     )
 

@@ -107,3 +107,28 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     g = {r.rtm_campaign_id: (r.event_count, r.rtm_delta) for r in got.collect()}
     e = {r.rtm_campaign_id: (r.event_count, r.rtm_delta) for r in expect.collect()}
     assert g == e
+
+
+@pytest.mark.slow
+def test_post_batch_gold_rebuild_hook(spark, tmp_path):
+    """foreachBatch's post_batch hook is the reports-downstream-of-delta
+    wiring (track_delta.py:662-664): assert it fires after appends."""
+    d = str(tmp_path)
+    gen_impressions(spark, GenConfig(impressions_per_campaign=50)).write.mode(
+        "append"
+    ).parquet(d + "/in")
+
+    def rebuild(s, epoch_id):
+        latest_version(
+            s.read.parquet(d + "/silver"),
+            keys=KEYS, version="rtm_delta", tiebreak=["event_count"],
+        ).groupBy("rtm_campaign_id").count().write.mode("overwrite").parquet(
+            d + "/gold"
+        )
+
+    q = stream_events_daily(
+        spark, d + "/in", d + "/silver", d + "/ckpt", post_batch=rebuild
+    )
+    q.awaitTermination(120)
+    gold = spark.read.parquet(d + "/gold")
+    assert gold.count() == 10  # one row per campaign with impressions
