@@ -127,3 +127,16 @@ def test_compact_preserves_latest_versions(spark, tmp_path):
     # compaction is idempotent and the dedup view is unchanged by it
     compact(spark, path, keys=["k"], version="v")
     assert latest_version(spark.read.parquet(path), ["k"], "v").count() == 2
+
+
+def test_ch_left_join_fill_overrides_and_broadcast(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, 5, "x")], "k int, cnt int, tag string")
+    out = {
+        r.k: r
+        for r in ch_left_join(
+            left, right, on=["k"], fill={"cnt": -1}, broadcast_right=True
+        ).collect()
+    }
+    assert (out[2].cnt, out[2].tag) == (-1, "")  # override + string default
+    assert (out[1].cnt, out[1].tag) == (5, "x")

@@ -98,3 +98,83 @@ def test_asof_join_matches_python_oracle(spark, lefts, rights):
         prior = [mm for kk, mm in rights if kk == k and mm <= m]
         expect = float(max(prior)) if prior else None
         assert out[i] == expect, (i, k, m)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)),
+                   min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)),
+                    min_size=0, max_size=20),
+    tol_minutes=st.integers(1, 60),
+)
+def test_range_join_matches_python_oracle(spark, lefts, rights, tol_minutes):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.joins import (
+        range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "lid long, k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j + 1000, k, T0 + timedelta(minutes=m)) for j, (k, m) in enumerate(rights)],
+        "rid long, k int, rts timestamp",
+    ) if rights else spark.createDataFrame([], "rid long, k int, rts timestamp")
+    tol = tol_minutes * 60
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(left, right, on=["k"], left_ts="lts",
+                            right_ts="rts", tolerance_seconds=tol).collect()
+    }
+    expect = {
+        (i, j + 1000)
+        for i, (lk, lm) in enumerate(lefts)
+        for j, (rk, rm) in enumerate(rights)
+        if lk == rk and abs(lm - rm) * 60 <= tol
+    }
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                    min_size=1, max_size=30),
+    gap_minutes=st.integers(1, 60),
+)
+def test_sessionize_matches_python_oracle(spark, events, gap_minutes):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.joins import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m)) for k, m in events],
+        "user_id int, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, key=["user_id"], ts_col="ts",
+                            gap_seconds=gap_minutes * 60).collect()
+    }
+    # python oracle
+    expect = {}
+    by_key: dict[int, list[int]] = {}
+    for k, m in events:
+        by_key.setdefault(k, []).append(m)
+    for k, ms in by_key.items():
+        ms.sort()
+        sid, start, prev, n = 1, ms[0], ms[0], 0
+        for m in ms:
+            if (m - prev) * 60 > gap_minutes * 60:
+                expect[(k, sid)] = (T0 + timedelta(minutes=start),
+                                    T0 + timedelta(minutes=prev), n)
+                sid, start, n = sid + 1, m, 0
+            n += 1
+            prev = m
+        expect[(k, sid)] = (T0 + timedelta(minutes=start),
+                            T0 + timedelta(minutes=prev), n)
+    assert out == expect
