@@ -415,3 +415,67 @@ def q41_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("doc_id", "source", "n_chars", "n_words", "content_hash")
     )
+
+
+@query(
+    "q42_chunking",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS chunk_id,
+             array_to_string(w[i*112+1 : i*112+128], ' ') AS chunk_text,
+             CAST(least(len(w) - i*112, 128) AS INTEGER) AS n_tokens
+      FROM words,
+           UNNEST(range(CAST(ceil(greatest(len(w) - 16, 1) / 112.0) AS BIGINT))) AS t(i)
+      WHERE len(w) > 0
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunked
+    """,
+    doc="Context-window chunking: 128-token chunks with 16-token overlap "
+    "(step 112), trailing short chunk kept.",
+)
+def q42_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = Testdata(spark, sf_dir).documents
+    out = chunk_documents(docs, chunk_tokens=128, overlap=16)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@query(
+    "q43_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS stream_pos
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, stream_pos,
+           CAST(floor(stream_pos / 512.0) AS BIGINT) AS bin_id,
+           CAST(stream_pos - floor(stream_pos / 512.0) * 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+    doc="Stream sequence packing: concatenated corpus cut every 512 tokens "
+    "(documents may straddle cuts, as in LLM pretraining packing).",
+)
+def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import pack_documents
+    from ..operators.text import token_counts
+
+    docs = Testdata(spark, sf_dir).documents
+    toks = token_counts(docs).select(
+        "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_documents(toks, bin_tokens=512)

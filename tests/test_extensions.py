@@ -159,3 +159,41 @@ def test_minhash_dedup_transitive_closure(spark):
     kept = sorted(r.doc_id for r in minhash_dedup_transitive(docs, verify_threshold=0.5).collect())
     # 3 is a near-dup of 2 which is a near-dup of 1: the whole chain collapses
     assert kept == [1, 4]
+
+
+def test_chunking_overlap_semantics(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(df, chunk_tokens=10, overlap=2).collect()}
+    # doc 1: 25 words, step 8 -> chunks at 0,8,16 -> ceil((25-2)/8)=3 chunks
+    assert {(d, c) for d, c in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    c0, c1, c2 = out[(1, 0)], out[(1, 1)], out[(1, 2)]
+    assert c0.chunk_text.split()[:2] == ["w0", "w1"] and c0.n_tokens == 10
+    # overlap: chunk 1 starts 2 tokens before chunk 0 ends
+    assert c1.chunk_text.split()[0] == "w8"
+    assert c0.chunk_text.split()[-2:] == ["w8", "w9"]
+    assert c2.chunk_text.split()[0] == "w16" and c2.n_tokens == 9
+    assert out[(2, 0)].n_tokens == 2  # short doc: single trailing chunk
+    # empty doc produces no chunks (doc 3 absent)
+
+
+def test_sequence_packing_stream_semantics(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 50)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_documents(df, bin_tokens=512).collect()}
+    assert (out[1].stream_pos, out[1].bin_id, out[1].bin_offset) == (0, 0, 0)
+    # doc 2 starts at 300, still bin 0, straddles the 512 cut (as intended)
+    assert (out[2].stream_pos, out[2].bin_id, out[2].bin_offset) == (300, 0, 300)
+    assert (out[3].stream_pos, out[3].bin_id, out[3].bin_offset) == (600, 1, 88)
+    assert (out[4].stream_pos, out[4].bin_id) == (700, 1)
