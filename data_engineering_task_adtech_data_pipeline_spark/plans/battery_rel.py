@@ -502,3 +502,78 @@ def q39_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q44_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           length(p_name) AS name_len,
+           strpos(p_name, ' ') AS space_pos,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(p_brand, ':', p_type) AS brand_type,
+           levenshtein(p_name, p_type) AS name_type_distance,
+           split_part(p_name, ' ', 2) AS second_word
+    FROM part
+    """,
+    doc="String-function surface: case, substr, replace, instr, lpad, "
+    "concat, levenshtein, split_part — all JVM built-ins.",
+)
+def q44_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Testdata(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), " ").alias("space_pos"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein("p_name", "p_type").alias("name_type_distance"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("second_word"),
+    )
+
+
+@query(
+    "q45_calendar_features",
+    oracle="""
+    SELECT event_id,
+           CAST(extract(year FROM ts) AS INTEGER) AS y,
+           CAST(extract(month FROM ts) AS INTEGER) AS m,
+           CAST(extract(day FROM ts) AS INTEGER) AS d,
+           CAST(extract(hour FROM ts) AS INTEGER) AS h,
+           CAST(extract(minute FROM ts) AS INTEGER) AS mi,
+           CAST(CASE WHEN extract(dow FROM ts) = 0 THEN 7
+                     ELSE extract(dow FROM ts) END AS INTEGER) AS iso_dow,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start
+    FROM events
+    """,
+    doc="Calendar feature extraction; day-of-week normalized to ISO "
+    "(Mon=1..Sun=7) to bridge Spark's Sunday=1 vs DuckDB's Sunday=0.",
+)
+def q45_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.weekday("ts").cast("int").alias("__wd"),
+    ).select(
+        "event_id", "y", "m", "d", "h", "mi",
+        (F.col("__wd") + 1).alias("iso_dow"),
+    ).join(
+        ev.select(
+            "event_id",
+            F.date_trunc("month", "ts").cast("date").alias("month_start"),
+            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        ),
+        "event_id",
+    )
