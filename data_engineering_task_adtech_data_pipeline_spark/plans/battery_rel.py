@@ -577,3 +577,54 @@ def q45_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_id",
     )
+
+
+@query(
+    "q46_array_agg",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+           MIN(ts) AS first_event_at,
+           MAX(ts) AS last_event_at
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Array aggregation: sorted distinct-value collection per key "
+    "(collect_set -> sort_array) + first/last event times.",
+)
+def q46_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.min("ts").alias("first_event_at"),
+        F.max("ts").alias("last_event_at"),
+    )
+
+
+@query(
+    "q47_cube_events",
+    oracle="""
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INTEGER) AS h,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(extract(hour FROM ts) AS INTEGER))
+    """,
+    doc="CUBE over (type, hour): all four grouping-set combinations with "
+    "decimal-exact value sums.",
+)
+def q47_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    return (
+        ev.select("event_type", F.hour("ts").alias("h"), "value")
+        .cube("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+    )
