@@ -97,10 +97,15 @@ def range_join(
     runs post-join. Replication factor is a constant 3 regardless of data
     size — the plan stays a hash join at any scale.
     """
+    # Fractional-second exact: cast timestamp -> double epoch (keeps the
+    # microsecond part); unix_timestamp would truncate to whole seconds and
+    # mis-classify pairs straddling a second boundary at the tolerance edge.
     width = tolerance_seconds
-    lb = left.withColumn("__bucket", (F.unix_timestamp(F.col(left_ts)) / width).cast("long"))
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_ts).cast("double") / width).cast("long")
+    )
     rb = right.withColumn(
-        "__bucket0", (F.unix_timestamp(F.col(right_ts)) / width).cast("long")
+        "__bucket0", F.floor(F.col(right_ts).cast("double") / width).cast("long")
     ).select(
         "*",
         F.explode(
@@ -111,7 +116,7 @@ def range_join(
     ).drop("__bucket0")
     joined = lb.join(rb, on=[*on, "__bucket"])
     dt = F.abs(
-        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))
+        F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
     )
     return joined.where(dt <= tolerance_seconds).drop("__bucket")
 
@@ -127,11 +132,14 @@ def sessionize(
     per session: key cols, session_id (ordinal), session_start/end, n_events.
     """
     w = W.partitionBy(*key).orderBy(F.col(ts_col).asc())
+    # double-epoch comparison keeps sub-second precision (unix_timestamp
+    # truncates; two events gap_seconds+0.4s apart straddling a second
+    # boundary would otherwise land in one session).
     flagged = events.withColumn(
         "__new_session",
         F.when(
-            F.unix_timestamp(F.col(ts_col))
-            - F.unix_timestamp(F.lag(ts_col).over(w))
+            F.col(ts_col).cast("double")
+            - F.lag(ts_col).over(w).cast("double")
             > gap_seconds,
             1,
         )

@@ -7,6 +7,12 @@ schema + order-insensitive value hash, so every query here is written to be
 
 - money/quantity sums go through ``DECIMAL(18,s)`` (double summation order
   varies across engines/partitionings; decimal sums are exact),
+- terminal output types are *driver-hash-safe*: the driver normalizes the
+  DuckDB side through pandas, where ``DECIMAL(p,s)`` and ``SUM(BIGINT)``
+  (widened to HUGEINT) coerce to float64 while Spark would emit
+  ``Decimal``/int — so every final decimal column is cast to DOUBLE on both
+  sides, every oracle integer SUM is wrapped in ``CAST(... AS BIGINT)``,
+  and arrays are emitted as canonical joined strings,
 - per-row double arithmetic is fine (IEEE ops on identical bits),
 - ratios are derived from exact counts/decimals, never rounded at scales
   where a double can sit exactly on a rounding midpoint,
@@ -65,10 +71,10 @@ def _dec(col: str | Column, scale: int = 2) -> Column:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -93,10 +99,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
@@ -132,7 +138,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       c.c_name    AS advertiser_name,
       o.o_orderkey AS rtm_campaign_id,
       o.o_orderpriority AS campaign_name,
-      CAST(o.o_totalprice AS DECIMAL(18,2)) AS campaign_budget,
+      CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS campaign_budget,
       COALESCE(i.impressions_count, 0) AS campaign_impressions_count,
       i.last_impression_at AS campaign_last_impression_at,
       COALESCE(cl.clicks_count, 0) AS campaign_clicks_count,
@@ -182,7 +188,7 @@ def q02_campaign_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("advertiser_name"),
             F.col("o_orderkey").alias("rtm_campaign_id"),
             F.col("o_orderpriority").alias("campaign_name"),
-            _dec("o_totalprice").alias("campaign_budget"),
+            _dec("o_totalprice").cast("double").alias("campaign_budget"),
             F.coalesce("impressions_count", F.lit(0)).alias(
                 "campaign_impressions_count"
             ),
@@ -389,15 +395,15 @@ _AS_OF = "1998-01-01"
     WITH item_totals AS (
       SELECT l_orderkey,
              COUNT(*) AS impressions_count,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS clicks_count,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS clicks_count,
              CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bid,
              MAX(l_shipdate) AS last_event_at
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT
       o.o_orderkey AS rtm_campaign_id,
-      CAST(o.o_totalprice AS DECIMAL(18,2)) AS campaign_budget,
-      i.bid AS campaign_bid,
+      CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS campaign_budget,
+      CAST(i.bid AS DOUBLE) AS campaign_bid,
       i.impressions_count,
       i.clicks_count,
       CAST(FLOOR(o.o_totalprice / CAST(i.bid AS DOUBLE)) AS BIGINT) AS budget_bids_amount,
@@ -439,8 +445,8 @@ def q07_totals_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_of = F.lit(_AS_OF).cast("date")
     return j.select(
         F.col("o_orderkey").alias("rtm_campaign_id"),
-        _dec("o_totalprice").alias("campaign_budget"),
-        F.col("bid").alias("campaign_bid"),
+        _dec("o_totalprice").cast("double").alias("campaign_budget"),
+        F.col("bid").cast("double").alias("campaign_bid"),
         "impressions_count",
         "clicks_count",
         F.floor(F.col("o_totalprice") / bid_d).cast("bigint").alias(
@@ -497,7 +503,7 @@ def q08_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       n.n_name AS nation_name,
       COUNT(DISTINCT c.c_custkey) AS n_customers,
       COUNT(DISTINCT o.o_orderkey) AS n_orders,
-      CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM nation n
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -519,7 +525,7 @@ def q09_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.sum(_dec(F.coalesce("o_totalprice", F.lit(0))))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_price"),
         )
     )

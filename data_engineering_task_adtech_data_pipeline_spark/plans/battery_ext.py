@@ -284,7 +284,7 @@ def q20_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY source, lang

@@ -25,7 +25,7 @@ def _dec(col, scale: int = 2):
     "q22_revenue_filter",
     oracle="""
     SELECT
-      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -47,7 +47,7 @@ def q22_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.agg(
         F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -57,7 +57,7 @@ def q22_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_top_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -82,7 +82,7 @@ def q23_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "decimal(18,4)"
                 )
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -94,7 +94,7 @@ def q23_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_nation_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -123,7 +123,7 @@ def q24_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "decimal(18,4)"
                 )
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -214,7 +214,7 @@ def q27_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS DECIMAL(18,2)) AS running_value,
+      ) AS DOUBLE) AS running_value,
       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS event_ordinal
@@ -231,7 +231,7 @@ def q28_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(_dec("value")).over(run).cast("decimal(18,2)").alias("running_value"),
+        F.sum(_dec("value")).over(run).cast("double").alias("running_value"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         F.row_number().over(w).cast("int").alias("event_ordinal"),
@@ -327,10 +327,10 @@ def q30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-        SUM(new_session) OVER (
+        CAST(SUM(new_session) OVER (
           PARTITION BY user_id ORDER BY ts
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) + 1 AS session_id
+        ) + 1 AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -416,7 +416,7 @@ def q33_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS k_over_50
     FROM events
     GROUP BY event_type
@@ -436,7 +436,7 @@ def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q37_exists_semi",
     oracle="""
-    SELECT o.o_orderkey, o.o_orderstatus, CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price
+    SELECT o.o_orderkey, o.o_orderstatus, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM orders o
     WHERE EXISTS (
       SELECT 1 FROM lineitem l
@@ -451,7 +451,9 @@ def q37_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey")
     )
     return td.orders.join(returned, "o_orderkey", "left_semi").select(
-        "o_orderkey", "o_orderstatus", _dec("o_totalprice").alias("total_price")
+        "o_orderkey",
+        "o_orderstatus",
+        _dec("o_totalprice").cast("double").alias("total_price"),
     )
 
 
@@ -583,7 +585,7 @@ def q45_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_array_agg",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
            MIN(ts) AS first_event_at,
            MAX(ts) AS last_event_at
@@ -591,12 +593,15 @@ def q45_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     doc="Array aggregation: sorted distinct-value collection per key "
-    "(collect_set -> sort_array) + first/last event times.",
+    "(collect_set -> sort_array), emitted as a canonical ','-joined string "
+    "(the driver's pandas hash cannot factorize raw list cells).",
 )
 def q46_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Testdata(spark, sf_dir).events
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).alias("n_types"),
         F.min("ts").alias("first_event_at"),
         F.max("ts").alias("last_event_at"),
@@ -609,7 +614,7 @@ def q46_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(extract(hour FROM ts) AS INTEGER) AS h,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY CUBE (event_type, CAST(extract(hour FROM ts) AS INTEGER))
     """,
@@ -624,7 +629,7 @@ def q47_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )

@@ -2,23 +2,38 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
-row count, column names/order-insensitive values. Comparison is STRICTER
-than any reasonable driver hash: values are stringified cell-by-cell (floats
-via repr, so a single ulp difference fails) and multisets must match exactly.
-If this passes, any order-insensitive value hash passes.
+row count, column names, and order-insensitive values.
+
+Faithfulness note (round-2 fix): the driver pulls the DuckDB side through
+pandas (``.df()``), where ``DECIMAL(p,s)`` and HUGEINT (DuckDB's
+``SUM(BIGINT)`` widening) coerce to float64 — so a Spark ``Decimal('100.00')``
+against an oracle ``100.0`` hash-mismatches even though the values are equal.
+Round 1's gate compared typed ``fetchall()`` cells and was blind to this
+(it said 41/41 while the driver said 28/41). This version normalizes BOTH
+sides through the same pandas path the driver uses: DuckDB via ``.df()``,
+Spark via ``.toPandas()``, then cell canonicalization that keeps the pandas
+dtype distinctions (Decimal-vs-float, int-vs-float) visible. A raw
+list/array cell is reported as a failure (the driver's canonicalizer raises
+``unhashable type: 'list'`` on those — emit joined strings instead).
+
+If this passes, the driver's order-insensitive value hash passes.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 import sys
 import time
 from collections import Counter
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -29,22 +44,49 @@ from data_engineering_task_adtech_data_pipeline_spark.schemas import (  # noqa: 
 from data_engineering_task_adtech_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+class UnhashableCell(Exception):
+    """A cell the driver's pandas canonicalizer would crash on."""
+
+
 def normalize_cell(v):
-    if v is None:
+    """Canonical string for one pandas-materialized cell.
+
+    Deliberately preserves the distinctions the driver's hash sees:
+    ``Decimal('100.00')`` != ``100.0`` != ``100`` — so terminal columns must
+    be cast to the same pandas-visible type on both engine and oracle sides.
+    """
+    if isinstance(v, (list, np.ndarray, dict, set)):
+        raise UnhashableCell(type(v).__name__)
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    # Decimal, date, datetime, int, str all stringify deterministically
+        return "NaN" if math.isnan(v) else f"float:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, Decimal):
+        return f"Decimal:{v}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        # pandas/duckdb materialize DATE as midnight datetime64; align.
+        return f"ts:{dt.datetime(v.year, v.month, v.day).isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
     return f"{type(v).__name__}:{v}"
 
 
-def frame_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(
-        tuple(normalize_cell(row[i]) for i in order) for row in rows
-    )
+def frame_multiset(pdf: pd.DataFrame) -> Counter:
+    cols = sorted(pdf.columns)
+    out = Counter()
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out[tuple(normalize_cell(v) for v in row)] += 1
+    return out
 
 
 def main() -> int:
@@ -66,37 +108,48 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
-        spark_cols = sdf.columns
-        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_pdf = sdf.toPandas()
         if name not in oracles:
-            print(f"  {name}: rows-only ({len(spark_rows)} rows) "
+            problems = []
+            try:
+                frame_multiset(spark_pdf)  # driver still hashes rows-only
+            except UnhashableCell as e:
+                problems.append(f"unhashable cell type in Spark output: {e}")
+            if not len(spark_pdf):
+                problems.append("rows-only query returned 0 rows")
+            status = "rows-only" if not problems else "FAIL(rows-only)"
+            print(f"  {name}: {status} ({len(spark_pdf)} rows) "
                   f"[{time.time()-t0:.1f}s]")
-            if not spark_rows:
-                failures.append((name, "rows-only query returned 0 rows"))
+            for p in problems:
+                print(f"    !! {p}")
+                failures.append((name, p))
             continue
-        ddf = con.execute(oracles[name])
-        duck_cols = [d[0] for d in ddf.description]
-        duck_rows = ddf.fetchall()
+        duck_pdf = con.execute(oracles[name]).df()
 
         problems = []
-        if sorted(spark_cols) != sorted(duck_cols):
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
             problems.append(
-                f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+                f"columns differ: spark={sorted(spark_pdf.columns)} "
+                f"duck={sorted(duck_pdf.columns)}"
             )
-        elif len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        elif len(spark_pdf) != len(duck_pdf):
+            problems.append(f"rowcount {len(spark_pdf)} vs {len(duck_pdf)}")
         else:
-            sm, dm = frame_multiset(spark_cols, spark_rows), frame_multiset(
-                duck_cols, duck_rows
-            )
-            if sm != dm:
-                diff_s = list((sm - dm).items())[:3]
-                diff_d = list((dm - sm).items())[:3]
-                problems.append(
-                    f"value mismatch; spark-only={diff_s} duck-only={diff_d}"
-                )
+            try:
+                sm, dm = frame_multiset(spark_pdf), frame_multiset(duck_pdf)
+            except UnhashableCell as e:
+                problems.append(f"unhashable cell type: {e} "
+                                "(driver canonicalizer would crash)")
+            else:
+                if sm != dm:
+                    diff_s = list((sm - dm).items())[:3]
+                    diff_d = list((dm - sm).items())[:3]
+                    problems.append(
+                        f"value mismatch; spark-only={diff_s} duck-only={diff_d}"
+                    )
         status = "OK" if not problems else "FAIL"
-        print(f"  {name}: {status} ({len(spark_rows)} rows) [{time.time()-t0:.1f}s]")
+        print(f"  {name}: {status} ({len(spark_pdf)} rows) "
+              f"[{time.time()-t0:.1f}s]")
         for p in problems:
             print(f"    !! {p}")
             failures.append((name, p))
