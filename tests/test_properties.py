@@ -178,3 +178,94 @@ def test_sessionize_matches_python_oracle(spark, events, gap_minutes):
         expect[(k, sid)] = (T0 + timedelta(minutes=start),
                             T0 + timedelta(minutes=prev), n)
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# Sub-second boundary hardening: timestamps with fractional-second parts
+# whose gaps straddle the threshold (e.g. gap 10 s, events 10.4 s apart but
+# spanning a whole-second boundary).  unix_timestamp()-based comparisons
+# truncate to whole seconds and mis-classify exactly these; the operators
+# compare double-epoch values instead.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40_000)),
+                    min_size=1, max_size=30),
+    gap_seconds=st.integers(1, 30),
+)
+def test_sessionize_fractional_second_boundaries(spark, events, gap_seconds):
+    """Offsets are in 100 ms steps, so inter-event gaps routinely land
+    within 1 s of the threshold on either side."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.joins import (
+        sessionize,
+    )
+
+    events = list({(k, d) for k, d in events})  # unique (key, ts)
+    df = spark.createDataFrame(
+        [(k, T0 + timedelta(milliseconds=d * 100)) for k, d in events],
+        "user_id int, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize(df, key=["user_id"], ts_col="ts",
+                            gap_seconds=gap_seconds).collect()
+    }
+    expect = {}
+    by_key: dict[int, list[int]] = {}
+    for k, d in events:
+        by_key.setdefault(k, []).append(d)
+    for k, ds in by_key.items():
+        ds.sort()
+        sid, prev, n = 1, ds[0], 0
+        for d in ds:
+            if (d - prev) * 0.1 > gap_seconds:  # exact: multiples of 0.1s
+                expect[(k, sid)] = n
+                sid, n = sid + 1, 0
+            n += 1
+            prev = d
+        expect[(k, sid)] = n
+    assert out == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 4000)),
+                   min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 4000)),
+                    min_size=0, max_size=20),
+    tol_seconds=st.integers(1, 120),
+)
+def test_range_join_fractional_second_boundaries(spark, lefts, rights,
+                                                 tol_seconds):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.joins import (
+        range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, T0 + timedelta(milliseconds=d * 100))
+         for i, (k, d) in enumerate(lefts)],
+        "lid long, k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(j + 1000, k, T0 + timedelta(milliseconds=d * 100))
+         for j, (k, d) in enumerate(rights)],
+        "rid long, k int, rts timestamp",
+    ) if rights else spark.createDataFrame([], "rid long, k int, rts timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(left, right, on=["k"], left_ts="lts",
+                            right_ts="rts",
+                            tolerance_seconds=tol_seconds).collect()
+    }
+    expect = {
+        (i, j + 1000)
+        for i, (lk, ld) in enumerate(lefts)
+        for j, (rk, rd) in enumerate(rights)
+        if lk == rk and abs(ld - rd) <= tol_seconds * 10  # 100ms units, exact
+    }
+    assert got == expect
