@@ -180,6 +180,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket: int = 64,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
 
@@ -188,10 +189,21 @@ def minhash_lsh_candidates(
     via a self-join on (band_idx, band_hash); buckets larger than
     ``max_bucket`` are truncated (boilerplate guard) with min-id-first
     ordering so truncation is deterministic.
+
+    Pass ``sig_len`` (= num_hashes used to build the signatures) — callers
+    always know it, and inferring it would run a Spark job over the whole
+    signature pipeline at plan-construction time (a silent 2x on the most
+    expensive dedup stage).
     """
     # band hash = one multi-arg xxhash64 over the band's signature elements
     # (element_at unrolled statically — no string building, no sub-arrays)
-    sig_len = signatures.select(F.size("signature").alias("n")).first().n
+    if sig_len is None:
+        probe = signatures.select(F.size("signature").alias("n")).first()
+        if probe is None:  # empty input -> empty, correctly-typed pair set
+            return signatures.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            ).limit(0)
+        sig_len = probe.n
     width = sig_len // bands
     banded = signatures.select(
         id_col,
@@ -334,7 +346,7 @@ def _verified_candidates(
 ) -> DataFrame:
     profile = minhash_profile(df, text_col, id_col, num_hashes, shingle_k)
     cand = minhash_lsh_candidates(
-        profile.select(id_col, "signature"), id_col, bands
+        profile.select(id_col, "signature"), id_col, bands, sig_len=num_hashes
     )
     if verify_threshold is None:
         return cand
@@ -469,10 +481,19 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dup pairs whose 64-bit simhash differs in <= max_hamming bits.
     Banding (pigeonhole: d<=3 ⇒ one of 4 16-bit bands equal) prunes the
-    candidate space; exact popcount verifies."""
+    candidate space; exact popcount verifies.
+
+    Pairing is bucket-local like ``minhash_lsh_candidates``: ids sharing a
+    band value are collected (sorted, truncated at ``max_bucket`` so a
+    degenerate band value — e.g. boilerplate docs hashing a band to 0 —
+    cannot go quadratic) and (i<j) pairs are emitted from the array. The
+    simhash rides inside the collected struct, so no second join is needed
+    to verify hamming distance.
+    """
     width = 64 // bands
     banded = signatures.select(
         id_col,
@@ -491,19 +512,42 @@ def simhash_candidates(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, on=["band_idx", "band_val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # array_sort on struct(id, sig) orders by id first -> deterministic cap
+    buckets = banded.groupBy("band_idx", "band_val").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+                )
+            ),
+            1,
+            max_bucket,
+        ).alias("members")
+    )
+    pairs = (
+        buckets.where(F.size("members") > 1)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("members") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda m: F.struct(
+                                F.col("members")[i]["id"].alias("id_a"),
+                                m["id"].alias("id_b"),
+                                F.col("members")[i]["sig"].alias("sig_a"),
+                                m["sig"].alias("sig_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .distinct()
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
+    return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)

@@ -98,6 +98,7 @@ def decode_images(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -112,16 +113,14 @@ def decode_images(
                     feats.append(None)
                     oks.append(False)
                     continue
-                b = bytes(payload)
-                # deterministic fake "embedding": byte-histogram moments
+                # deterministic fake "embedding": byte-histogram moments,
+                # vectorized (frombuffer+bincount) — the pattern a real
+                # decoder should follow: numpy over the buffer, never
+                # per-byte Python
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % feature_dim, minlength=feature_dim)
                 feats.append(
-                    [
-                        float(len(b)),
-                        *[
-                            float(sum(1 for x in b if x % feature_dim == m))
-                            for m in range(feature_dim - 1)
-                        ],
-                    ]
+                    [float(arr.size), *hist[: feature_dim - 1].astype(float)]
                 )
                 oks.append(True)
             yield pd.DataFrame(

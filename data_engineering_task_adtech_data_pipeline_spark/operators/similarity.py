@@ -113,6 +113,23 @@ def hyperplane_signature(
     )
 
 
+def _bands_of(sig: Column, planes: int, bands: int) -> Column:
+    """array<struct<band_idx,band_val>> splitting a ``planes``-bit signature
+    into ``bands`` equal bit-slices (multi-probe LSH banding)."""
+    width = planes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(sig, b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,49 +139,59 @@ def lsh_topk(
     planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """ANN top-k: candidates share at least one of ``bands`` signature bands
     (multi-probe), exact cosine re-ranks within candidates. Recall rises with
-    bands; cost falls with planes/bands selectivity."""
-    width = planes // bands
+    bands; cost falls with planes/bands selectivity.
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        d = with_double_embedding(df, emb_col)
-        d = d.select(
+    Scale shape: only (id, band) rows ride the band shuffle — embeddings are
+    joined back BY ID after candidate dedup, so the wide arrays cross the
+    wire once per join side instead of ``bands`` times through the explode.
+    Corpus buckets are collected sorted and truncated at ``max_bucket``
+    (deterministically) so a degenerate band value — e.g. near-zero vectors
+    all signing to 0 — cannot make the bucket join quadratic.
+    """
+
+    def sig_bands(df: DataFrame, role: str) -> DataFrame:
+        d = with_double_embedding(df, emb_col).select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(emb_col).alias(f"__{role}_emb"),
             hyperplane_signature(F.col(emb_col), planes, seed).alias("__sig"),
         )
         return d.select(
-            f"{role}_id",
-            f"__{role}_emb",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.shiftrightunsigned("__sig", b * width)
-                            .bitwiseAND(F.lit((1 << width) - 1))
-                            .alias("band_val"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(f"{role}_id", f"__{role}_emb", "band.band_idx", "band.band_val")
+            f"{role}_id", F.explode(_bands_of(F.col("__sig"), planes, bands)).alias("band")
+        ).select(f"{role}_id", "band.band_idx", "band.band_val")
 
-    c = banded(corpus, "corpus")
-    q = banded(queries, "query")
+    c_buckets = (
+        sig_bands(corpus, "corpus")
+        .groupBy("band_idx", "band_val")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("corpus_id")), 1, max_bucket).alias(
+                "members"
+            )
+        )
+    )
     cand = (
-        c.join(q, on=["band_idx", "band_val"])
+        sig_bands(queries, "query")
+        .join(c_buckets, on=["band_idx", "band_val"])
+        .select("query_id", F.explode("members").alias("corpus_id"))
         .where(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", "__query_emb", "__corpus_emb")
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "corpus_id",
-        cosine(F.col("__query_emb"), F.col("__corpus_emb")).alias("cosine_sim"),
+    c_emb = with_double_embedding(corpus, emb_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
+    )
+    q_emb = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    scored = (
+        cand.join(q_emb, "query_id")
+        .join(c_emb, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id").asc()
@@ -184,47 +211,57 @@ def embedding_dup_pairs(
     planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
-    via the LSH bucket join — the embedding-space analog of minhash dedup."""
+    via the LSH bucket join — the embedding-space analog of minhash dedup.
+
+    Same scale shape as ``lsh_topk``: id-only band rows, bucket-local (i<j)
+    pairing from sorted arrays truncated at ``max_bucket``, embeddings joined
+    back by id for the exact cosine verify."""
     d = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id"),
-        F.col(emb_col).alias("emb"),
         hyperplane_signature(F.col(emb_col), planes, seed).alias("sig"),
     )
-    width = planes // bands
     banded = d.select(
-        "id",
-        "emb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned("sig", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "emb", "band.band_idx", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+        "id", F.explode(_bands_of(F.col("sig"), planes, bands)).alias("band")
+    ).select("id", "band.band_idx", "band.band_val")
+    buckets = banded.groupBy("band_idx", "band_val").agg(
+        F.slice(F.array_sort(F.collect_set("id")), 1, max_bucket).alias("ids")
+    )
     pairs = (
-        a.join(b, on=["band_idx", "band_val"])
-        .where(F.col("a.id") < F.col("b.id"))
+        buckets.where(F.size("ids") > 1)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.emb").alias("emb_a"),
-            F.col("b.emb").alias("emb_b"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda j: F.struct(
+                                F.col("ids")[i].alias("id_a"), j.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    emb_a = with_double_embedding(df, emb_col).select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("__emb_a")
+    )
+    emb_b = with_double_embedding(df, emb_col).select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("__emb_b")
+    )
     return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine_sim")
+        pairs.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__emb_a"), F.col("__emb_b")).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
