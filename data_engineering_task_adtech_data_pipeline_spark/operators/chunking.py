@@ -2,10 +2,12 @@
 LLM training-data pipeline (context-window-bounded chunks; contiguous
 packing of short documents into fixed-token bins).
 
-Both are pure built-in expressions: chunking is a bound-words projection +
-one explode (same CollapseProject discipline as ``operators.dedup``);
-packing is a running-sum window — no driver loops, no UDFs, so both run at
-scan speed over any corpus size.
+Chunking is a bound-words projection + one explode (same CollapseProject
+discipline as ``operators.dedup``). Stream packing is a two-pass
+distributed prefix sum — per-partition running sums under a partitioned
+window plus broadcast cumulative offsets, never a global single-partition
+sort. Greedy no-straddle packing (inherently sequential) runs per-shard
+via Arrow-batched ``applyInPandas``. No driver loops anywhere.
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ def pack_documents(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     order_col: str | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Stream sequence packing: documents are concatenated in ``order_col``
     order (default: id) into one token stream that is cut every
@@ -74,23 +77,121 @@ def pack_documents(
 
     Returns df + ``stream_pos`` (global token position of the document's
     first token), ``bin_id`` (the bin containing that first token) and
-    ``bin_offset`` (position within that bin). Closed-form from one
-    running-sum window — greedy bin-filling (no straddling) would need
-    per-row sequential state and is the streaming variant's job.
+    ``bin_offset`` (position within that bin). Closed-form from the global
+    prefix sum — greedy bin-filling (no straddling) is
+    ``pack_documents_greedy``.
 
-    The global window is a single-partition sort at this grain — fine for
-    per-shard packing (call per date/source partition); for whole-corpus
-    packing pass a pre-assigned shard column as ``order_col``'s partition
-    via ``df.repartitionByRange``.
+    Scale shape — two-pass distributed prefix sum, NO global-window
+    single-partition sort: (1) range-repartition on the order key, so each
+    partition holds a contiguous key range and a per-partition running sum
+    is computed under a window PARTITIONED by ``spark_partition_id``;
+    (2) per-partition token totals (one row per partition — thousands of
+    rows at most, at any corpus size) are turned into cumulative offsets
+    with a broadcast triangular self-join and broadcast-joined back. The
+    corpus-sized data never passes through a single-partition exchange.
     """
-    order = F.col(order_col or id_col).asc()
-    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    order_name = order_col or id_col
+    num_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parts = df.repartitionByRange(num_parts, F.col(order_name).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(F.col(order_name).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parts.withColumn(
+        "__local_end", F.sum(F.col(token_col)).over(w).cast("long")
+    )
+    # cumulative offset per partition: sum of totals of all lower pids.
+    # Triangular broadcast join over the tiny totals frame (P rows) — keeps
+    # the plan free of single-partition exchanges entirely.
+    totals = parts.groupBy("__pid").agg(
+        F.sum(F.col(token_col)).cast("long").alias("__ptotal")
+    )
+    lower = totals.select(
+        F.col("__pid").alias("__pid_lo"), F.col("__ptotal").alias("__ptotal_lo")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(lower), F.col("__pid_lo") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__ptotal_lo"), F.lit(0)).cast("long").alias("__offset"))
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    stream_pos = (
+        F.col("__offset") + F.col("__local_end") - F.col(token_col)
+    ).cast("long")
     return (
-        df.withColumn("stream_pos", start)
+        out.withColumn("stream_pos", stream_pos)
         .withColumn("bin_id", F.floor(F.col("stream_pos") / bin_tokens).cast("long"))
         .withColumn(
             "bin_offset",
             (F.col("stream_pos") - F.col("bin_id") * bin_tokens).cast("long"),
         )
+        .drop("__pid", "__local_end", "__offset")
     )
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    bin_tokens: int = 2048,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy NO-STRADDLE packing: documents are placed whole, in
+    ``order_col`` order, into the current bin while they fit; a document
+    that would overflow starts a new bin. A document longer than
+    ``bin_tokens`` gets a bin of its own (it is never split — use
+    ``chunk_documents`` first if splitting is wanted).
+
+    Greedy filling is inherently sequential, so the sequential span must be
+    bounded: packing runs per ``shard_col`` group via Arrow-batched
+    ``applyInPandas`` (one pandas group per shard), and ``bin_id`` is
+    shard-local — (shard, bin_id) is the global bin key. With
+    ``shard_col=None`` the whole frame is one shard: fine for bounded
+    inputs, not the 100 TB path; at scale pass a shard column (date,
+    source, hash bucket) sized so one shard fits one task.
+
+    Returns df + ``bin_id`` (shard-local ordinal from 0), ``bin_offset``
+    (token position within the bin).
+    """
+    from pyspark.sql import types as T
+
+    added_shard = shard_col is None
+    shard = "__shard" if added_shard else shard_col
+    work = df.withColumn(shard, F.lit(0)) if added_shard else df
+    order_name = order_col or id_col
+
+    out_schema = T.StructType(
+        list(work.schema.fields)
+        + [
+            T.StructField("bin_id", T.LongType(), False),
+            T.StructField("bin_offset", T.LongType(), False),
+        ]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_name, kind="mergesort").reset_index(drop=True)
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if fill > 0 and fill + t > bin_tokens:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offs.append(fill)
+            fill += t
+        pdf["bin_id"] = bins
+        pdf["bin_offset"] = offs
+        return pdf
+
+    out = work.groupBy(shard).applyInPandas(pack, out_schema)
+    return out.drop("__shard") if added_shard else out

@@ -197,3 +197,84 @@ def test_sequence_packing_stream_semantics(spark):
     assert (out[2].stream_pos, out[2].bin_id, out[2].bin_offset) == (300, 0, 300)
     assert (out[3].stream_pos, out[3].bin_id, out[3].bin_offset) == (600, 1, 88)
     assert (out[4].stream_pos, out[4].bin_id) == (700, 1)
+
+
+def test_sequence_packing_distributed_prefix_sum(spark):
+    """The two-pass prefix sum must be partition-count-invariant: stream_pos
+    depends only on global order, never on where range boundaries fall."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expect_pos = {}
+    acc = 0
+    for i, t in rows:  # doc_id order == insertion order here
+        expect_pos[i] = acc
+        acc += t
+    for nparts in (1, 7, 32):
+        got = {
+            r.doc_id: r.stream_pos
+            for r in pack_documents(
+                df, bin_tokens=512, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect_pos, f"num_partitions={nparts}"
+
+
+def test_sequence_packing_plan_has_no_single_partition_exchange(spark):
+    """q43's scale guarantee: the corpus never funnels through one task."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    plan = pack_documents(df, bin_tokens=512)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_greedy_packing_no_straddle(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 50), (5, 600), (6, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r.doc_id: r for r in pack_documents_greedy(df, bin_tokens=512).collect()}
+    # doc 2 would overflow bin 0 (300+300>512) -> starts bin 1; doc 3 fits
+    assert (out[1].bin_id, out[1].bin_offset) == (0, 0)
+    assert (out[2].bin_id, out[2].bin_offset) == (1, 0)
+    assert (out[3].bin_id, out[3].bin_offset) == (1, 300)
+    assert (out[4].bin_id, out[4].bin_offset) == (1, 400)
+    # oversized doc 5 (600>512) gets its own bin, never split
+    assert (out[5].bin_id, out[5].bin_offset) == (2, 0)
+    assert (out[6].bin_id, out[6].bin_offset) == (3, 0)
+
+
+def test_greedy_packing_sharded_invariants(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents_greedy,
+    )
+
+    rows = [(i, (i * 31) % 100 + 1, f"s{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, shard string")
+    out = pack_documents_greedy(
+        df, bin_tokens=128, shard_col="shard"
+    ).collect()
+    assert len(out) == 200  # every document placed exactly once
+    by_bin: dict[tuple, list] = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, _), members in by_bin.items():
+        members.sort(key=lambda r: r.bin_offset)
+        fill = 0
+        for m in members:
+            assert m.bin_offset == fill  # contiguous, no gaps
+            fill += m.n_tokens
+        # no straddle: a bin only exceeds capacity for a lone oversized doc
+        assert fill <= 128 or len(members) == 1
