@@ -335,6 +335,36 @@ def minhash_dedup(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def exact_jaccard(
+    pairs: DataFrame,
+    shingle_profile: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The verification stage of near-dup pipelines, standalone: exact
+    Jaccard for given candidate ``pairs`` (id_a, id_b) from a per-doc
+    ``shingle_profile`` (id_col, shingle_set). Candidate-local — the two
+    joins touch only pair members, never all-pairs.
+
+    SQL-expressible (|A∩B| / |A∪B| over distinct shingle sets), so battery
+    q48 oracle-checks this exact code path against DuckDB on pinned pairs —
+    the value-level coverage for minhash_dedup's verify stage, whose
+    candidate generation itself is xxhash64-based and rows-only.
+    """
+    a = shingle_profile.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sh_a")
+    )
+    b = shingle_profile.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sh_b")
+    )
+    jac = (
+        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b").select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
 def _verified_candidates(
     df: DataFrame,
     text_col: str,
@@ -350,16 +380,9 @@ def _verified_candidates(
     )
     if verify_threshold is None:
         return cand
-    a = profile.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sh_a"))
-    b = profile.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sh_b"))
-    jac = (
-        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-        / F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
-    )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .where(jac >= verify_threshold)
+        exact_jaccard(cand, profile, id_col)
+        .where(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b")
     )
 

@@ -17,10 +17,38 @@ from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
 
+# \x1f (ASCII unit separator) keys can't contain by construction
+_SEP = "\x1f"
 
-def _hash_bucket(keys: Sequence[str | Column], salt: int) -> Column:
+
+def _hash_bucket(
+    keys: Sequence[str | Column], salt: int, method: str = "xxhash64"
+) -> Column:
+    """Bucket in [0, _BUCKETS) from a key hash.
+
+    ``method="xxhash64"`` (default) is JVM-native and fastest.
+    ``method="md5"`` derives the bucket from the first 15 hex digits of
+    md5 over the '\\x1f'-joined key strings — engine-portable (any system
+    with md5 + hex parsing reproduces it bit-for-bit; e.g. DuckDB:
+    ``('0x' || substr(md5(concat_ws(chr(31), k, salt)), 1, 15))::BIGINT %
+    1000000``), which is what lets the split be oracle-checked.
+    """
     cols = [F.col(c) if isinstance(c, str) else c for c in keys]
+    if method == "md5":
+        s = F.concat_ws(_SEP, *cols, F.lit(str(salt)))
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, _BUCKETS)
+    if method != "xxhash64":
+        raise ValueError(f"unknown hash method: {method!r}")
     return F.pmod(F.xxhash64(*cols, F.lit(salt)), _BUCKETS)
+
+
+def _cutoff(fraction: float) -> int:
+    """Bucket cutoff with round-half-up: float weight normalization must not
+    drift a nominal 0.8 to cutoff 799999 (0.8/1.0000000000000002 truncates).
+    Keeps cutoffs equal to the nominal round numbers an external oracle
+    computes independently."""
+    return int(fraction * _BUCKETS + 0.5)
 
 
 def deterministic_sample(
@@ -28,10 +56,11 @@ def deterministic_sample(
     fraction: float,
     keys: Sequence[str],
     salt: int = 42,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Keep rows whose key-hash falls under ``fraction`` of the bucket
     space. Same (keys, salt) → same sample, on any cluster."""
-    return df.where(_hash_bucket(keys, salt) < int(fraction * _BUCKETS))
+    return df.where(_hash_bucket(keys, salt, method) < _cutoff(fraction))
 
 
 def hash_split(
@@ -40,19 +69,20 @@ def hash_split(
     keys: Sequence[str],
     salt: int = 42,
     split_col: str = "split",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test split: adds ``split_col`` with the split
     name per row. Weights are normalized; splits are disjoint and exhaustive.
     Keying on a stable id (or content hash) guarantees a document never
     leaks between train and eval across pipeline re-runs."""
     total = sum(weights.values())
-    bucket = _hash_bucket(keys, salt)
+    bucket = _hash_bucket(keys, salt, method)
     expr: Column | None = None
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name] / total
-        cond = bucket < int(acc * _BUCKETS)
+        cond = bucket < _cutoff(acc)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
@@ -66,13 +96,14 @@ def stratified_deterministic_sample(
     stratum_col: str,
     keys: Sequence[str],
     salt: int = 42,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample 'en' to 10% but
     keep all 'zh'); strata missing from ``fractions`` are dropped."""
-    bucket = _hash_bucket(keys, salt)
+    bucket = _hash_bucket(keys, salt, method)
     cond = F.lit(False)
     for stratum, frac in fractions.items():
         cond = cond | (
-            (F.col(stratum_col) == stratum) & (bucket < int(frac * _BUCKETS))
+            (F.col(stratum_col) == stratum) & (bucket < _cutoff(frac))
         )
     return df.where(cond)

@@ -316,21 +316,85 @@ def q35_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q36_hash_split",
-    oracle=None,
-    doc="Deterministic train/val/test hash-split summary (rows-only: "
-    "xxhash64 bucket assignment); disjoint+exhaustive invariants in tests.",
+    oracle="""
+    WITH bucketed AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(concat_ws(chr(31), doc_id, 42)), 1, 15))::BIGINT
+               % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT
+      CASE WHEN bucket < 800000 THEN 'train'
+           WHEN bucket < 900000 THEN 'val'
+           ELSE 'test' END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test hash-split summary, md5-bucketed so "
+    "the split assignment itself is engine-portable and fully "
+    "oracle-checked (the xxhash64 method stays the fast default; "
+    "disjoint/exhaustive/stability invariants in tests cover both).",
 )
 def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_split
 
     docs = Testdata(spark, sf_dir).documents
     split = hash_split(
-        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, keys=["doc_id"]
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, keys=["doc_id"],
+        method="md5",
     )
     return split.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "q48_jaccard_verify",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+    LEFT JOIN inter i ON i.id_a = sa.doc_id AND i.id_b = sb.doc_id
+    """,
+    doc="Value-level oracle for minhash_dedup's VERIFY stage: exact Jaccard "
+    "over pinned candidate pairs (consecutive doc_ids), computed through "
+    "the same operators.dedup.exact_jaccard code path q13/q35 use — the "
+    "xxhash64 candidate generation stays rows-only, but the verification "
+    "arithmetic is now cross-checked cell-by-cell.",
+)
+def q48_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    profile = dedup.shingle_sets(docs, k=3, max_shingles=None)
+    ids = profile.select(F.col("id").alias("doc_id"), "shingle_set")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(
+            ids.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    return dedup.exact_jaccard(pairs, ids, id_col="doc_id")
 
 
 @query(
