@@ -42,10 +42,21 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def streaming_daily_agg(events: DataFrame, lateness: str = "1 day") -> DataFrame:
+def streaming_daily_agg(
+    events: DataFrame, lateness: str = "1 day", prefix: str | None = None
+) -> DataFrame:
     """Watermarked day-grain rollup of an event stream: COUNT(*) and
     max(created_at) per (campaign_id, day). The max doubles as the
-    ``rtm_delta`` version column (``dags/track_delta.py:78``)."""
+    ``rtm_delta`` version column (``dags/track_delta.py:78``).
+
+    ``prefix`` selects the output naming scheme: ``None`` emits generic
+    ``event_date``/``event_count``; pass 'impressions'/'clicks' to emit the
+    reference-DDL names ``campaign_{prefix}_date`` /
+    ``campaign_{prefix}_count_daily`` used by ``plans.silver.events_daily``,
+    so the streaming table appends into the SAME silver path as the batch
+    one without forking the parquet schema."""
+    date_name = f"campaign_{prefix}_date" if prefix else "event_date"
+    count_name = f"campaign_{prefix}_count_daily" if prefix else "event_count"
     return (
         events.withWatermark("created_at", lateness)
         .groupBy(
@@ -53,13 +64,13 @@ def streaming_daily_agg(events: DataFrame, lateness: str = "1 day") -> DataFrame
             F.window("created_at", "1 day").alias("__w"),
         )
         .agg(
-            F.count(F.lit(1)).alias("event_count"),
+            F.count(F.lit(1)).alias(count_name),
             F.max("created_at").alias("rtm_delta"),
         )
         .select(
             "rtm_campaign_id",
-            F.to_date(F.col("__w.start")).alias("event_date"),
-            "event_count",
+            F.to_date(F.col("__w.start")).alias(date_name),
+            count_name,
             "rtm_delta",
         )
     )
@@ -177,20 +188,27 @@ def stream_events_daily(
     available_now: bool = True,
     processing_time: str = "5 minutes",
     post_batch: Callable[[SparkSession, int], None] | None = None,
+    prefix: str | None = None,
 ):
     """File-source streaming job: new event parquet files → day-grain
     versioned upserts into the silver daily table.
 
     ``foreachBatch`` appends each micro-batch's updated groups with their
     bumped ``rtm_delta``; readers apply the latest-version dedup view
-    (``operators.upsert.latest_version``), so the streaming path and the
-    batch ``track_deltas`` path produce interchangeable tables.
+    (``operators.upsert.latest_version``). With ``prefix`` set (e.g.
+    'impressions') the output uses the batch silver DDL names
+    (``campaign_{prefix}_date``/``campaign_{prefix}_count_daily``), making
+    the streaming and batch ``track_deltas`` paths schema-interchangeable —
+    appending both into one silver path is then safe; with ``prefix=None``
+    the table keeps its own generic schema and should live at its own path.
     ``post_batch`` (e.g. gold-report rebuild) runs after each append — the
     analog of the reference's report tasks downstream of the delta tasks
     (``dags/track_delta.py:662-664``).
     """
+    date_name = f"campaign_{prefix}_date" if prefix else "event_date"
+    count_name = f"campaign_{prefix}_count_daily" if prefix else "event_count"
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
-    agg = streaming_daily_agg(stream, lateness)
+    agg = streaming_daily_agg(stream, lateness, prefix)
     if campaign_map is not None:
         cmap = F.broadcast(
             campaign_map.select(
@@ -201,8 +219,8 @@ def stream_events_daily(
         agg = agg.join(cmap, "rtm_campaign_id", "left").select(
             "rtm_advertiser_id",
             "rtm_campaign_id",
-            "event_date",
-            "event_count",
+            date_name,
+            count_name,
             "rtm_delta",
         )
 

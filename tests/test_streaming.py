@@ -71,6 +71,30 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert e.exceptAll(g).count() == 0
 
 
+def test_streaming_prefix_matches_batch_silver_schema(spark):
+    """With a prefix, the streaming rollup emits the exact batch-silver DDL
+    column set, so both paths can append into one silver table without
+    forking the parquet schema."""
+    from data_engineering_task_adtech_data_pipeline_spark.plans.silver import (
+        events_daily,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        streaming_daily_agg,
+    )
+
+    events = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")], "id long, campaign_id long, created_at string"
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    campaign = spark.createDataFrame([(10, 7)], "id long, advertiser_id long")
+
+    batch_cols = set(events_daily(events, campaign, prefix="impressions").columns)
+    stream_cols = set(streaming_daily_agg(events, prefix="impressions").columns)
+    # streaming lacks only the broadcast-joined advertiser id (added by the
+    # campaign_map join in stream_events_daily)
+    assert batch_cols - stream_cols == {"rtm_advertiser_id"}
+    assert stream_cols <= batch_cols
+
+
 @pytest.mark.slow
 def test_stateful_running_totals_across_restarts(spark, tmp_path):
     """applyInPandasWithState running totals: state survives a query restart
