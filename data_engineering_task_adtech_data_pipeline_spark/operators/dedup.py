@@ -25,8 +25,45 @@ bounded by ``max_shingles`` sampling per doc. Bucket joins only ever join
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# --- engine-portable md5 hash family -------------------------------------
+#
+# The default hash everywhere is xxhash64 (JVM-native, fastest). Each
+# operator also accepts ``hash_method="md5"``: ONE md5 per shingle/token,
+# reduced to a 60-bit BIGINT from the first 15 hex digits, then expanded
+# into P independent values via classic universal hashing
+# h_p(x) = (a_p * x + b_p) mod M with M = 2^31 - 1 (Carter-Wegman).
+# Any engine with md5 + hex parsing reproduces it bit-for-bit — DuckDB:
+# ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — which is what lets the
+# battery oracle-check the FULL minhash/simhash pipelines (q13/q14/q35),
+# not just their verify stages. All arithmetic stays inside BIGINT:
+# a_p < 2^31 and x < 2^31, so a_p * x < 2^62 never overflows (ANSI-safe).
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1
+
+_AB_SEED = 0x5EED
+
+
+def minhash_affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) pairs for the md5 universal-hash family.
+    Shared by the Spark operators and the generated oracle SQL, so both
+    engines evaluate literally the same polynomial."""
+    rnd = random.Random(_AB_SEED)
+    return [
+        (rnd.randrange(1, MERSENNE_31), rnd.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_long(col: Column | str) -> Column:
+    """First 15 md5 hex digits as a non-negative 60-bit BIGINT — the
+    engine-portable base hash (same construction as sampling._hash_bucket)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -123,6 +160,36 @@ def shingles(
     return _grams(F.split(normalize_text(text), " "), k, max_shingles)
 
 
+def _hashed_shingles(sh: DataFrame, hash_method: str) -> DataFrame:
+    """Attach the base-hash column for the chosen method. For md5, ONE md5
+    per shingle row is projected before the agg (``__x``) so the P affine
+    expansions never recompute the digest."""
+    if hash_method == "md5":
+        return sh.withColumn(
+            "__x", F.pmod(md5_long(F.col("s")), F.lit(MERSENNE_31))
+        )
+    if hash_method != "xxhash64":
+        raise ValueError(f"unknown hash method: {hash_method!r}")
+    return sh
+
+
+def _minhash_min_aggs(num_hashes: int, hash_method: str) -> list[Column]:
+    """The per-seed MIN aggregate expressions. xxhash64: min of the seeded
+    64-bit hash. md5: min of (a_p*x + b_p) mod M over the shared base hash."""
+    if hash_method == "md5":
+        x = F.col("__x")
+        return [
+            F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31)).alias(
+                f"__h{p}"
+            )
+            for p, (a, b) in enumerate(minhash_affine_constants(num_hashes))
+        ]
+    return [
+        F.min(F.xxhash64("s", F.lit(p))).alias(f"__h{p}")
+        for p in range(num_hashes)
+    ]
+
+
 def minhash_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -130,16 +197,19 @@ def minhash_profile(
     num_hashes: int = 64,
     shingle_k: int = 3,
     max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingle_set, signature) in ONE shingle pass: the groupBy computes
     ``collect_set`` and all ``num_hashes`` minima together, so dedup
     pipelines that need both candidates (signature) and verification
     (shingle set) shuffle the exploded shingles once, not twice."""
-    sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
-    aggs = [F.collect_set("s").alias("shingle_set")] + [
-        F.min(F.xxhash64("s", F.lit(p))).alias(f"__h{p}")
-        for p in range(num_hashes)
-    ]
+    sh = _hashed_shingles(
+        shingle_rows(df, text_col, id_col, shingle_k, max_shingles),
+        hash_method,
+    )
+    aggs = [F.collect_set("s").alias("shingle_set")] + _minhash_min_aggs(
+        num_hashes, hash_method
+    )
     agg = sh.groupBy("id").agg(*aggs)
     return agg.select(
         F.col("id").alias(id_col),
@@ -155,20 +225,21 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<long>) — per seed p, min over shingles of
-    xxhash64(shingle, p). The min of a 64-bit hash family approximates a
-    random permutation minimum (MinHash); all hashing is JVM-side xxhash64.
+    """(id, signature array<long>) — per seed p, min over shingles of a
+    64-bit hash family: seeded xxhash64 (default) or the engine-portable
+    md5 affine family (module header). The min approximates a random
+    permutation minimum (MinHash); hashing is JVM-side built-ins either way.
 
     Plan: explode shingles (one row per (doc, shingle)) → single hash-agg
     computing all P minima at once → signature array. One shuffle on id.
     """
-    sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
-    mins = [
-        F.min(F.xxhash64("s", F.lit(p))).alias(f"__h{p}")
-        for p in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
+    sh = _hashed_shingles(
+        shingle_rows(df, text_col, id_col, shingle_k, max_shingles),
+        hash_method,
+    )
+    agg = sh.groupBy("id").agg(*_minhash_min_aggs(num_hashes, hash_method))
     return agg.select(
         F.col("id").alias(id_col),
         F.array(*[f"__h{p}" for p in range(num_hashes)]).alias("signature"),
@@ -181,6 +252,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int = 64,
     sig_len: int | None = None,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
 
@@ -189,6 +261,12 @@ def minhash_lsh_candidates(
     via a self-join on (band_idx, band_hash); buckets larger than
     ``max_bucket`` are truncated (boilerplate guard) with min-id-first
     ordering so truncation is deterministic.
+
+    ``hash_method="xxhash64"`` compresses each band to one 64-bit hash;
+    ``"md5"`` (the oracle-portable mode) keys buckets on the band's literal
+    values joined as a string — no compression hash at all, so any SQL
+    engine groups on the identical key (and band-hash collisions vanish;
+    the string key just shuffles a few more bytes).
 
     Pass ``sig_len`` (= num_hashes used to build the signatures) — callers
     always know it, and inferring it would run a Spark job over the whole
@@ -205,6 +283,15 @@ def minhash_lsh_candidates(
             ).limit(0)
         sig_len = probe.n
     width = sig_len // bands
+
+    def band_key(b: int) -> Column:
+        elems = [
+            F.element_at("signature", b * width + j + 1) for j in range(width)
+        ]
+        if hash_method == "md5":
+            return F.concat_ws("_", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems)
+
     banded = signatures.select(
         id_col,
         F.explode(
@@ -212,12 +299,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("signature", b * width + j + 1)
-                                for j in range(width)
-                            ]
-                        ).alias("band_hash"),
+                        band_key(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -314,6 +396,8 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float | None = 0.8,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup removal: MinHash candidates (optionally verified with
     exact Jaccard) → connected-ish grouping by min-id → keep one doc per
@@ -329,7 +413,8 @@ def minhash_dedup(
     pass; identical subtrees reuse the shuffle (ReusedExchange).
     """
     cand = _verified_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold
+        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
+        max_shingles, hash_method,
     )
     drop = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
@@ -373,10 +458,18 @@ def _verified_candidates(
     bands: int,
     shingle_k: int,
     verify_threshold: float | None,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    profile = minhash_profile(df, text_col, id_col, num_hashes, shingle_k)
+    profile = minhash_profile(
+        df, text_col, id_col, num_hashes, shingle_k, max_shingles, hash_method
+    )
     cand = minhash_lsh_candidates(
-        profile.select(id_col, "signature"), id_col, bands, sig_len=num_hashes
+        profile.select(id_col, "signature"),
+        id_col,
+        bands,
+        sig_len=num_hashes,
+        hash_method=hash_method,
     )
     if verify_threshold is None:
         return cand
@@ -451,13 +544,16 @@ def minhash_dedup_transitive(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float | None = 0.8,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup removal with FULL transitive closure: verified candidate
     pairs → connected components → keep the min-id doc per component.
     Use instead of ``minhash_dedup`` when duplicate chains matter more than
     the extra component iterations."""
     cand = _verified_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold
+        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
+        max_shingles, hash_method,
     )
     comp = connected_components(cand)
     drop = comp.where(F.col("id") != F.col("component")).select(
@@ -471,14 +567,28 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per token hash, each bit contributes +1/-1; the sign
+    """SimHash: per token hash, each bit contributes +1/-1; the sign
     of the per-bit sum forms the fingerprint. Expressed as one explode +
-    one agg with ``bits`` conditional sums (all codegen'd)."""
+    one agg with ``bits`` conditional sums (all codegen'd).
+
+    ``hash_method="md5"`` draws bits from the engine-portable 60-bit md5
+    base hash (module header) — requires ``bits <= 60`` and makes the whole
+    fingerprint reproducible in any SQL engine (battery q14's oracle).
+    """
+    if hash_method == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash method provides 60 bits; lower `bits`")
+        tok_hash = md5_long(F.col("tok"))
+    elif hash_method == "xxhash64":
+        tok_hash = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash method: {hash_method!r}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -505,9 +615,10 @@ def simhash_candidates(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 64,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs whose 64-bit simhash differs in <= max_hamming bits.
-    Banding (pigeonhole: d<=3 ⇒ one of 4 16-bit bands equal) prunes the
+    """Near-dup pairs whose ``bits``-bit simhash differs in <= max_hamming
+    bits. Banding (pigeonhole: d<=3 ⇒ one of 4 bands equal) prunes the
     candidate space; exact popcount verifies.
 
     Pairing is bucket-local like ``minhash_lsh_candidates``: ids sharing a
@@ -517,7 +628,7 @@ def simhash_candidates(
     simhash rides inside the collected struct, so no second join is needed
     to verify hamming distance.
     """
-    width = 64 // bands
+    width = bits // bands
     banded = signatures.select(
         id_col,
         "simhash",

@@ -1,12 +1,15 @@
 """Battery part 2: LLM-data-pipeline extension queries over
 ``documents``/``embeddings`` (SURVEY.md §7.1 phase 6).
 
-Oracle pairing policy: operators whose only nondeterminism is engine hash
-functions (minhash/simhash/LSH use xxhash64, which DuckDB lacks) register
-rows-only; everything else — exact dedup, n-gram Jaccard, brute-force
-cosine, text analysis — gets a full DuckDB oracle. Normalization SQL
-mirrors ``operators.dedup.normalize_text`` exactly (DuckDB regexp_replace
-needs the 'g' flag; Spark's replaces all matches by default).
+Oracle pairing policy: every query gets a full DuckDB oracle unless its
+semantics are genuinely not SQL-expressible. The minhash/simhash battery
+entries (q13/q14/q35) run the engine-portable md5 affine hash family
+(``operators.dedup`` module header) so their FULL pipelines are
+value-checked; xxhash64 remains the operators' scale-path default and is
+covered by tests + the q48 verify-stage oracle. Still rows-only: q16
+(xxhash64-derived hyperplanes) and q40 (binary decode stub). Normalization
+SQL mirrors ``operators.dedup.normalize_text`` exactly (DuckDB
+regexp_replace needs the 'g' flag; Spark's replaces all matches by default).
 """
 
 from __future__ import annotations
@@ -22,6 +25,150 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
+
+# --- generated oracle SQL for the md5 minhash/simhash family ---------------
+#
+# The battery runs q13/q14/q35 with hash_method="md5" (operators.dedup module
+# header): one md5 per shingle/token reduced to a 60-bit BIGINT, expanded by
+# Carter-Wegman affine hashing mod 2^31-1. DuckDB reproduces every step
+# bit-for-bit, so the FULL pipelines — shingle → signature → banded buckets →
+# capped pair generation → exact-Jaccard verify (→ transitive closure) — are
+# value-checked, not just row-counted. The xxhash64 method remains the
+# scale-path default everywhere.
+
+_M31 = dedup.MERSENNE_31
+
+
+def _minhash_pair_ctes(num_hashes: int, bands: int, threshold: float) -> str:
+    """CTE chain from ``documents`` to ``ver`` (verified near-dup pairs),
+    mirroring minhash_profile + minhash_lsh_candidates + exact_jaccard with
+    hash_method='md5', max_shingles=None, max_bucket=64."""
+    width = num_hashes // bands
+    ab = dedup.minhash_affine_constants(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * x + {b}) % {_M31}) AS h{p}"
+        for p, (a, b) in enumerate(ab)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('_', "
+        + ", ".join(f"h{b * width + j}::VARCHAR" for j in range(width))
+        + ") AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    norm = _NORM.format(c="text")
+    return f"""
+    words AS (
+      SELECT doc_id, string_split({norm}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, s,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % {_M31} AS x
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_sel}
+    ),
+    buckets AS (
+      SELECT band_idx, band_key,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM bands GROUP BY 1, 2
+    ),
+    mem AS (
+      SELECT band_idx, band_key,
+             generate_subscripts(ids, 1) AS p, unnest(ids) AS id
+      FROM buckets WHERE len(ids) > 1
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM mem a JOIN mem b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.p < b.p
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE)
+            >= {threshold}
+    )"""
+
+
+def _simhash_oracle(bits: int, bands: int, max_hamming: int) -> str:
+    """Full SQL for q14: md5 simhash signatures → banded buckets → capped
+    pairs → popcount verify, mirroring simhash_signatures/simhash_candidates
+    with hash_method='md5'."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    norm = _NORM.format(c="text")
+    bitsums = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, sig, {b} AS band_idx,"
+        f" ((sig >> {b * width}) & {mask}) AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bs AS (
+      SELECT doc_id,
+             {bitsums}
+      FROM th GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM bs),
+    bands AS (
+      {band_sel}
+    ),
+    buckets AS (
+      SELECT band_idx, band_val,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM bands GROUP BY 1, 2
+    ),
+    mem AS (
+      SELECT band_idx, band_val,
+             generate_subscripts(ids, 1) AS p, unnest(ids) AS id
+      FROM buckets WHERE len(ids) > 1
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM mem a JOIN mem b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.p < b.p
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+    """
 
 
 # ===========================================================================
@@ -89,26 +236,35 @@ def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q13_minhash_dedup",
-    oracle=None,  # xxhash64-based signatures are not reproducible in DuckDB
-    doc="MinHash(64)+LSH(16 bands) near-dedup with exact-Jaccard verify; "
-    "rows-only check (engine-specific hash family).",
+    oracle=f"""
+    WITH {_minhash_pair_ctes(num_hashes=64, bands=16, threshold=0.5)}
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM ver)
+    """,
+    doc="MinHash(64)+LSH(16 bands) near-dedup with exact-Jaccard verify, "
+    "md5 affine hash family — the FULL pipeline (shingle -> signature -> "
+    "banded buckets -> capped pairs -> verify -> anti-join) is "
+    "value-checked against DuckDB; xxhash64 stays the scale default.",
 )
 def q13_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
-    return dedup.minhash_dedup(docs, verify_threshold=0.5).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return dedup.minhash_dedup(
+        docs, verify_threshold=0.5, max_shingles=None, hash_method="md5"
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
     "q14_simhash_candidates",
-    oracle=None,
-    doc="64-bit SimHash banded near-dup candidates (hamming<=10); rows-only.",
+    oracle=_simhash_oracle(bits=60, bands=4, max_hamming=10),
+    doc="60-bit md5 SimHash banded near-dup candidates (hamming<=10), "
+    "fully value-checked against DuckDB (bit sums, fingerprint assembly, "
+    "banded bucketing, capped pairing, popcount verify).",
 )
 def q14_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
-    sigs = dedup.simhash_signatures(docs)
-    return dedup.simhash_candidates(sigs, max_hamming=10)
+    sigs = dedup.simhash_signatures(docs, bits=60, hash_method="md5")
+    out = dedup.simhash_candidates(sigs, max_hamming=10, bits=60)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 # ===========================================================================
@@ -303,15 +459,32 @@ def q21_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q35_minhash_dedup_transitive",
-    oracle=None,
-    doc="MinHash near-dedup with full transitive closure via iterative "
-    "min-label connected components (rows-only: xxhash64 signatures).",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(num_hashes=64, bands=16, threshold=0.5)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS mn FROM reach GROUP BY src)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE mn < id)
+    """,
+    doc="MinHash near-dedup with full transitive closure (iterative "
+    "min-label connected components on Spark; WITH RECURSIVE reachability "
+    "in the oracle) — md5 hash family makes the whole closure "
+    "value-checked against DuckDB.",
 )
 def q35_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
-    return dedup.minhash_dedup_transitive(docs, verify_threshold=0.5).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return dedup.minhash_dedup_transitive(
+        docs, verify_threshold=0.5, max_shingles=None, hash_method="md5"
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
