@@ -18,6 +18,8 @@ was chosen because it needs no trained state and stays deterministic.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -81,24 +83,57 @@ def brute_force_topk(
     )
 
 
+def md5_plane_weights(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """±1 hyperplane weight matrix from the engine-portable md5 family
+    (cf. operators.dedup module header): weight(p, i) = +1 iff the 60-bit
+    prefix of md5("{seed}:{p}:{i}") is even. Reproducible in any engine with
+    md5 — DuckDB: ``('0x' || substr(md5(seed || ':' || p || ':' || i), 1,
+    15))::BIGINT % 2 = 0``. Computed once at plan time (planes x dim literals,
+    tiny); the per-row cost is a pure fused multiply-add in codegen, cheaper
+    than the per-row xxhash64 regeneration of the default mode."""
+    out = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
 def hyperplane_signature(
-    emb: Column, planes: int = 16, seed: int = 42
+    emb: Column,
+    planes: int = 16,
+    seed: int = 42,
+    hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> Column:
     """``planes``-bit sign signature. Hyperplane p's weight for dimension i
-    is ±1 from xxhash64(p, i, seed) — regenerated identically anywhere, no
-    stored model."""
+    is ±1 — from xxhash64(p, i, seed) by default (regenerated identically on
+    any executor, no stored model; works for unknown/ragged dims), or from
+    the md5-portable family (``hash_method="md5"``, requires ``dim``) whose
+    weights a SQL oracle can re-derive bit-for-bit."""
+    if hash_method == "md5":
+        if dim is None:
+            raise ValueError("hash_method='md5' requires an explicit dim")
+        weights = md5_plane_weights(planes, dim, seed)
+
+        def plane_weights(p: int) -> Column:
+            return F.array(*[F.lit(x) for x in weights[p]])
+
+    else:
+
+        def plane_weights(p: int) -> Column:
+            return F.transform(
+                F.sequence(F.lit(0), F.size(emb) - 1),
+                lambda i: F.when(
+                    F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), 2) == 0, 1.0
+                ).otherwise(-1.0),
+            )
+
     def bit(p: int) -> Column:
         dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: F.when(
-                        F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), 2) == 0, 1.0
-                    ).otherwise(-1.0),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(emb, plane_weights(p), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -140,6 +175,8 @@ def lsh_topk(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int = 1024,
+    hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share at least one of ``bands`` signature bands
     (multi-probe), exact cosine re-ranks within candidates. Recall rises with
@@ -156,7 +193,9 @@ def lsh_topk(
     def sig_bands(df: DataFrame, role: str) -> DataFrame:
         d = with_double_embedding(df, emb_col).select(
             F.col(id_col).alias(f"{role}_id"),
-            hyperplane_signature(F.col(emb_col), planes, seed).alias("__sig"),
+            hyperplane_signature(
+                F.col(emb_col), planes, seed, hash_method, dim
+            ).alias("__sig"),
         )
         return d.select(
             f"{role}_id", F.explode(_bands_of(F.col("__sig"), planes, bands)).alias("band")
@@ -203,6 +242,130 @@ def lsh_topk(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the closest centroid (squared L2; first-wins ties)."""
+    dists = F.array(
+        *[_sq_dist(emb, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF routing: initial centroids are
+    the embeddings of the ``n_cells`` smallest ids, then ``n_iter`` fixed
+    assignment/mean rounds. Each round ROUNDS centroid components to 6
+    decimals in-engine (HALF_UP — same rule as DuckDB ``round``), which
+    absorbs summation-order float noise and makes the trained model
+    reproducible across engines/partitionings — that is what lets q50 carry
+    a full SQL oracle. Per round: one job collecting n_cells x dim doubles
+    (model state, not data); empty cells keep their previous centroid.
+
+    Scale shape: centroids are plan-time literals (n_cells x dim, tiny); the
+    assignment is a codegen expression — no shuffle beyond the groupBy on
+    cell, no per-row Python.
+    """
+    d = with_double_embedding(corpus, emb_col)
+    if dim is None:
+        # one tiny probe job; callers that know the dim should pass it
+        dim = len(d.select(emb_col).first()[0])
+    init = (
+        d.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.transform(F.col(emb_col), lambda x: F.round(x, 6)).alias("e"))
+        .collect()
+    )
+    centroids = [list(r.e) for r in init]
+    for _ in range(n_iter):
+        means = (
+            d.select(
+                _nearest_cell(F.col(emb_col), centroids).alias("cell"),
+                F.col(emb_col).alias("e"),
+            )
+            .groupBy("cell")
+            .agg(*[F.round(F.avg(F.col("e")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {r.cell: [r[f"c{i}"] for i in range(dim)] for r in means}
+        centroids = [by_cell.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: k-means-partition the corpus once (``kmeans_fit``),
+    route each query to its ``n_probe`` nearest centroid cells, exact cosine
+    re-rank inside the probed cells. The trained-state complement of the
+    stateless ``lsh_topk``: recall comes from probing more cells instead of
+    more bands, and candidates are corpus/``n_cells``-sized cell scans
+    instead of hash buckets — better on clustered embedding distributions.
+
+    Scale shape: centroid literals ride the plan (no model table, no
+    broadcast join); the candidate join is an equi-join on ``cell``; the
+    wide embedding arrays never fan out (each corpus row keeps exactly one
+    cell; only query rows replicate x ``n_probe``)."""
+    centroids = kmeans_fit(corpus, n_cells, n_iter, id_col, emb_col, dim)
+    c = with_double_embedding(corpus, emb_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
+    ).withColumn("cell", _nearest_cell(F.col("__c_emb"), centroids))
+    q = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("__q_emb"), F.array(*[F.lit(x) for x in cc])).alias("d"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, cc in enumerate(centroids)
+        ]
+    )
+    probed = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+            )
+        ),
+    )
+    scored = probed.join(c, "cell").select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+    ).where(F.col("query_id") != F.col("corpus_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -212,6 +375,8 @@ def embedding_dup_pairs(
     bands: int = 4,
     seed: int = 42,
     max_bucket: int = 256,
+    hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold)
     via the LSH bucket join — the embedding-space analog of minhash dedup.
@@ -221,7 +386,9 @@ def embedding_dup_pairs(
     back by id for the exact cosine verify."""
     d = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id"),
-        hyperplane_signature(F.col(emb_col), planes, seed).alias("sig"),
+        hyperplane_signature(F.col(emb_col), planes, seed, hash_method, dim).alias(
+            "sig"
+        ),
     )
     banded = d.select(
         "id", F.explode(_bands_of(F.col("sig"), planes, bands)).alias("band")

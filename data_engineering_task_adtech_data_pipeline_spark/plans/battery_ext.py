@@ -5,9 +5,10 @@ Oracle pairing policy: every query gets a full DuckDB oracle unless its
 semantics are genuinely not SQL-expressible. The minhash/simhash battery
 entries (q13/q14/q35) run the engine-portable md5 affine hash family
 (``operators.dedup`` module header) so their FULL pipelines are
-value-checked; xxhash64 remains the operators' scale-path default and is
-covered by tests + the q48 verify-stage oracle. Still rows-only: q16
-(xxhash64-derived hyperplanes) and q40 (binary decode stub). Normalization
+value-checked, and the ANN entries (q16/q49) run md5-derived hyperplanes
+(``operators.similarity.md5_plane_weights``) for the same reason; xxhash64
+remains the operators' scale-path default and is covered by tests + the q48
+verify-stage oracle. Still rows-only: q40 (binary decode stub). Normalization
 SQL mirrors ``operators.dedup.normalize_text`` exactly (DuckDB
 regexp_replace needs the 'g' flag; Spark's replaces all matches by default).
 """
@@ -303,17 +304,225 @@ def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _lsh_sig_ctes(planes: int, bands: int, seed: int, dim: int) -> str:
+    """CTE chain from ``embeddings`` to ``bands``/``buckets``-ready ``sigs``,
+    mirroring ``similarity.hyperplane_signature(hash_method='md5')``: ±1
+    weights from the 60-bit md5 prefix of '{seed}:{p}:{i}', double-accumulated
+    dot products, sign bit p contributes 2^p to the signature."""
+    return f"""
+    w AS (
+      SELECT p, list(CASE WHEN ('0x' || substr(md5('{seed}:' || CAST(p AS VARCHAR)
+                     || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                     THEN 1.0 ELSE -1.0 END ORDER BY i) AS wv
+      FROM generate_series(0, {planes - 1}) t1(p),
+           generate_series(0, {dim - 1}) t2(i)
+      GROUP BY p
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM (
+        SELECT v.vec_id, w.p,
+               list_sum(list_transform(list_zip(v.e, w.wv),
+                        t -> t[1] * t[2])) AS dot
+        FROM v, w
+      ) GROUP BY vec_id
+    )"""
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), t -> t[1] * t[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
 @query(
     "q16_lsh_topk",
-    oracle=None,
-    doc="Random-hyperplane LSH ANN top-5 (16 planes, 8 bands) — the scale "
-    "path; rows-only (xxhash64-derived hyperplanes).",
+    oracle=f"""
+    WITH {_lsh_sig_ctes(planes=16, bands=8, seed=42, dim=64)},
+    bands AS (
+      SELECT vec_id, b AS band_idx, (sig >> (b * 2)) & 3 AS band_val
+      FROM sigs, generate_series(0, 7) t(b)
+    ),
+    buckets AS (
+      SELECT band_idx, band_val,
+             (list_sort(list(DISTINCT vec_id)))[1:1024] AS members
+      FROM bands GROUP BY band_idx, band_val
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, m.corpus_id
+      FROM (SELECT * FROM bands WHERE vec_id < 10) qb
+      JOIN buckets USING (band_idx, band_val),
+      LATERAL unnest(buckets.members) AS m(corpus_id)
+      WHERE qb.vec_id <> m.corpus_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.corpus_id,
+             {_COSINE_SQL.format(a="q.e", b="cv.e")} AS cosine_sim
+      FROM cand c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v cv ON cv.vec_id = c.corpus_id
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Random-hyperplane LSH ANN top-5 (16 planes, 8 bands, md5-portable "
+    "weights) — the scale path, full-pipeline value-checked: signature bits, "
+    "banded buckets, capped candidate join, exact cosine re-rank.",
 )
 def q16_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Testdata(spark, sf_dir).embeddings
-    return similarity.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, planes=16, bands=8
+    out = similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, planes=16, bands=8,
+        hash_method="md5", dim=64,
     )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "q49_embedding_dup_pairs",
+    oracle=f"""
+    WITH {_lsh_sig_ctes(planes=16, bands=4, seed=42, dim=64)},
+    bands AS (
+      SELECT vec_id, b AS band_idx, (sig >> (b * 4)) & 15 AS band_val
+      FROM sigs, generate_series(0, 3) t(b)
+    ),
+    buckets AS (
+      SELECT band_idx, band_val,
+             (list_sort(list(DISTINCT vec_id)))[1:256] AS ids
+      FROM bands GROUP BY band_idx, band_val
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id_a, b.id_b
+      FROM buckets,
+      LATERAL unnest(buckets.ids) AS a(id_a),
+      LATERAL unnest(buckets.ids) AS b(id_b)
+      WHERE a.id_a < b.id_b
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             {_COSINE_SQL.format(a="va.e", b="vb.e")} AS cosine_sim
+      FROM pairs p
+      JOIN v va ON va.vec_id = p.id_a
+      JOIN v vb ON vb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs via the LSH bucket join "
+    "(16 planes, 4 bands, md5-portable weights) — the embedding-space analog "
+    "of minhash dedup; full-pipeline value-checked.",
+)
+def q49_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    return similarity.embedding_dup_pairs(
+        emb, threshold=0.35, planes=16, bands=4, hash_method="md5", dim=64
+    )
+
+
+# --- IVF ANN: the SQL oracle replicates the TRAINING, not just the query --
+#
+# ``similarity.kmeans_fit`` is engine-reproducible by construction:
+# deterministic init (n_cells smallest ids), fixed Lloyd rounds, and 6-decimal
+# HALF_UP centroid rounding each round that absorbs summation-order float
+# noise. The oracle below therefore unrolls the same 3 assignment/mean rounds
+# as chained CTEs and must land on bit-identical centroids, cell assignments,
+# probes, and final top-k — a full value check of a *trained* ANN index.
+
+_IVF_DIST = (
+    "list_sum(list_transform(list_zip({e}, {c}),"
+    " t -> (t[1] - t[2]) * (t[1] - t[2])))"
+)
+
+
+def _ivf_iter_ctes(i: int, dim: int) -> str:
+    prev = f"c{i - 1}"
+    dist = _IVF_DIST.format(e="v.e", c=f"{prev}.c")
+    return f"""
+    a{i} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {prev}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {dist} ASC, {prev}.cell ASC) AS rn
+        FROM v, {prev}
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cell, i, round(avg(e[i]), 6) AS m
+      FROM a{i}, generate_series(1, {dim}) t(i) GROUP BY cell, i
+    ),
+    c{i} AS (
+      SELECT {prev}.cell, COALESCE(n.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cell, list(m ORDER BY i) AS c FROM m{i} GROUP BY cell
+      ) n USING (cell)
+    )"""
+
+
+def _ivf_oracle(
+    n_cells: int, n_iter: int, n_probe: int, k: int, dim: int
+) -> str:
+    final = f"c{n_iter}"
+    its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
+    query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_cells})
+    ),{its},
+    corpus_cells AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, {final}.cell ASC) AS rn
+        FROM v, {final}
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, e, cell FROM (
+        SELECT q.vec_id AS query_id, q.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {query_dist} ASC, {final}.cell ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < 10) q, {final}
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, cc.vec_id AS corpus_id,
+             {_COSINE_SQL.format(a="p.e", b="cc.e")} AS cosine_sim
+      FROM probe p JOIN corpus_cells cc USING (cell)
+      WHERE p.query_id <> cc.vec_id
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "q50_ivf_topk",
+    oracle=_ivf_oracle(n_cells=8, n_iter=3, n_probe=2, k=5, dim=64),
+    doc="IVF ANN top-5 (8 k-means cells, 3 deterministic Lloyd rounds, "
+    "2-cell probe) — the trained-state ANN path; the oracle unrolls the "
+    "training itself, so centroids, assignments and the final top-k are all "
+    "value-checked.",
+)
+def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        n_cells=8, n_iter=3, n_probe=2, dim=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 # ===========================================================================

@@ -90,6 +90,67 @@ def test_lsh_topk_recall_on_testdata(spark):
     assert recall >= 0.8, recall  # 2-bit bands: high multi-probe recall
 
 
+def test_lsh_topk_md5_matches_xxhash_shape(spark):
+    """md5-portable hyperplanes are a drop-in: same schema, same recall
+    contract, deterministic weights from the plan-time literal matrix."""
+    from conftest import SF_ORACLE
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    w1 = similarity.md5_plane_weights(4, 8, seed=42)
+    w2 = similarity.md5_plane_weights(4, 8, seed=42)
+    assert w1 == w2
+    assert all(x in (1.0, -1.0) for row in w1 for x in row)
+    assert w1 != similarity.md5_plane_weights(4, 8, seed=43)
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.corpus_id) for r in
+          similarity.brute_force_topk(emb, q, k=5).collect()}
+    lsh = {(r.query_id, r.corpus_id) for r in
+           similarity.lsh_topk(emb, q, k=5, planes=16, bands=8,
+                               hash_method="md5", dim=64).collect()}
+    assert len(bf & lsh) / len(bf) >= 0.8
+
+
+def test_embedding_dup_pairs_finds_planted_dups(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.1, 0.0]),
+            (2, [1.0, 0.01, 0.1, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.2]),
+            (4, [0.0, 1.0, 0.01, 0.2]),  # near-dup of 3
+            (5, [-1.0, 0.5, 0.0, 0.0]),  # no dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.embedding_dup_pairs(
+        emb, threshold=0.99, planes=16, bands=8, hash_method="md5", dim=4
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any(5 in p for p in pairs)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from conftest import SF_ORACLE
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    c1 = similarity.kmeans_fit(emb, n_cells=8, n_iter=3, dim=64)
+    c2 = similarity.kmeans_fit(emb.repartition(7), n_cells=8, n_iter=3, dim=64)
+    assert c1 == c2  # rounding makes training partition-independent
+
+    bf = {(r.query_id, r.corpus_id) for r in
+          similarity.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r.query_id, r.corpus_id) for r in
+           similarity.ivf_topk(emb, q, k=5, n_cells=8, n_iter=3,
+                               n_probe=2, dim=64).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.7  # probing 2/8 cells
+
+
 def test_lang_id_heuristic(spark):
     df = spark.createDataFrame(
         [
