@@ -178,6 +178,63 @@ def streaming_sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("id",),
+    ts_col: str = "created_at",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """At-least-once source → effectively-once rows:
+    ``dropDuplicatesWithinWatermark`` keeps one row per id and expires the
+    dedup state once the watermark passes, so state is O(ids per lateness
+    window) instead of the unbounded O(all ids ever) of a plain streaming
+    ``dropDuplicates``. The streaming front-door for the same contract the
+    batch path gets from ``operators.dedup.exact_dedup`` /
+    ``operators.upsert.latest_version``."""
+    return events.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def stream_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Click↔impression attribution as a watermarked stream-stream interval
+    join: every (click, impression) pair of the same campaign where the
+    impression happened inside ``attribution_window`` BEFORE the click.
+
+    The reference joins clicks to campaign state in 5-minute batch cycles
+    (``dags/track_delta.py``); the streaming-native form is this interval
+    join — both sides carry watermarks and the join condition bounds event
+    time on both ends, so each side's state holds only rows younger than
+    watermark + window (Spark drops older state automatically). Emits ALL
+    candidate pairs; last-touch selection is the downstream
+    ``latest_version(keys=[click_id], version=imp_ts)`` dedup — the same
+    latest-wins contract the rest of the pipeline uses (or, in batch,
+    ``operators.joins.asof_join``)."""
+    imp = impressions.select(
+        F.col("id").alias("impression_id"),
+        F.col("campaign_id").alias("imp_campaign_id"),
+        F.col("created_at").alias("imp_ts"),
+    ).withWatermark("imp_ts", lateness)
+    clk = clicks.select(
+        F.col("id").alias("click_id"),
+        F.col("campaign_id").alias("campaign_id"),
+        F.col("created_at").alias("clk_ts"),
+    ).withWatermark("clk_ts", lateness)
+    return clk.join(
+        imp,
+        F.expr(
+            "imp_campaign_id = campaign_id"
+            " AND clk_ts >= imp_ts"
+            f" AND clk_ts <= imp_ts + interval {attribution_window}"
+        ),
+    ).select("click_id", "campaign_id", "clk_ts", "impression_id", "imp_ts")
+
+
 def stream_events_daily(
     spark: SparkSession,
     input_dir: str,

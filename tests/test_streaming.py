@@ -134,6 +134,92 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_attribution_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream interval join == the batch interval join over the same
+    files; last-touch via latest_version == batch asof-style argmax."""
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        stream_attribution,
+    )
+
+    d = str(tmp_path)
+    gen_impressions(spark, GenConfig(impressions_per_campaign=200)).write.mode(
+        "append"
+    ).parquet(d + "/imp")
+    # clicks: a shifted subset so some fall inside / some outside the window
+    gen_impressions(
+        spark, GenConfig(impressions_per_campaign=40, seed=9)
+    ).withColumn(
+        "created_at", F.col("created_at") + F.expr("interval 7 minutes")
+    ).write.mode("append").parquet(d + "/clk")
+
+    imp_s = spark.readStream.schema(EVENT_SCHEMA).parquet(d + "/imp")
+    clk_s = spark.readStream.schema(EVENT_SCHEMA).parquet(d + "/clk")
+    pairs = stream_attribution(imp_s, clk_s, attribution_window="30 minutes")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", d + "/out")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(d + "/out")
+
+    imp_b = spark.read.parquet(d + "/imp")
+    clk_b = spark.read.parquet(d + "/clk")
+    expect = clk_b.alias("c").join(
+        imp_b.alias("i"),
+        F.expr(
+            "i.campaign_id = c.campaign_id AND c.created_at >= i.created_at"
+            " AND c.created_at <= i.created_at + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c.id").alias("click_id"),
+        F.col("i.id").alias("impression_id"),
+    )
+    assert got.count() == expect.count() > 0
+    assert (
+        got.select("click_id", "impression_id").exceptAll(expect).count() == 0
+    )
+
+    # last-touch: latest impression per click via the shared dedup contract
+    last = latest_version(
+        got, keys=["click_id"], version="imp_ts", tiebreak=["impression_id"]
+    )
+    assert last.count() == got.select("click_id").distinct().count()
+
+
+@pytest.mark.slow
+def test_dedup_stream_drops_redelivered_ids(spark, tmp_path):
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        dedup_stream,
+    )
+
+    d = str(tmp_path)
+    batch = gen_impressions(spark, GenConfig(impressions_per_campaign=100))
+    batch.write.mode("append").parquet(d + "/in")
+    batch.write.mode("append").parquet(d + "/in")  # at-least-once redelivery
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d + "/in")
+    q = (
+        dedup_stream(stream, id_cols=("id",), lateness="30 days")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", d + "/out")
+        .option("checkpointLocation", d + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(d + "/out")
+    assert out.count() == batch.count()
+    assert out.select("id").distinct().count() == out.count()
+
+
+@pytest.mark.slow
 def test_post_batch_gold_rebuild_hook(spark, tmp_path):
     """foreachBatch's post_batch hook is the reports-downstream-of-delta
     wiring (track_delta.py:662-664): assert it fires after appends."""
