@@ -1,0 +1,96 @@
+"""Quantify the salted two-phase agg on a pathological hot key.
+
+Generates an events frame where ONE campaign owns ~30% of all rows (the
+SCALING.md stress shape), then times:
+
+  a. plain  groupBy(campaign).agg(...)        -- baseline
+  b. salted salted_agg(campaign, 32 buckets)  -- functions/skew.py
+
+for two aggregate classes:
+
+  - algebraic  (count + max): Spark's partial HashAggregate already collapses
+    the hot key map-side, so salting should NOT win here — recording that is
+    the point (don't salt what the engine already solves);
+  - holistic   (collect_list size): partial state is O(rows-per-key), the hot
+    key's list rides one reduce task; salting splits it 32 ways.
+
+Usage: python tools/skew_bench.py [rows] [hot_share]
+Appends nothing; prints a JSON line — copy results into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from data_engineering_task_adtech_data_pipeline_spark.functions.skew import (  # noqa: E402
+    salted_agg,
+)
+from data_engineering_task_adtech_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+    spark = get_spark()
+
+    # hot key 0 gets `hot_share` of rows; the rest spread over 10k keys
+    df = (
+        spark.range(rows)
+        .withColumn(
+            "campaign_id",
+            F.when(F.rand(42) < hot_share, F.lit(0)).otherwise(
+                (F.rand(43) * 10_000).cast("long") + 1
+            ),
+        )
+        .withColumn("created_at", F.current_timestamp())
+    )
+    df.write.mode("overwrite").parquet("/tmp/skew_bench_events")
+    df = spark.read.parquet("/tmp/skew_bench_events")
+
+    def t(fn) -> float:
+        start = time.time()
+        fn()
+        return round(time.time() - start, 2)
+
+    res: dict[str, float] = {}
+
+    res["algebraic_plain"] = t(
+        lambda: df.groupBy("campaign_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("created_at").alias("wm"))
+        .write.mode("overwrite").format("noop").save()
+    )
+    res["algebraic_salted"] = t(
+        lambda: salted_agg(
+            df,
+            ["campaign_id"],
+            partials={"n": F.count(F.lit(1)), "wm": F.max("created_at")},
+            merges={"n": F.sum("n"), "wm": F.max("wm")},
+        ).write.mode("overwrite").format("noop").save()
+    )
+
+    res["holistic_plain"] = t(
+        lambda: df.groupBy("campaign_id")
+        .agg(F.size(F.collect_list("id")).alias("n_ids"))
+        .write.mode("overwrite").format("noop").save()
+    )
+    res["holistic_salted"] = t(
+        lambda: salted_agg(
+            df,
+            ["campaign_id"],
+            partials={"n_ids": F.size(F.collect_list("id"))},
+            merges={"n_ids": F.sum("n_ids")},
+        ).write.mode("overwrite").format("noop").save()
+    )
+
+    print(json.dumps({"rows": rows, "hot_share": hot_share, **res}))
+
+
+if __name__ == "__main__":
+    main()
