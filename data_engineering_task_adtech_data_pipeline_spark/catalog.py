@@ -40,6 +40,32 @@ def rebuild_table(
     df.write.mode("overwrite").saveAsTable(f"{database}.{name}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    database: str = "default",
+) -> None:
+    """Bucketed (hash-partitioned-on-disk) table write: every reader joining
+    or aggregating on ``key`` with a matching bucket count skips the shuffle
+    entirely — the join/agg exchange disappears from the plan (asserted in
+    tests/test_plans.py). This is the at-rest co-location strategy for the
+    silver campaign tables at 100 TB: pay the hash partitioning once at
+    write, delete it from every downstream cycle.
+
+    Catalog note: bucketing metadata lives in the table catalog (not the
+    parquet files), so this needs ``saveAsTable``; with Spark's default
+    in-memory catalog the registration is session-scoped while the files
+    (``path``) persist — a cluster deployment pins them with a Hive/Iceberg
+    metastore."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(f"{database}.{table}")
+
+
 def drop_table(spark: SparkSession, name: str, database: str = "default") -> None:
     spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
 

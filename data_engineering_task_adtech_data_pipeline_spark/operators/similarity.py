@@ -148,20 +148,28 @@ def hyperplane_signature(
     )
 
 
-def _bands_of(sig: Column, planes: int, bands: int) -> Column:
-    """array<struct<band_idx,band_val>> splitting a ``planes``-bit signature
-    into ``bands`` equal bit-slices (multi-probe LSH banding)."""
+def _band_rows(
+    df: DataFrame, sig_col: str, planes: int, bands: int
+) -> DataFrame:
+    """One row per (input row, band): band b's value is bits
+    [b*width, (b+1)*width) of the signature. The band index is EXPLODED
+    FIRST and the bit-slice computed from the carried signature attribute
+    AFTER the Generate — referencing the signature expression ``bands``
+    times in one projection would let CollapseProject inline the ~planes x
+    dim signature arithmetic into every branch and recompute it per band
+    (the lambda-recompute trap, cf. operators/dedup.py:_grams); the Generate
+    barrier pins it to one evaluation per input row."""
     width = planes // bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.shiftrightunsigned(sig, b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("band_val"),
-            )
-            for b in range(bands)
-        ]
+    mask = (1 << width) - 1
+    keep = [c for c in df.columns if c != sig_col]
+    return df.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    ).select(
+        *keep,
+        "band_idx",
+        F.expr(
+            f"shiftrightunsigned({sig_col}, band_idx * {width}) & {mask}L"
+        ).alias("band_val"),
     )
 
 
@@ -197,9 +205,7 @@ def lsh_topk(
                 F.col(emb_col), planes, seed, hash_method, dim
             ).alias("__sig"),
         )
-        return d.select(
-            f"{role}_id", F.explode(_bands_of(F.col("__sig"), planes, bands)).alias("band")
-        ).select(f"{role}_id", "band.band_idx", "band.band_val")
+        return _band_rows(d, "__sig", planes, bands)
 
     c_buckets = (
         sig_bands(corpus, "corpus")
@@ -390,9 +396,7 @@ def embedding_dup_pairs(
             "sig"
         ),
     )
-    banded = d.select(
-        "id", F.explode(_bands_of(F.col("sig"), planes, bands)).alias("band")
-    ).select("id", "band.band_idx", "band.band_val")
+    banded = _band_rows(d, "sig", planes, bands)
     buckets = banded.groupBy("band_idx", "band_val").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_bucket).alias("ids")
     )

@@ -48,3 +48,45 @@ def test_range_join_is_equi_join(spark):
     plan = _plan(spark, "q30_range_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """SCALING.md's bucketing claim, asserted on the physical plan: a join
+    of two tables bucketed on the key with equal bucket counts contains NO
+    Exchange — the shuffle was paid once at write time."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.catalog import (
+        drop_table,
+        write_bucketed,
+    )
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("rtm_campaign_id"), (F.col("id") % 97).alias("n")
+    )
+    right = spark.range(1_000).select(
+        F.col("id").alias("rtm_campaign_id"), F.lit("x").alias("name")
+    )
+    write_bucketed(left, "bk_totals", "rtm_campaign_id", 8,
+                   path=str(tmp_path / "bk_totals"))
+    write_bucketed(right, "bk_campaigns", "rtm_campaign_id", 8,
+                   path=str(tmp_path / "bk_campaigns"))
+    try:
+        joined = (
+            spark.table("bk_totals")
+            .hint("merge")
+            .join(spark.table("bk_campaigns"), "rtm_campaign_id")
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1_000
+    finally:
+        drop_table(spark, "bk_totals")
+        drop_table(spark, "bk_campaigns")
