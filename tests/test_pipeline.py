@@ -111,3 +111,39 @@ def test_delta_picks_up_new_batch_and_matches_full_recompute(pipe, spark, tmp_pa
 
     # third run: no-op again
     assert all(v == 0 for v in pipe.track_deltas().values())
+
+
+def test_incremental_gold_matches_full_rebuild(spark, tmp_path):
+    """ROADMAP #5: bucket-incremental daily-report maintenance reproduces the
+    full rebuild bit-for-bit — including campaign_day ordinals — because the
+    report is bucket-closed (every column depends only on same-campaign
+    rows)."""
+    root = str(tmp_path / "lake")
+    p = Pipeline(spark, root, as_of=AS_OF)
+    p.write_bronze(gen_all(spark, GenConfig(advertisers=3,
+                                            campaigns_per_advertiser=2,
+                                            impressions_per_campaign=150)))
+    p.initial_load()
+    # first incremental cycle builds the bucketed layout in full
+    p.append_bronze(gen_all(
+        spark,
+        GenConfig(advertisers=2, campaigns_per_advertiser=2,
+                  impressions_per_campaign=80, seed=3, id_offset=40),
+    ))
+    assert any(p.track_deltas(incremental_gold=True).values())
+    # second cycle touches a strict subset of campaigns -> partial rewrite
+    p.append_bronze(gen_all(
+        spark,
+        GenConfig(advertisers=1, campaigns_per_advertiser=1,
+                  impressions_per_campaign=60, seed=11, id_offset=200),
+    ))
+    assert any(p.track_deltas(incremental_gold=True).values())
+
+    got = p.gold("advertiser_campaigns_daily_ctr_report_bucketed").drop(
+        "gold_bucket"
+    )
+    p.rebuild_reports()  # reference full rebuild over the same silver state
+    want = p.gold("advertiser_campaigns_daily_ctr_report")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
