@@ -489,10 +489,14 @@ def connected_components(
     near-dup closure (a ~ b ~ c ⇒ one group even if a !~ c).
 
     Each iteration joins every node's current label against its neighbors'
-    and keeps the minimum; converges in O(log(diameter)) iterations for the
-    short chains dedup produces. Iterations checkpoint via ``localCheckpoint``
-    to cut the growing lineage (the standard Spark iterative-algorithm
-    pattern); the loop exits early when no label changes.
+    and keeps the minimum; the min label travels ONE hop per round, so
+    convergence is O(diameter) — right for the short chains dedup produces,
+    but a path-shaped component longer than ``max_iterations`` would be
+    silently split. For adversarial/giant components use
+    ``connected_components_star`` (O(log^2 n) regardless of shape).
+    Iterations checkpoint via ``localCheckpoint`` to cut the growing lineage
+    (the standard Spark iterative-algorithm pattern); the loop exits early
+    when no label changes.
 
     Returns (id, component) with component = min id in the group.
     """
@@ -534,6 +538,89 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log^2 n) rounds INDEPENDENT of component shape, unlike
+    min-label propagation's O(diameter). The scale path for pathological
+    dedup graphs: boilerplate corpora can chain thousands of near-identical
+    docs into one long component that would out-run a fixed propagation
+    budget, and each star round is just a groupBy + join on the (small)
+    edge frame.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its neighborhood (incl. itself); small-star re-attaches the
+    smaller-or-equal ones. At fixpoint the edge set is a forest of stars
+    (node -> component root). Returns (id, component), component = min id.
+    """
+    e = (
+        edges.where(F.col("id_a") != F.col("id_b"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        und = ed.unionByName(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = und.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            und.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        oriented = ed.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        nbr = (
+            oriented.join(m, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_edge = m.select("src", F.col("m").alias("dst"))
+        return (
+            nbr.unionByName(self_edge)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def checksum(ed: DataFrame):
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            # (sum(xxhash64) overflows long)
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    prev = checksum(e)
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are (node -> root) stars; roots label themselves
+    roots = e.select(F.col("dst").alias("id")).distinct().join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
+    return e.select(F.col("src").alias("id"), F.col("dst").alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
 
 
 def minhash_dedup_transitive(

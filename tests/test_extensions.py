@@ -203,6 +203,34 @@ def test_connected_components_chains(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_star_matches_and_survives_long_paths(spark):
+    """large/small-star CC agrees with min-label propagation on random
+    graphs, AND solves the shape that defeats a bounded propagation budget:
+    a 60-node path has diameter 59 > the default 20 rounds, but the star
+    algorithm needs only O(log^2 n)."""
+    import random
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    pairs = {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(50)}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "id_a long, id_b long"
+    )
+    base = {(r.id, r.component) for r in connected_components(edges).collect()}
+    star = {(r.id, r.component) for r in connected_components_star(edges).collect()}
+    assert star == base
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 159)], "id_a long, id_b long"
+    )
+    out = {(r.id, r.component) for r in connected_components_star(path).collect()}
+    assert out == {(i, 100) for i in range(100, 160)}
+
+
 def test_minhash_dedup_transitive_closure(spark):
     from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
         minhash_dedup_transitive,

@@ -129,6 +129,34 @@ def test_compact_preserves_latest_versions(spark, tmp_path):
     assert latest_version(spark.read.parquet(path), ["k"], "v").count() == 2
 
 
+def test_jdbc_roundtrip_partitioned_derby(spark, tmp_path):
+    """Real JDBC round-trip against the embedded Derby that ships in Spark's
+    jars — the closest in-sandbox stand-in for the reference's Postgres scans
+    (track_delta.py:33-40): write, partitioned read (4 executor-side cursors
+    instead of one), values intact."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        read_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("x"))
+    (
+        df.write.format("jdbc")
+        .option("url", url).option("dbtable", "t").option("driver", driver)
+        .mode("overwrite").save()
+    )
+    back = read_jdbc(
+        spark, url, "t", partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100, driver=driver,
+    )
+    assert back.count() == 100
+    assert back.rdd.getNumPartitions() == 4
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
 def test_ch_left_join_fill_overrides_and_broadcast(spark):
     left = spark.createDataFrame([(1,), (2,)], "k int")
     right = spark.createDataFrame([(1, 5, "x")], "k int, cnt int, tag string")
