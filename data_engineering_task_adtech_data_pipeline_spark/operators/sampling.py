@@ -107,3 +107,33 @@ def stratified_deterministic_sample(
             (F.col(stratum_col) == stratum) & (bucket < _cutoff(frac))
         )
     return df.where(cond)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    keys: Sequence[str],
+    salt: int = 42,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-group row cap — the Common Crawl "domain cap": keep at most
+    ``cap`` rows per ``group_col`` value, chosen by deterministic key-hash
+    order rather than arrival order, so re-runs, re-partitions and engines
+    all pick the same survivors, and the hash order doubles as an unbiased
+    within-group shuffle (the cap IS a uniform per-group subsample).
+
+    Scale shape: one window shuffle on ``group_col``; groups (domains,
+    sources) number in the millions at corpus scale so partitions stay
+    small. Ties in the bucketed hash break on the keys themselves."""
+    from pyspark.sql import Window as W
+
+    order = [_hash_bucket(keys, salt, method).asc()] + [
+        F.col(k).asc() for k in keys
+    ]
+    w = W.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -159,3 +159,27 @@ def fingerprints(
         F.md5(normalize_text(text_col)).alias("normalized_md5"),
         F.array_min(grams).alias("winnow_fingerprint"),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition/diversity quality signals in the Gopher-rules family:
+    ``top_token_share`` (count of the most frequent token / total tokens)
+    and ``distinct_token_ratio`` (vocabulary size / total tokens). High top
+    share or low distinct ratio flags boilerplate, keyword-stuffed and
+    degenerate documents before they reach training.
+
+    Plan: one explode + two hash-aggregations ((id, token) then (id)) —
+    all JVM-side; docs whose normalized text is empty produce no row
+    (nothing to score)."""
+    toks = df.select(
+        F.col(id_col), F.explode(_word_array(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tc.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_share"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "distinct_token_ratio"
+        ),
+    )

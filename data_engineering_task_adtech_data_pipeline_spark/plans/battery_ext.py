@@ -925,3 +925,52 @@ def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
     )
     return pack_documents(toks, bin_tokens=512)
+
+
+@query(
+    "q51_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY ('0x' || substr(md5(doc_id || chr(31) || '42'), 1, 15))::BIGINT
+                   % 1000000 ASC,
+                 doc_id ASC
+      ) AS rn FROM documents
+    ) WHERE rn <= 10
+    """,
+    doc="Per-source document cap (the Common Crawl domain cap): keep 10 docs "
+    "per source by engine-portable md5-hash order — a deterministic uniform "
+    "within-group subsample, value-checked survivor-for-survivor.",
+)
+def q51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+
+    docs = Testdata(spark, sf_dir).documents
+    return cap_per_group(
+        docs, "source", cap=10, keys=["doc_id"], method="md5"
+    ).select("doc_id", "source")
+
+
+@query(
+    "q52_repetition_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM.format(c='text')}, ' '),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             AS distinct_token_ratio
+    FROM tc GROUP BY doc_id
+    """,
+    doc="Gopher-family repetition/diversity quality signals: most-frequent-"
+    "token share and vocabulary ratio per document.",
+)
+def q52_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.repetition_features(docs)

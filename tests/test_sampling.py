@@ -49,3 +49,41 @@ def test_stratified_sample(spark):
     assert set(by_lang) == {"en", "zh"}  # other strata dropped
     assert by_lang["zh"] == 75  # keep-all stratum complete
     assert 0.3 * 218 < by_lang["en"] < 0.7 * 218
+
+
+def test_cap_per_group_deterministic_uniform(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    capped = cap_per_group(docs, "source", cap=10, keys=["doc_id"])
+    sizes = {r.source: r.n for r in
+             capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    raw = {r.source: r.n for r in
+           docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == min(10, raw[s]) for s, n in sizes.items())
+    # partition-independent survivors
+    again = cap_per_group(docs.repartition(13), "source", cap=10, keys=["doc_id"])
+    assert {r.doc_id for r in capped.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a quiet brown fox crossed seven distinct bridges yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].top_token_share == 0.5  # 'buy' 4 of 8
+    assert out[1].distinct_token_ratio == 0.25  # 2 of 8
+    assert out[2].top_token_share < 0.2
+    assert out[2].distinct_token_ratio == 1.0
