@@ -28,8 +28,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm the JVM/codegen/file-listing paths so per-query timings measure
-    # the queries, not session startup
+    # the queries, not session startup: a scan, plus one tiny agg+join to
+    # trigger whole-stage-codegen compilation of the hash-agg/exchange/join
+    # machinery that otherwise lands on the first timed query
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.join(warm.groupBy("n_regionkey").count(), "n_regionkey").collect()
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}

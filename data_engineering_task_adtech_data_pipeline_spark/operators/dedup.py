@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 # --- engine-portable md5 hash family -------------------------------------
@@ -505,37 +505,43 @@ def connected_components(
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # checkpoint BEFORE deriving labels: otherwise the initial label frame
+    # re-executes the whole upstream candidate pipeline a second time
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    sym = sym.localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("__nbr_min"))
         )
+        # labels only ever decrease, so "any row where the new label is
+        # strictly smaller" == "not converged". Observe that count during the
+        # checkpoint materialization itself — no separate probe job per round.
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce("__nbr_min", F.col("component"))
                 ).alias("component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("__old")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("__old")
         )
-        updated = updated.localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.localCheckpoint()
+        if not obs.get["changed"]:
             break
     return labels
 

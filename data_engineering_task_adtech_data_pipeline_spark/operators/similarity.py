@@ -258,9 +258,10 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
     """0-based index of the closest centroid (squared L2; first-wins ties)."""
-    dists = F.array(
-        *[_sq_dist(emb, F.array(*[F.lit(x) for x in c])) for c in centroids]
-    )
+    # F.lit(list) emits ONE array literal per centroid (not dim CreateArray
+    # children) — keeps the expression tree small enough that repeated
+    # re-analysis across Lloyd rounds stays cheap
+    dists = F.array(*[_sq_dist(emb, F.lit([float(x) for x in c])) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -343,7 +344,7 @@ def ivf_topk(
     dists = F.array(
         *[
             F.struct(
-                _sq_dist(F.col("__q_emb"), F.array(*[F.lit(x) for x in cc])).alias("d"),
+                _sq_dist(F.col("__q_emb"), F.lit([float(x) for x in cc])).alias("d"),
                 F.lit(i).cast("int").alias("cell"),
             )
             for i, cc in enumerate(centroids)
