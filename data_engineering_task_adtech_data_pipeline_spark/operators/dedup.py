@@ -655,6 +655,81 @@ def minhash_dedup_transitive(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def contamination_matches(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 13,
+    hash_method: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document count of distinct normalized ``ngram_k``-grams shared
+    with the ``benchmark`` corpus — the detection stage of training-data
+    decontamination (the GPT-3 appendix-C recipe: a document is contaminated
+    if any 13-gram also appears in an eval benchmark).
+
+    Returns ``(id_col, matched_grams)`` for documents with >= 1 match.
+    Documents shorter than ``ngram_k`` tokens produce no grams and are never
+    flagged (standard behavior for the recipe).
+
+    Scale shape: the benchmark side collapses to a DISTINCT set of 8-byte
+    gram hashes (even MMLU-scale suites are ~1e6 grams = a few MB), which is
+    broadcast, so the corpus side is one explode + a broadcast semi-join +
+    a groupBy on the doc id — no shuffle ever carries the gram strings, and
+    nothing is all-pairs. Set ``broadcast_benchmark=False`` to fall back to
+    a shuffle join when the "benchmark" is itself corpus-sized.
+    ``hash_method="md5"`` uses the engine-portable 60-bit base hash (module
+    header) so the whole stage is value-checkable in any SQL engine; 64-bit
+    xxhash64 stays the scale default (collision odds ~n^2/2^65 — immaterial,
+    and a false positive merely drops one clean document).
+    """
+    if hash_method == "md5":
+        gram_hash = md5_long(F.col("s"))
+    elif hash_method == "xxhash64":
+        gram_hash = F.xxhash64("s")
+    else:
+        raise ValueError(f"unknown hash method: {hash_method!r}")
+    doc_grams = shingle_rows(
+        df, text_col, id_col, k=ngram_k, max_shingles=None
+    ).select(F.col("id").alias(id_col), gram_hash.alias("__g"))
+    bench_grams = (
+        shingle_rows(benchmark, text_col, id_col, k=ngram_k, max_shingles=None)
+        .select(gram_hash.alias("__g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_grams.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 13,
+    min_matches: int = 1,
+    hash_method: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop every document sharing >= ``min_matches`` distinct normalized
+    ``ngram_k``-grams with the ``benchmark`` corpus (training-data
+    decontamination against eval suites). Keeps ``df``'s full schema; the
+    flagged-id set is tiny, so the final anti-join broadcasts."""
+    hits = contamination_matches(
+        df, benchmark, text_col, id_col, ngram_k, hash_method,
+        broadcast_benchmark,
+    )
+    if min_matches > 1:
+        hits = hits.where(F.col("matched_grams") >= min_matches)
+    return df.join(F.broadcast(hits.select(id_col)), on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

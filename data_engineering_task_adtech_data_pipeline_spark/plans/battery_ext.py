@@ -974,3 +974,65 @@ def q51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     return text.repetition_features(docs)
+
+
+_DECON_CTES = f"""
+    words AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), 1, 15))
+               ::BIGINT AS h
+      FROM words, UNNEST(range(1, len(w) - 11)) AS t(i)
+      WHERE len(w) >= 13
+    ),
+    bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 5 = 0)"""
+
+
+@query(
+    "q53_decontaminate",
+    oracle=f"""
+    WITH {_DECON_CTES},
+    cont AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+      WHERE g.doc_id % 5 <> 0
+    )
+    SELECT doc_id, source, lang, n_chars FROM documents
+    WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+    doc="Training-data decontamination (GPT-3 appendix-C recipe): drop every "
+    "training document sharing any normalized 13-gram with the benchmark "
+    "split (doc_id % 5 = 0 stands in for an eval suite); md5-portable gram "
+    "hashes make the whole stage value-checked.",
+)
+def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.decontaminate(
+        train, bench, ngram_k=13, hash_method="md5"
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@query(
+    "q54_contamination_report",
+    oracle=f"""
+    WITH {_DECON_CTES}
+    SELECT g.doc_id, COUNT(*) AS matched_grams
+    FROM g JOIN bench USING (h)
+    WHERE g.doc_id % 5 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="Contamination detection report: per-document count of distinct "
+    "13-grams shared with the benchmark split (the audit artifact behind "
+    "q53's removal decision).",
+)
+def q54_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.contamination_matches(
+        train, bench, ngram_k=13, hash_method="md5"
+    )

@@ -367,3 +367,67 @@ def test_greedy_packing_sharded_invariants(spark):
             fill += m.n_tokens
         # no straddle: a bin only exceeds capacity for a lone oversized doc
         assert fill <= 128 or len(members) == 1
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    # doc 11 repeats benchmark doc 1's opening 5-gram verbatim; doc 12 shares
+    # nothing; doc 13 is shorter than the gram size and can never be flagged
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (11, "prefix words alpha beta gamma delta epsilon and a suffix"),
+            (12, "entirely disjoint vocabulary with no shared sequences at all"),
+            (13, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.decontaminate(train, bench, ngram_k=5).collect()
+    )
+    assert kept == [12, 13]
+    report = {
+        r.doc_id: r.matched_grams
+        for r in dedup.contamination_matches(train, bench, ngram_k=5).collect()
+    }
+    assert report == {11: 1}
+
+
+def test_decontaminate_min_matches_threshold(spark):
+    bench = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    # shares exactly two distinct 5-grams ("one..five" and "two..six")
+    train = spark.createDataFrame(
+        [(21, "one two three four five six UNSHARED eight nine ten")],
+        "doc_id long, text string",
+    )
+    n1 = dedup.decontaminate(train, bench, ngram_k=5, min_matches=3).count()
+    n2 = dedup.decontaminate(train, bench, ngram_k=5, min_matches=2).count()
+    assert (n1, n2) == (1, 0)
+
+
+def test_decontaminate_md5_matches_xxhash(spark):
+    bench = spark.createDataFrame(
+        [(1, "shared run of tokens appearing in both corpora exactly once")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (31, "noise shared run of tokens appearing in both corpora too"),
+            (32, "nothing in common here whatsoever believe me truly"),
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("xxhash64", "md5"):
+        kept = sorted(
+            r.doc_id
+            for r in dedup.decontaminate(
+                train, bench, ngram_k=6, hash_method=method
+            ).collect()
+        )
+        assert kept == [32], method
