@@ -1036,3 +1036,75 @@ def q54_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_matches(
         train, bench, ngram_k=13, hash_method="md5"
     )
+
+
+def _ivf_lsh_oracle(
+    n_cells: int, n_iter: int, n_probe: int, k: int, dim: int,
+    planes: int, seed: int, max_hamming: int,
+) -> str:
+    """q55: the q50 training unroll composed with the q16 md5 plane
+    signatures; candidates must share a probed cell AND sit within
+    ``max_hamming`` of the query's sign sketch before cosine re-rank."""
+    final = f"c{n_iter}"
+    its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
+    query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
+    return f"""
+    WITH {_lsh_sig_ctes(planes, 1, seed, dim)},
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_cells})
+    ),{its},
+    corpus_cells AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, {final}.cell ASC) AS rn
+        FROM v, {final}
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, e, cell FROM (
+        SELECT q.vec_id AS query_id, q.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {query_dist} ASC, {final}.cell ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < 10) q, {final}
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, cc.vec_id AS corpus_id,
+             {_COSINE_SQL.format(a="p.e", b="cc.e")} AS cosine_sim
+      FROM probe p
+      JOIN corpus_cells cc USING (cell)
+      JOIN sigs sq ON sq.vec_id = p.query_id
+      JOIN sigs sc ON sc.vec_id = cc.vec_id
+      WHERE p.query_id <> cc.vec_id
+        AND bit_count(xor(sq.sig, sc.sig)) <= {max_hamming}
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "q55_ivf_lsh_topk",
+    oracle=_ivf_lsh_oracle(
+        n_cells=8, n_iter=3, n_probe=2, k=5, dim=64,
+        planes=16, seed=42, max_hamming=9,
+    ),
+    doc="Hybrid two-level ANN (IVF cells + 16-bit md5 sign-sketch hamming "
+    "prune + cosine re-rank): the oracle unrolls k-means training, plane "
+    "weights, signatures, the hamming filter and the final top-k.",
+)
+def q55_ivf_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.ivf_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        n_cells=8, n_iter=3, n_probe=2,
+        planes=16, max_hamming=9, dim=64, hash_method="md5",
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -431,3 +431,28 @@ def test_decontaminate_md5_matches_xxhash(spark):
             ).collect()
         )
         assert kept == [32], method
+
+
+def test_ivf_lsh_hybrid_recall_and_pruning(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, "/root/testdata/sf0.01").embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    hybrid = similarity.ivf_lsh_topk(emb, q, k=5, dim=64).collect()
+    hset = {(r.query_id, r.corpus_id) for r in hybrid}
+    assert len(hset & exact) / len(exact) >= 0.8
+    # determinism: same call, same result (trained state must be reproducible)
+    again = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.ivf_lsh_topk(emb, q, k=5, dim=64).collect()
+    }
+    assert hset == again
+    # the hamming prune must be a strict subset of the plain-IVF candidates:
+    # every hybrid hit also appears in ivf_topk at the same k only if it
+    # survived pruning, and a tighter max_hamming can only shrink the result
+    tight = similarity.ivf_lsh_topk(emb, q, k=5, dim=64, max_hamming=4)
+    assert tight.count() <= len(hybrid)
