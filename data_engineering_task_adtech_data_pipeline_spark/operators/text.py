@@ -183,3 +183,100 @@ def repetition_features(
             "distinct_token_ratio"
         ),
     )
+
+
+# Redaction patterns restricted to the Java-regex/RE2 common subset (no
+# lookaround, no backrefs) so the same pattern string runs in Spark and any
+# RE2-based engine (DuckDB oracle included). Order matters: kinds are
+# applied in dict order and the phone pattern requires a leading "+" so it
+# cannot swallow SSN-shaped digit runs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,2}-\d{3}-\d{3}-\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "[{kind}]",
+) -> DataFrame:
+    """PII scrubbing for training corpora: per-kind match counts (on the
+    ORIGINAL text, so counts are independent of application order) plus a
+    ``{text_col}_redacted`` column with every match replaced by its
+    ``[KIND]`` token, kinds applied in ``patterns`` order.
+
+    All regexp_count/regexp_replace — JVM-side, full scan speed, trivially
+    parallel (no shuffle at all); the default patterns stay inside the
+    RE2-compatible subset so oracles and Spark agree byte-for-byte."""
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{kind}")
+        for kind, p in pats.items()
+    ]
+    red = F.col(text_col)
+    for kind, p in pats.items():
+        red = F.regexp_replace(red, p, token_fmt.format(kind=kind.upper()))
+    return df.select(
+        *df.columns, *counts, red.alias(f"{text_col}_redacted")
+    )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max: int = 1,
+    common_min: int = 10,
+) -> DataFrame:
+    """Corpus-grounded novelty/boilerplate signals — the distributed shape
+    of n-gram LM quality scoring with exact integer arithmetic (no float
+    log-sums, so results are engine-portable): per document, the number of
+    bigram occurrences whose CORPUS-WIDE frequency is <= ``rare_max``
+    (novel/noisy) or >= ``common_min`` (boilerplate), plus the rare ratio.
+
+    Plan: one explode into (id, bigram) occurrence rows (duplicates kept —
+    these are occurrence counts, not set sizes), one corpus-wide groupBy for
+    the bigram model, one shuffle join back on the bigram, one per-doc agg.
+    That join IS the "score against the global model" step of LM filtering;
+    the model side is data-sized, so it stays a shuffle join (no broadcast),
+    and both sides hash-partition on the bigram — skew from a hot bigram is
+    AQE's skew-join case."""
+    bound = df.select(
+        F.col(id_col).alias("id"), _word_array(text_col).alias("__words")
+    )
+    n = F.greatest(F.size("__words") - 1, F.lit(0))
+    bigrams = bound.select(
+        "id",
+        F.explode(
+            F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__words", i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        bigrams.join(model, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("__c") <= rare_max).cast("long")).alias("n_rare"),
+            F.sum((F.col("__c") >= common_min).cast("long")).alias("n_common"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "n_rare",
+            "n_common",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams")).alias(
+                "rare_ratio"
+            ),
+        )
+    )

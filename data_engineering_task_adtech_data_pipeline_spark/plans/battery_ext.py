@@ -1108,3 +1108,87 @@ def q55_ivf_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=16, max_hamming=9, dim=64, hash_method="md5",
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_CONTACT_SPARK_DOC = "constructed deterministic contact strings (testdata has no natural PII)"
+
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+_PII_S = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_I = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q56_pii_redaction",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at user' || c_custkey::VARCHAR
+             || '@example.com, tel +1-'
+             || lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+             || '-555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+             || ' from ' || (c_custkey % 256)::VARCHAR || '.'
+             || ((c_custkey * 3) % 256)::VARCHAR || '.0.1' AS contact
+      FROM customer
+    )
+    SELECT c_custkey, contact,
+           CAST(len(regexp_extract_all(contact, '{_PII_E}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(contact, '{_PII_P}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(contact, '{_PII_S}')) AS INTEGER) AS n_ssn,
+           CAST(len(regexp_extract_all(contact, '{_PII_I}')) AS INTEGER) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             contact, '{_PII_E}', '[EMAIL]', 'g'),
+             '{_PII_P}', '[PHONE]', 'g'),
+             '{_PII_S}', '[SSN]', 'g'),
+             '{_PII_I}', '[IP]', 'g') AS contact_redacted
+    FROM c
+    """,
+    doc="PII scrubbing (emails/phones/SSNs/IPv4s -> [KIND] tokens) with "
+    "per-kind match counts, value-checked byte-for-byte on " + _CONTACT_SPARK_DOC + ".",
+)
+def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Testdata(spark, sf_dir).customer
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"),
+        F.lit(" at user"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com, tel +1-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from "),
+        (F.col("c_custkey") % 256).cast("string"), F.lit("."),
+        ((F.col("c_custkey") * 3) % 256).cast("string"), F.lit(".0.1"),
+    )
+    base = cust.select("c_custkey", contact.alias("contact"))
+    return text.redact_pii(base, text_col="contact")
+
+
+@query(
+    "q57_bigram_novelty",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+      FROM words, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    model AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN c >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS rare_ratio
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-grounded bigram novelty/boilerplate signals — the "
+    "distributed shape of n-gram LM quality scoring (global model groupBy "
+    "+ score-join) with exact integer outputs.",
+)
+def q57_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.bigram_novelty(docs)

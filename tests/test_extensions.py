@@ -456,3 +456,40 @@ def test_ivf_lsh_hybrid_recall_and_pruning(spark):
     # survived pruning, and a tighter max_hamming can only shrink the result
     tight = similarity.ivf_lsh_topk(emb, q, k=5, dim=64, max_hamming=4)
     assert tight.count() <= len(hybrid)
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d@e-f.org, call +1-212-555-0199, "
+                "ssn 123-45-6789, host 10.0.0.1"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in text.redact_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ssn, r1.n_ip) == (2, 1, 1, 1)
+    assert r1.text_redacted == (
+        "mail [EMAIL] and [EMAIL], call [PHONE], ssn [SSN], host [IP]"
+    )
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_phone, r2.n_ssn, r2.n_ip) == (0, 0, 0, 0)
+    assert r2.text_redacted == r2.text
+
+
+def test_bigram_novelty_ground_truth(spark):
+    # corpus bigram counts: "a b" x3 (docs 1,1,2), "b a" x1, "b c" x1
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: "a b", "b a", "a b"
+            (2, "a b c"),     # bigrams: "a b", "b c"
+            (3, "x"),         # too short: no bigrams, no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.bigram_novelty(df, common_min=3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_bigrams, out[1].n_rare, out[1].n_common) == (3, 1, 2)
+    assert (out[2].n_bigrams, out[2].n_rare, out[2].n_common) == (2, 1, 1)
+    assert out[2].rare_ratio == 0.5
