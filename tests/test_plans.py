@@ -90,3 +90,35 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         drop_table(spark, "bk_totals")
         drop_table(spark, "bk_campaigns")
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must reach the corpus side as a broadcast —
+    a shuffle here would move every corpus gram row twice."""
+    plan = _plan(spark, "q53_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_lsh_cell_join_carries_no_embeddings(spark):
+    """The hybrid ANN's cell join must move only (id, cell, sig) — wide
+    embedding arrays join back BY ID after the hamming prune."""
+    plan = _plan(spark, "q55_ivf_lsh_topk")
+    assert "CartesianProduct" not in plan
+    # the cell equi-join output columns: embeddings (__c_emb/__q_emb) may
+    # appear only in the later id-joins, never alongside the sig columns
+    for ln in plan.splitlines():
+        if "__c_sig" in ln and "Join" in ln:
+            assert "__c_emb" not in ln, ln
+
+
+def test_bigram_novelty_score_join_is_equi(spark):
+    """The model join must be an equi-join on the bigram — Catalyst picks
+    broadcast at testdata scale (model fits) and flips to a shuffled
+    hash/merge join when the model outgrows the threshold; what must never
+    appear is a nested-loop or cartesian."""
+    plan = _plan(spark, "q57_bigram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
