@@ -655,14 +655,41 @@ def minhash_dedup_transitive(
     return df.join(drop, on=id_col, how="left_anti")
 
 
-def contamination_matches(
-    df: DataFrame,
+def _gram_hash(hash_method: str) -> Column:
+    if hash_method == "md5":
+        return md5_long(F.col("s"))
+    if hash_method == "xxhash64":
+        return F.xxhash64("s")
+    raise ValueError(f"unknown hash method: {hash_method!r}")
+
+
+def benchmark_grams(
     benchmark: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_k: int = 13,
     hash_method: str = "xxhash64",
+) -> DataFrame:
+    """DISTINCT normalized ``ngram_k``-gram hash set of an eval benchmark —
+    the static side of decontamination. Precompute once and ``.cache()`` it
+    when scrubbing many corpora (or streaming micro-batches) against the
+    same suite, so the benchmark is shingled exactly once."""
+    return (
+        shingle_rows(benchmark, text_col, id_col, k=ngram_k, max_shingles=None)
+        .select(_gram_hash(hash_method).alias("__g"))
+        .distinct()
+    )
+
+
+def contamination_matches(
+    df: DataFrame,
+    benchmark: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 13,
+    hash_method: str = "xxhash64",
     broadcast_benchmark: bool = True,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document count of distinct normalized ``ngram_k``-grams shared
     with the ``benchmark`` corpus — the detection stage of training-data
@@ -683,21 +710,19 @@ def contamination_matches(
     header) so the whole stage is value-checkable in any SQL engine; 64-bit
     xxhash64 stays the scale default (collision odds ~n^2/2^65 — immaterial,
     and a false positive merely drops one clean document).
+
+    Pass ``bench_grams`` (from :func:`benchmark_grams`, typically cached) to
+    skip re-shingling the benchmark — required when ``benchmark`` is None.
     """
-    if hash_method == "md5":
-        gram_hash = md5_long(F.col("s"))
-    elif hash_method == "xxhash64":
-        gram_hash = F.xxhash64("s")
-    else:
-        raise ValueError(f"unknown hash method: {hash_method!r}")
     doc_grams = shingle_rows(
         df, text_col, id_col, k=ngram_k, max_shingles=None
-    ).select(F.col("id").alias(id_col), gram_hash.alias("__g"))
-    bench_grams = (
-        shingle_rows(benchmark, text_col, id_col, k=ngram_k, max_shingles=None)
-        .select(gram_hash.alias("__g"))
-        .distinct()
-    )
+    ).select(F.col("id").alias(id_col), _gram_hash(hash_method).alias("__g"))
+    if bench_grams is None:
+        if benchmark is None:
+            raise ValueError("need either `benchmark` or `bench_grams`")
+        bench_grams = benchmark_grams(
+            benchmark, text_col, id_col, ngram_k, hash_method
+        )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     return (
@@ -709,21 +734,24 @@ def contamination_matches(
 
 def decontaminate(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_k: int = 13,
     min_matches: int = 1,
     hash_method: str = "xxhash64",
     broadcast_benchmark: bool = True,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every document sharing >= ``min_matches`` distinct normalized
     ``ngram_k``-grams with the ``benchmark`` corpus (training-data
     decontamination against eval suites). Keeps ``df``'s full schema; the
-    flagged-id set is tiny, so the final anti-join broadcasts."""
+    flagged-id set is tiny, so the final anti-join broadcasts.
+    ``bench_grams`` (see :func:`benchmark_grams`) reuses a precomputed
+    benchmark gram set across calls/micro-batches."""
     hits = contamination_matches(
         df, benchmark, text_col, id_col, ngram_k, hash_method,
-        broadcast_benchmark,
+        broadcast_benchmark, bench_grams,
     )
     if min_matches > 1:
         hits = hits.where(F.col("matched_grams") >= min_matches)

@@ -235,6 +235,83 @@ def stream_attribution(
     ).select("click_id", "campaign_id", "clk_ts", "impression_id", "imp_ts")
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    benchmark: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 13,
+    min_matches: int = 1,
+    hash_method: str = "xxhash64",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Ingestion-time benchmark decontamination: document parquet files land
+    → each micro-batch is scrubbed of docs sharing >= ``min_matches``
+    normalized ``ngram_k``-grams with the (static) eval ``benchmark`` →
+    clean rows append to ``output_path``. The streaming front door for
+    ``operators.dedup.decontaminate``.
+
+    Why ``foreachBatch`` rather than a stream-static join: "keep the doc
+    only if NO gram matched" is an aggregation over the doc's exploded grams
+    followed by an anti-join — the anti side isn't a supported stream-static
+    join, and a pure-streaming formulation would hold per-doc keyed state.
+    ``foreachBatch`` gives each micro-batch exact batch semantics, so the
+    batch operator runs unchanged and state stays empty.
+
+    Scale shape: the benchmark collapses to a DISTINCT set of 8-byte gram
+    hashes ONCE (cached here, not re-shingled per batch) and is broadcast
+    into every micro-batch's semi-join — per batch the work is one explode +
+    broadcast join, embarrassingly parallel across executors.
+    """
+    from ..operators.dedup import benchmark_grams, decontaminate
+
+    grams = benchmark_grams(
+        benchmark, text_col, id_col, ngram_k, hash_method
+    ).cache()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean = decontaminate(
+            batch_df,
+            benchmark=None,
+            text_col=text_col,
+            id_col=id_col,
+            ngram_k=ngram_k,
+            min_matches=min_matches,
+            hash_method=hash_method,
+            bench_grams=grams,
+        )
+        clean.write.mode("append").parquet(output_path)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stream_events_daily(
     spark: SparkSession,
     input_dir: str,

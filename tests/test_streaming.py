@@ -242,3 +242,55 @@ def test_post_batch_gold_rebuild_hook(spark, tmp_path):
     q.awaitTermination(120)
     gold = spark.read.parquet(d + "/gold")
     assert gold.count() == 10  # one row per campaign with impressions
+
+
+@pytest.mark.slow
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming ingestion decontamination (foreachBatch over file batches)
+    converges to exactly the batch operator's output on the union of all
+    landed files — contaminated docs dropped, clean docs untouched."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        stream_decontaminate,
+    )
+
+    d = str(tmp_path)
+    eval_q = (
+        "what is the capital city of the republic of france "
+        "answer in one single word please"
+    )  # 15 tokens -> three 13-grams
+    filler = " ".join(f"tok{i}" for i in range(20))
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in rows], schema=DOC_SCHEMA
+        )
+
+    benchmark = docs([(900, eval_q)])
+    batch1 = docs([(1, f"intro {eval_q} outro"), (2, filler), (3, "short doc")])
+    batch1.write.mode("append").parquet(d + "/in")
+    q = stream_decontaminate(
+        spark, d + "/in", benchmark, d + "/out", d + "/ckpt"
+    )
+    q.awaitTermination(120)
+
+    batch2 = docs([(4, filler + " " + eval_q), (5, "tok1 " + filler)])
+    batch2.write.mode("append").parquet(d + "/in")
+    q2 = stream_decontaminate(
+        spark, d + "/in", benchmark, d + "/out", d + "/ckpt"
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(d + "/out").select("doc_id").collect()
+    )
+    expect = sorted(
+        r.doc_id
+        for r in decontaminate(batch1.unionByName(batch2), benchmark)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == expect == [2, 3, 5]
