@@ -269,3 +269,181 @@ def test_range_join_fractional_second_boundaries(spark, lefts, rights,
         if lk == rk and abs(ld - rd) <= tol_seconds * 10  # 100ms units, exact
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (round-2 additions): random documents over a
+# tiny alphabet vs plain-Python oracles.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+doc_lists = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _doc_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(ws), "en", "web", len(" ".join(ws))) for i, ws in
+         enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_lists, bench=doc_lists)
+def test_decontaminate_matches_python_oracle(spark, docs, bench):
+    """decontaminate == drop docs sharing any k-gram with the benchmark."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    k = 2
+    grams = lambda ws: {  # noqa: E731
+        " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+    }
+    bench_set = set().union(*(grams(ws) for ws in bench))
+    expect = sorted(
+        i for i, ws in enumerate(docs) if not (grams(ws) & bench_set)
+    )
+    got = sorted(
+        r.doc_id
+        for r in decontaminate(
+            _doc_df(spark, docs), _doc_df(spark, bench), ngram_k=k
+        ).select("doc_id").collect()
+    )
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_lists)
+def test_repetition_features_matches_counter(spark, docs):
+    """top_token_share / distinct_token_ratio == Counter arithmetic."""
+    from collections import Counter
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    got = {
+        r.doc_id: (r.top_token_share, r.distinct_token_ratio)
+        for r in repetition_features(_doc_df(spark, docs)).collect()
+    }
+    expect = {}
+    for i, ws in enumerate(docs):
+        if ws:
+            c = Counter(ws)
+            total = sum(c.values())
+            expect[i] = (max(c.values()) / total, len(c) / total)
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_lists, rare_max=st.integers(1, 2), common_min=st.integers(2, 4))
+def test_bigram_novelty_matches_python(spark, docs, rare_max, common_min):
+    """Per-doc rare/common bigram occurrence counts == Python corpus model."""
+    from collections import Counter
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bigram_novelty,
+    )
+
+    bigrams = lambda ws: [  # noqa: E731
+        " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+    ]
+    model = Counter(bg for ws in docs for bg in bigrams(ws))
+    expect = {}
+    for i, ws in enumerate(docs):
+        bgs = bigrams(ws)
+        if bgs:
+            expect[i] = (
+                len(bgs),
+                sum(1 for b in bgs if model[b] <= rare_max),
+                sum(1 for b in bgs if model[b] >= common_min),
+            )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_rare, r.n_common)
+        for r in bigram_novelty(
+            _doc_df(spark, docs), rare_max=rare_max, common_min=common_min
+        ).collect()
+    }
+    assert got == expect
+
+
+pii_token = st.sampled_from(
+    [
+        "clean",
+        "words",
+        "bob.smith@example.com",
+        "x@y.io",
+        "+1-555-123-4567",
+        "123-45-6789",
+        "10.0.0.1",
+        "999-99-9999",
+        "no-pii-here",
+    ]
+)
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.lists(pii_token, max_size=8), min_size=1, max_size=6))
+def test_redact_pii_matches_python_re(spark, texts):
+    """Counts (on original text) and sequential redaction == Python `re`
+    applied with the same patterns in the same order."""
+    import re
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in redact_pii(df).collect()}
+    for i, text in rows:
+        red = text
+        for kind, p in PII_PATTERNS.items():
+            assert got[i][f"n_{kind}"] == len(re.findall(p, text))
+            red = re.sub(p, f"[{kind.upper()}]", red)
+        assert got[i]["text_redacted"] == red
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),  # (group, key)
+        min_size=1, max_size=40, unique=True,
+    ),
+    cap=st.integers(1, 3),
+)
+def test_cap_per_group_invariants(spark, rows, cap):
+    """Domain cap: per-group size == min(cap, group size); survivor set is
+    partitioning-independent (deterministic hash order, not arrival order)."""
+    from collections import Counter
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "grp int, k int")
+    pick = lambda d: sorted(  # noqa: E731
+        (r.grp, r.k) for r in cap_per_group(d, "grp", cap, keys=["k"]).collect()
+    )
+    got = pick(df.repartition(7))
+    sizes = Counter(g for g, _ in got)
+    full = Counter(g for g, _ in rows)
+    assert sizes == {g: min(cap, n) for g, n in full.items()}
+    assert set(got) <= set(rows)
+    assert got == pick(df.repartition(3, "k"))
