@@ -143,7 +143,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       i.last_impression_at AS campaign_last_impression_at,
       COALESCE(cl.clicks_count, 0) AS campaign_clicks_count,
       cl.last_click_at AS campaign_last_click_at,
-      GREATEST(o.o_orderdate, i.last_impression_at, cl.last_click_at) AS rtm_delta
+      GREATEST(o.o_orderdate, i.last_impression_at, cl.last_click_at) AS rtm_delta,
+      COALESCE(NULLIF(o.o_orderstatus, 'O'), 'OPEN') AS status_label,
+      o.o_totalprice / NULLIF(CAST(o.o_orderkey % 5 AS DOUBLE), 0) AS guarded_ratio
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN impressions_total i ON o.o_orderkey = i.campaign_id
@@ -151,7 +153,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Reference initial-load 4-CTE denormalized totals extract "
     "(initial_load_generate_postgres_data.py:150-230), COALESCE-normalized "
-    "per SURVEY.md §4.3-2.",
+    "per SURVEY.md §4.3-2. Also carries the row-grain scalar surface "
+    "(COALESCE/NULLIF status label, zero-guarded division — F1/F2/F9, "
+    "SURVEY.md §2.8) formerly split out as q10: same order grain, merged "
+    "so the battery fits the driver's 50-entry correctness window.",
 )
 def q02_campaign_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = Testdata(spark, sf_dir)
@@ -198,6 +203,12 @@ def q02_campaign_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             greatest_watermark(
                 "o_orderdate", "last_impression_at", "last_click_at"
             ).alias("rtm_delta"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+                "status_label"
+            ),
+            safe_div(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+            ).alias("guarded_ratio"),
         )
     )
 
@@ -531,35 +542,7 @@ def q09_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===========================================================================
-# q10 — watermark projection: GREATEST + COALESCE + guarded division
-# (F1/F2/F9) at row grain.
-# ===========================================================================
-
-@query(
-    "q10_watermark_projection",
-    oracle="""
-    SELECT
-      o_orderkey,
-      GREATEST(o_orderdate, TIMESTAMP '1997-01-01 00:00:00') AS rtm_delta,
-      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-      o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0) AS guarded_ratio
-    FROM orders
-    """,
-    doc="Row-grain scalar surface: GREATEST watermark, COALESCE/NULLIF, "
-    "zero-guarded division (SURVEY.md §2.8).",
-)
-def q10_watermark_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = Testdata(spark, sf_dir).orders
-    return o.select(
-        "o_orderkey",
-        F.greatest(
-            F.col("o_orderdate"), F.lit("1997-01-01 00:00:00").cast("timestamp")
-        ).alias("rtm_delta"),
-        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
-            "status_label"
-        ),
-        safe_div(
-            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
-        ).alias("guarded_ratio"),
-    )
+# q10_watermark_projection was merged into q02_campaign_totals (same order
+# grain; q02's GREATEST rtm_delta already covered F1, and q02 now carries the
+# status_label / guarded_ratio scalar columns) so the battery fits the
+# driver's 50-entry correctness recording window.

@@ -537,20 +537,25 @@ def _marker_sql(col_words: str, markers: list[str]) -> str:
 
 
 @query(
-    "q17_lang_id",
+    "q17_text_features",
     oracle=f"""
-    WITH words AS (
-      SELECT doc_id, lang, string_split({_NORM.format(c='text')}, ' ') AS w
+    WITH base AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_raw,
+             string_split({_NORM.format(c='text')}, ' ') AS wa,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
       FROM documents
     ),
     hits AS (
-      SELECT doc_id, lang,
-        {_marker_sql('w', text.LANG_MARKERS['en'])} AS h_en,
-        {_marker_sql('w', text.LANG_MARKERS['es'])} AS h_es,
-        {_marker_sql('w', text.LANG_MARKERS['fr'])} AS h_fr,
-        {_marker_sql('w', text.LANG_MARKERS['de'])} AS h_de,
-        {_marker_sql('w', text.LANG_MARKERS['zh'])} AS h_zh
-      FROM words
+      SELECT doc_id, lang, n_chars_raw, n_digits, n_upper,
+        list_filter(wa, x -> x <> '') AS w,
+        {_marker_sql('wa', text.LANG_MARKERS['en'])} AS h_en,
+        {_marker_sql('wa', text.LANG_MARKERS['es'])} AS h_es,
+        {_marker_sql('wa', text.LANG_MARKERS['fr'])} AS h_fr,
+        {_marker_sql('wa', text.LANG_MARKERS['de'])} AS h_de,
+        {_marker_sql('wa', text.LANG_MARKERS['zh'])} AS h_zh
+      FROM base
     )
     SELECT doc_id, lang,
       CASE
@@ -560,87 +565,75 @@ def _marker_sql(col_words: str, markers: list[str]) -> str:
         WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
         WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
         ELSE 'zh'
-      END AS lang_pred
-    FROM hits
-    """,
-    doc="Marker-word language ID (argmax of per-language stopword hits, "
-    "deterministic tie-break by language code).",
-)
-def q17_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
-    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
-
-
-@query(
-    "q18_quality_features",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id,
-             length(text) AS n_chars_raw,
-             list_filter(string_split({_NORM.format(c='text')}, ' '), x -> x <> '') AS w,
-             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
-             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-             {_marker_sql(f"string_split({_NORM.format(c='text')}, ' ')", text.LANG_MARKERS['en'])} AS stop_hits
-      FROM documents
-    )
-    SELECT doc_id,
+      END AS lang_pred,
       len(w) AS n_words,
       CASE WHEN len(w) > 0
            THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
            ELSE 0.0 END AS mean_word_len,
-      CASE WHEN len(w) > 0 THEN CAST(stop_hits AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio,
+      CASE WHEN len(w) > 0 THEN CAST(h_en AS DOUBLE) / len(w) ELSE 0.0 END AS stopword_ratio,
       CASE WHEN n_chars_raw > 0 THEN CAST(n_digits AS DOUBLE) / n_chars_raw ELSE 0.0 END AS digit_ratio,
       CASE WHEN n_chars_raw > 0 THEN CAST(n_upper AS DOUBLE) / n_chars_raw ELSE 0.0 END AS upper_ratio
-    FROM base
+    FROM hits
     """,
-    doc="Per-document quality features: word stats, stopword/digit/upper "
-    "ratios (C4/Gopher-style filters), all exact-integer-derived.",
+    doc="Per-document text features in one scan: marker-word language ID "
+    "(argmax of per-language stopword hits, deterministic tie-break) plus "
+    "quality features (word stats, stopword/digit/upper ratios, C4/Gopher-"
+    "style) — formerly q17+q18, merged at identical doc grain so the battery "
+    "fits the driver's 50-entry correctness window.",
 )
-def q18_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
-    return text.quality_features(docs).select(
-        "doc_id", "n_words", "mean_word_len", "stopword_ratio",
-        "digit_ratio", "upper_ratio",
+    return text.quality_features(text.lang_id(docs)).select(
+        "doc_id", "lang", "lang_pred", "n_words", "mean_word_len",
+        "stopword_ratio", "digit_ratio", "upper_ratio",
     )
 
 
 @query(
-    "q19_token_counts",
-    oracle="""
-    SELECT doc_id,
+    "q19_token_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM.format(c='text')}, ' '),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share,
+             CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS distinct_token_ratio
+      FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
       len(regexp_split_to_array(trim(text), '\\s+')) AS whitespace_tokens,
       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS regex_tokens,
       CASE WHEN len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) > 0
            THEN CAST(length(text) AS DOUBLE)
                 / len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1))
-           ELSE 0.0 END AS chars_per_token
-    FROM documents
+           ELSE 0.0 END AS chars_per_token,
+      md5(text) AS content_md5,
+      md5({_NORM.format(c='text')}) AS normalized_md5,
+      r.top_token_share,
+      r.distinct_token_ratio
+    FROM documents d LEFT JOIN rep r USING (doc_id)
     """,
-    doc="Token counting: whitespace words + GPT-2-pre-tokenizer-shaped "
-    "regex tokens + chars-per-token.",
+    doc="Per-document token/fingerprint/repetition features: whitespace + "
+    "GPT-2-pre-tokenizer-shaped regex token counts, raw/normalized md5 "
+    "fingerprints (winnowing hash covered rows-only in q13), and Gopher-"
+    "family repetition signals (top-token share, distinct-token ratio) left-"
+    "joined at doc grain — formerly q19+q20+q52, merged so the battery fits "
+    "the driver's 50-entry correctness window.",
 )
-def q19_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
-    return text.token_counts(docs).select(
-        "doc_id", "whitespace_tokens", "regex_tokens", "chars_per_token"
-    )
-
-
-@query(
-    "q20_fingerprints",
-    oracle=f"""
-    SELECT doc_id,
-           md5(text) AS content_md5,
-           md5({_NORM.format(c='text')}) AS normalized_md5
-    FROM documents
-    """,
-    doc="Content fingerprints (raw + normalized md5); the winnowing rolling "
-    "hash is covered rows-only inside q13's pipeline.",
-)
-def q20_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
-    return text.fingerprints(docs).select(
-        "doc_id", "content_md5", "normalized_md5"
+    base = text.fingerprints(text.token_counts(docs))
+    rep = text.repetition_features(docs)
+    return base.join(rep, "doc_id", "left").select(
+        "doc_id", "whitespace_tokens", "regex_tokens", "chars_per_token",
+        "content_md5", "normalized_md5", "top_token_share",
+        "distinct_token_ratio",
     )
 
 
@@ -952,28 +945,9 @@ def q51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-@query(
-    "q52_repetition_features",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split({_NORM.format(c='text')}, ' '),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ),
-    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share,
-           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-             AS distinct_token_ratio
-    FROM tc GROUP BY doc_id
-    """,
-    doc="Gopher-family repetition/diversity quality signals: most-frequent-"
-    "token share and vocabulary ratio per document.",
-)
-def q52_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
-    return text.repetition_features(docs)
+# q52_repetition_features was merged into q19_token_features (same doc
+# grain, left-joined repetition signals) so the battery fits the driver's
+# 50-entry correctness recording window.
 
 
 _DECON_CTES = f"""
