@@ -439,17 +439,28 @@ _IVF_DIST = (
     " t -> (t[1] - t[2]) * (t[1] - t[2])))"
 )
 
+# Training-sample CTE: the battery trains kmeans on a deterministic md5
+# hash-sample (kmeans_fit train_fraction / sampling._hash_bucket md5 mode) —
+# same fragment as the proven q36 split oracle. The cutoff mirrors
+# sampling._cutoff (round-half-up of fraction * 1e6).
+_IVF_TRAIN = """
+    t AS (
+      SELECT * FROM v
+      WHERE ('0x' || substr(md5(concat_ws(chr(31), vec_id, {salt})), 1, 15))::BIGINT
+            % 1000000 < {cutoff}
+    )"""
+
 
 def _ivf_iter_ctes(i: int, dim: int) -> str:
     prev = f"c{i - 1}"
-    dist = _IVF_DIST.format(e="v.e", c=f"{prev}.c")
+    dist = _IVF_DIST.format(e="t.e", c=f"{prev}.c")
     return f"""
     a{i} AS (
       SELECT vec_id, e, cell FROM (
-        SELECT v.vec_id, v.e, {prev}.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        SELECT t.vec_id, t.e, {prev}.cell,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
                  {dist} ASC, {prev}.cell ASC) AS rn
-        FROM v, {prev}
+        FROM t, {prev}
       ) WHERE rn = 1
     ),
     m{i} AS (
@@ -465,18 +476,21 @@ def _ivf_iter_ctes(i: int, dim: int) -> str:
 
 
 def _ivf_oracle(
-    n_cells: int, n_iter: int, n_probe: int, k: int, dim: int
+    n_cells: int, n_iter: int, n_probe: int, k: int, dim: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
 ) -> str:
     final = f"c{n_iter}"
     its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
     corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
     query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {train},
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              list_transform(e, x -> round(x, 6)) AS c
-      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_cells})
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
     ),{its},
     corpus_cells AS (
       SELECT vec_id, e, cell FROM (
@@ -511,16 +525,17 @@ def _ivf_oracle(
 @query(
     "q50_ivf_topk",
     oracle=_ivf_oracle(n_cells=8, n_iter=3, n_probe=2, k=5, dim=64),
-    doc="IVF ANN top-5 (8 k-means cells, 3 deterministic Lloyd rounds, "
-    "2-cell probe) — the trained-state ANN path; the oracle unrolls the "
-    "training itself, so centroids, assignments and the final top-k are all "
-    "value-checked.",
+    doc="IVF ANN top-5 (8 k-means cells, 3 deterministic Lloyd rounds on a "
+    "50% md5 hash-sample, 2-cell probe) — the trained-state ANN path; the "
+    "oracle unrolls the sampled training itself, so the sample predicate, "
+    "centroids, assignments and the final top-k are all value-checked.",
 )
 def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Testdata(spark, sf_dir).embeddings
     out = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5,
         n_cells=8, n_iter=3, n_probe=2, dim=64,
+        train_fraction=0.5, train_hash_method="md5",
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -1015,20 +1030,23 @@ def q54_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_lsh_oracle(
     n_cells: int, n_iter: int, n_probe: int, k: int, dim: int,
     planes: int, seed: int, max_hamming: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
 ) -> str:
-    """q55: the q50 training unroll composed with the q16 md5 plane
+    """q55: the q50 sampled-training unroll composed with the q16 md5 plane
     signatures; candidates must share a probed cell AND sit within
     ``max_hamming`` of the query's sign sketch before cosine re-rank."""
     final = f"c{n_iter}"
     its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
     corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
     query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
     return f"""
     WITH {_lsh_sig_ctes(planes, 1, seed, dim)},
+    {train},
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              list_transform(e, x -> round(x, 6)) AS c
-      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_cells})
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
     ),{its},
     corpus_cells AS (
       SELECT vec_id, e, cell FROM (
@@ -1071,8 +1089,9 @@ def _ivf_lsh_oracle(
         planes=16, seed=42, max_hamming=9,
     ),
     doc="Hybrid two-level ANN (IVF cells + 16-bit md5 sign-sketch hamming "
-    "prune + cosine re-rank): the oracle unrolls k-means training, plane "
-    "weights, signatures, the hamming filter and the final top-k.",
+    "prune + cosine re-rank): the oracle unrolls the 50%-hash-sampled "
+    "k-means training, plane weights, signatures, the hamming filter and "
+    "the final top-k.",
 )
 def q55_ivf_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Testdata(spark, sf_dir).embeddings
@@ -1080,6 +1099,7 @@ def q55_ivf_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 10), k=5,
         n_cells=8, n_iter=3, n_probe=2,
         planes=16, max_hamming=9, dim=64, hash_method="md5",
+        train_fraction=0.5, train_hash_method="md5",
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -63,3 +63,75 @@ def test_session_window_matches_composition(spark):
     a = {(r.user_id, r.session_start, r.n_events) for r in composed.collect()}
     b = {(r.campaign_id, r.session_start, r.n_events) for r in built_in.collect()}
     assert a == b
+
+
+def test_broadcast_centroid_assignment_matches_literal(spark):
+    """The large-n_cells broadcast centroid-table path (literal_max=0 forces
+    every assignment/probe through it) must produce EXACTLY the literal
+    plan's output — same distances, same first-wins tie-break."""
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    kw = dict(k=5, n_cells=8, n_iter=2, n_probe=2, dim=64)
+    lit = similarity.ivf_topk(emb, q, **kw)
+    brd = similarity.ivf_topk(emb, q, literal_max=0, **kw)
+    rows = lambda df: {  # noqa: E731
+        (r.query_id, r.corpus_id, r.rank, round(r.cosine_sim, 12))
+        for r in df.collect()
+    }
+    assert rows(lit) == rows(brd)
+
+
+def test_large_cell_count_uses_broadcast_not_literals(spark):
+    """Training and assigning 256 cells must flow through the broadcast
+    centroid table: plan shows a broadcast join and stays compact (a
+    256 x 64 literal expression tree would be megabytes of plan text)."""
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    cents = similarity.kmeans_fit(
+        emb, n_cells=256, n_iter=1, dim=64, train_fraction=0.5
+    )
+    assert len(cents) == 256
+    assigned = similarity._with_cell(
+        similarity.with_double_embedding(emb).select(
+            F.col("vec_id"), F.col("embedding").alias("__e")
+        ),
+        "__e",
+        cents,
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert len(plan) < 200_000
+    # every vector gets exactly one valid cell
+    n = assigned.where(
+        (F.col("cell") >= 0) & (F.col("cell") < 256)
+    ).count()
+    assert n == emb.count()
+
+
+def test_sampled_training_is_partitioning_invariant(spark):
+    """train_fraction sampling is a pure function of the data: same
+    centroids on any input partitioning."""
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    c1 = similarity.kmeans_fit(
+        emb, n_cells=4, n_iter=2, dim=64, train_fraction=0.3
+    )
+    c2 = similarity.kmeans_fit(
+        emb.repartition(13), n_cells=4, n_iter=2, dim=64, train_fraction=0.3
+    )
+    assert c1 == c2
+
+
+def test_md5_signature_dim_mismatch_raises(spark):
+    """ADVICE round-2 item: a wrong md5-mode dim must fail loudly, not
+    silently collapse every signature to 0."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    emb = Testdata(spark, SF_ORACLE).embeddings.limit(5)
+    bad = similarity.with_double_embedding(emb).select(
+        similarity.hyperplane_signature(
+            F.col("embedding"), planes=8, hash_method="md5", dim=32
+        ).alias("sig")
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        bad.collect()
