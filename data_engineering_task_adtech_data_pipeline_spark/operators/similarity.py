@@ -410,18 +410,28 @@ def kmeans_fit(
             assigned = _with_cell(
                 d.select(F.col(emb_col).alias("e")), "e", centroids, literal_max
             )
+            # Narrow mean shape: posexplode -> groupBy(cell, pos) -> ONE avg,
+            # not `dim` separate avg(e[i]) columns. The wide form's plan and
+            # generated code grow O(dim) and cost ~0.5 s of per-round driver/
+            # codegen overhead at dim=64 (measured; would be worse at
+            # LLM-embedding dims of 768+), while data-side both shapes are
+            # one partial-agg pass; the narrow shuffle is n_cells x dim tiny
+            # rows. Values are identical after the 6-decimal round.
             means = (
-                assigned.groupBy("cell")
-                .agg(
-                    *[
-                        F.round(F.avg(F.col("e")[i]), 6).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
-                )
+                assigned.select("cell", F.posexplode("e").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("m"))
                 .collect()
             )
-            by_cell = {r.cell: [r[f"c{i}"] for i in range(dim)] for r in means}
-            centroids = [by_cell.get(c, centroids[c]) for c in range(len(centroids))]
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r.cell, {})[r.pos] = r.m
+            centroids = [
+                [by_cell[c].get(i, centroids[c][i]) for i in range(dim)]
+                if c in by_cell
+                else centroids[c]
+                for c in range(len(centroids))
+            ]
     finally:
         d.unpersist()
     return centroids

@@ -270,8 +270,16 @@ def stream_decontaminate(
     only if NO gram matched" is an aggregation over the doc's exploded grams
     followed by an anti-join — the anti side isn't a supported stream-static
     join, and a pure-streaming formulation would hold per-doc keyed state.
-    ``foreachBatch`` gives each micro-batch exact batch semantics, so the
-    batch operator runs unchanged and state stays empty.
+    ``foreachBatch`` runs the unchanged batch operator per micro-batch with
+    no streaming state.
+
+    Sink semantics: foreachBatch alone is at-least-once (a failure between
+    the write and the checkpoint commit replays the batch), so the sink is
+    made IDEMPOTENT by partitioning the output on ``__epoch_id`` and using
+    dynamic partition overwrite — a replayed epoch overwrites its own
+    partition instead of appending duplicates, giving effectively-once
+    output for a given checkpoint lineage (the standard Structured
+    Streaming idempotent-sink recipe).
 
     Scale shape: the benchmark collapses to a DISTINCT set of 8-byte gram
     hashes ONCE (cached here, not re-shingled per batch) and is broadcast
@@ -297,7 +305,13 @@ def stream_decontaminate(
             hash_method=hash_method,
             bench_grams=grams,
         )
-        clean.write.mode("append").parquet(output_path)
+        (
+            clean.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path)
+        )
 
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = (

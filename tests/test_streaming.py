@@ -294,3 +294,44 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == expect == [2, 3, 5]
+
+
+def test_stream_decontaminate_replay_is_idempotent(spark, tmp_path):
+    """The sink writes epoch-partitioned with dynamic overwrite, so a
+    replayed epoch (failure between write and checkpoint commit, simulated
+    here by wiping the checkpoint and re-running over the same files)
+    overwrites its own partition instead of appending duplicates."""
+    import shutil
+
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        stream_decontaminate,
+    )
+
+    d = str(tmp_path)
+    eval_q = (
+        "what is the capital city of the republic of france "
+        "answer in one single word please"
+    )
+    filler = " ".join(f"tok{i}" for i in range(20))
+    benchmark = spark.createDataFrame(
+        [(900, eval_q, "en", "web", len(eval_q))], schema=DOC_SCHEMA
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"intro {eval_q} outro", "en", "web", 10),
+            (2, filler, "en", "web", len(filler)),
+        ],
+        schema=DOC_SCHEMA,
+    )
+    batch.write.mode("append").parquet(d + "/in")
+    stream_decontaminate(
+        spark, d + "/in", benchmark, d + "/out", d + "/ckpt"
+    ).awaitTermination(120)
+    # replay the same epoch: lose the checkpoint, same input files
+    shutil.rmtree(d + "/ckpt")
+    stream_decontaminate(
+        spark, d + "/in", benchmark, d + "/out", d + "/ckpt"
+    ).awaitTermination(120)
+    got = [r.doc_id for r in spark.read.parquet(d + "/out").collect()]
+    assert sorted(got) == [2]  # exactly once despite the replayed epoch
