@@ -639,16 +639,30 @@ def minhash_dedup_transitive(
     verify_threshold: float | None = 0.8,
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
+    cc: str = "propagation",
 ) -> DataFrame:
     """Near-dup removal with FULL transitive closure: verified candidate
     pairs → connected components → keep the min-id doc per component.
     Use instead of ``minhash_dedup`` when duplicate chains matter more than
-    the extra component iterations."""
+    the extra component iterations.
+
+    ``cc`` picks the closure algorithm: ``"propagation"`` (min-label,
+    O(diameter) rounds — typical short dedup chains) or ``"star"``
+    (large-star/small-star, O(log^2 n) rounds independent of component
+    shape — the safe choice when boilerplate corpora can chain thousands
+    of docs into one giant component). Identical output either way
+    (equivalence-tested); measured the same wall-time at sf0.1."""
     cand = _verified_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
         max_shingles, hash_method,
     )
-    comp = connected_components(cand)
+    if cc not in ("propagation", "star"):
+        raise ValueError(f"unknown cc strategy: {cc!r}")
+    comp = (
+        connected_components_star(cand)
+        if cc == "star"
+        else connected_components(cand)
+    )
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -389,3 +389,64 @@ def stream_events_daily(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    centroids: list,
+    output_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming ANN ingestion: new embedding parquet files land → each row
+    is routed to its nearest trained IVF centroid cell (the same
+    ``operators.similarity._with_cell`` assignment ``ivf_topk`` uses at
+    query time) → rows append to a cell-partitioned parquet index. Composes
+    the trained-index path (``kmeans_fit``) with Structured Streaming: the
+    model is trained once offline, then the index absorbs new vectors
+    continuously without retraining, and ``ivf_topk``-style search reads
+    the cell-partitioned layout with partition pruning on the probed cells.
+
+    Sink semantics: this is a stateless per-row projection (plan-literal
+    argmin for small models, broadcast centroid table above — both are
+    supported stream-side transforms), so the NATIVE parquet streaming sink
+    applies, whose manifest log gives exactly-once file commits — no
+    foreachBatch, no custom idempotence needed.
+
+    Scale shape: no shuffle anywhere — assignment is a projection, and
+    ``partitionBy("cell")`` fans files out at write time. At 100 TB of
+    arriving vectors this is embarrassingly parallel across executors; the
+    only cross-node traffic is the (tiny) broadcast model above
+    ``literal_max`` cells.
+    """
+    from ..operators.similarity import _with_cell, with_double_embedding
+
+    stream = spark.readStream.schema(EMBEDDING_SCHEMA).parquet(input_dir)
+    assigned = _with_cell(
+        with_double_embedding(stream, emb_col), emb_col, centroids
+    )
+    writer = (
+        assigned.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

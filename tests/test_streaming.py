@@ -335,3 +335,48 @@ def test_stream_decontaminate_replay_is_idempotent(spark, tmp_path):
     ).awaitTermination(120)
     got = [r.doc_id for r in spark.read.parquet(d + "/out").collect()]
     assert sorted(got) == [2]  # exactly once despite the replayed epoch
+
+
+def test_stream_ivf_ingest_matches_batch_assignment(spark, tmp_path):
+    """Streaming ANN ingestion: vectors landing as files are routed to the
+    same trained IVF cells the batch assignment produces, into a
+    cell-partitioned parquet index (exactly-once native file sink)."""
+    import os
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    d = str(tmp_path)
+    emb = Testdata(spark, "/root/testdata/sf0.001").embeddings
+    centroids = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+
+    # two landing batches of "new" vectors
+    emb.where(F.col("vec_id") % 2 == 0).write.mode("append").parquet(d + "/in")
+    stream_ivf_ingest(
+        spark, d + "/in", centroids, d + "/index", d + "/ckpt"
+    ).awaitTermination(120)
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(d + "/in")
+    stream_ivf_ingest(
+        spark, d + "/in", centroids, d + "/index", d + "/ckpt"
+    ).awaitTermination(120)
+
+    # physical layout is cell-partitioned (probed-cell partition pruning)
+    assert any(
+        n.startswith("cell=") for n in os.listdir(d + "/index")
+    ), os.listdir(d + "/index")
+
+    got = {
+        r.vec_id: r.cell for r in spark.read.parquet(d + "/index").collect()
+    }
+    want = {
+        r.vec_id: r.cell
+        for r in similarity._with_cell(
+            similarity.with_double_embedding(emb), "embedding", centroids
+        ).collect()
+    }
+    assert got == want  # every vector ingested exactly once, same cell
