@@ -28,10 +28,20 @@ def main() -> None:
     spark = get_spark("bench")
 
     # warm the JVM/codegen/file-listing paths so per-query timings measure
-    # the queries, not session startup: a scan, plus one tiny agg+join to
-    # trigger whole-stage-codegen compilation of the hash-agg/exchange/join
+    # the queries, not session startup: scan every table once (footer +
+    # page-cache warmup — otherwise whichever query touches a table first
+    # eats its cold read), plus one tiny agg+join to trigger
+    # whole-stage-codegen compilation of the hash-agg/exchange/join
     # machinery that otherwise lands on the first timed query
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from data_engineering_task_adtech_data_pipeline_spark.schemas import (
+        TESTDATA_TABLES,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).count()
     warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
     warm.join(warm.groupBy("n_regionkey").count(), "n_regionkey").collect()
 

@@ -714,3 +714,120 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- persisted IVF index (offline build / streaming ingest / pruned search) --
+#
+# Layout under one root (base + delta, the standard serving split):
+#   <root>/model         one row per cell: (cell int, centroid array<double>)
+#   <root>/index         offline-built corpus rows + assigned cell, parquet
+#                        PARTITIONED BY cell
+#   <root>/stream_index  rows ingested by streaming.stream_ivf_ingest, same
+#                        cell-partitioned schema, committed exactly-once by
+#                        the streaming file sink's manifest. A SEPARATE
+#                        directory because that manifest governs batch reads
+#                        of its directory — batch-written files mixed into
+#                        it would be invisible; keeping base and delta apart
+#                        lets each use its native commit protocol.
+# Search unions base + delta and reads only the probed cells' partitions:
+# the query side broadcasts, so Catalyst turns the cell equi-join into
+# dynamic partition pruning on each index scan (verified in
+# tests/test_variants.py) — at 100 TB a probe=2, cells=1024 search touches
+# ~0.2% of the index files. Periodic compaction = batch-read stream_index,
+# append into index, start a fresh stream checkpoint.
+
+
+def ivf_model_write(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist trained centroids as a tiny parquet model table."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def ivf_model_read(spark, path: str) -> list[list[float]]:
+    """Load centroids back into the plan-literal list form every assignment
+    path consumes (model state: n_cells x dim doubles — driver-sized)."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if [r.cell for r in rows] != list(range(len(rows))):
+        raise ValueError(f"corrupt IVF model at {path}: non-dense cell ids")
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    root: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    literal_max: int = LITERAL_CELL_MAX,
+) -> None:
+    """Build the persisted index: assign every corpus row its nearest cell
+    (one pass, no shuffle — assignment is a projection) and write
+    cell-partitioned parquet plus the model table. Incremental additions
+    after the initial build go through ``streaming.stream_ivf_ingest``,
+    which appends into the same layout."""
+    import os
+
+    spark = corpus.sparkSession
+    ivf_model_write(spark, centroids, os.path.join(root, "model"))
+    assigned = _with_cell(
+        with_double_embedding(corpus, emb_col), emb_col, centroids, literal_max
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, "index")
+    )
+
+
+def ivf_index_search(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    literal_max: int = LITERAL_CELL_MAX,
+) -> DataFrame:
+    """ANN top-k against a PERSISTED index — the serving path: no training,
+    no corpus assignment at query time. Routes each query to its
+    ``n_probe`` nearest cells from the stored model, joins only those
+    cells' partitions of the index (broadcast query side -> dynamic
+    partition pruning on the parquet scan), exact cosine re-rank.
+    Identical ranking semantics to ``ivf_topk`` with the same model."""
+    import os
+
+    centroids = ivf_model_read(spark, os.path.join(root, "model"))
+
+    def read_part(sub: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(root, sub)).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(emb_col).cast("array<double>").alias("__c_emb"),
+            "cell",
+        )
+
+    c = read_part("index")
+    if os.path.isdir(os.path.join(root, "stream_index")):
+        c = c.unionByName(read_part("stream_index"))
+    q = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    probed = _with_probed_cells(q, "__q_emb", centroids, n_probe, literal_max)
+    scored = (
+        F.broadcast(probed)
+        .join(c, "cell")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+        .where(F.col("query_id") != F.col("corpus_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", "rank")
+    )

@@ -161,6 +161,74 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every normalized ``k``-gram, slide a ``window`` over the hash
+    sequence and keep each window's minimum — the classic guarantee that
+    any shared substring of length >= ``k + window - 1`` yields at least
+    one shared fingerprint, robust to small edits (unlike whole-document
+    hashing). Returns exploded (id, fingerprint) rows, DISTINCT per doc —
+    join two corpora on ``fingerprint`` for plagiarism/near-dup bucketing.
+
+    ``hash_method="md5"`` swaps xxhash64 for the engine-portable 60-bit
+    md5 family (``operators.dedup.md5_long``) so a SQL oracle reproduces
+    the selection bit-for-bit.
+
+    Plan shape: bound-words projection → one posexplode (the gram lambda
+    captures only a bound attribute — the CollapseProject discipline of
+    ``operators.dedup._grams``) → per-doc window min over gram position →
+    filter to valid window starts → distinct. One shuffle on id (window),
+    one on (id, fingerprint) (distinct); scales by partition count. Docs
+    shorter than ``k`` words emit no fingerprints; docs with fewer than
+    ``window`` grams emit exactly one (the global min) via the pos=0
+    window."""
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_long
+
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(_word_array(text_col), lambda w: w != "").alias("__w"),
+    ).where(F.size("__w") >= k)
+    words = F.col("__w")
+    grams = bound.select(
+        "id",
+        (F.size(words) - (k - 1)).alias("__n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = (
+        md5_long(F.col("gram"))
+        if hash_method == "md5"
+        else F.xxhash64(F.col("gram"))
+    )
+    wspec = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    )
+    selected = (
+        grams.withColumn("__h", h)
+        .withColumn("__fp", F.min("__h").over(wspec))
+        .where(
+            F.col("pos")
+            <= F.greatest(F.col("__n_grams") - window, F.lit(0))
+        )
+        .select(F.col("id").alias(id_col), F.col("__fp").alias("fingerprint"))
+        .distinct()
+    )
+    return selected
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -620,6 +620,33 @@ def q17_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
                AS distinct_token_ratio
       FROM tc GROUP BY doc_id
+    ),
+    wwords AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM.format(c='text')}, ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    wgrams AS (
+      SELECT doc_id, len(w) - 4 AS n_grams, CAST(i AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 15))::BIGINT AS h
+      FROM wwords, UNNEST(range(len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ),
+    wsel AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM wgrams
+    ),
+    wfp AS (
+      SELECT DISTINCT doc_id, fp FROM wsel
+      WHERE pos <= greatest(n_grams - 4, 0)
+    ),
+    winnow AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_winnow_fps,
+             bit_xor(fp) AS winnow_xor
+      FROM wfp GROUP BY doc_id
     )
     SELECT d.doc_id,
       len(regexp_split_to_array(trim(text), '\\s+')) AS whitespace_tokens,
@@ -631,24 +658,38 @@ def q17_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(text) AS content_md5,
       md5({_NORM.format(c='text')}) AS normalized_md5,
       r.top_token_share,
-      r.distinct_token_ratio
-    FROM documents d LEFT JOIN rep r USING (doc_id)
+      r.distinct_token_ratio,
+      wn.n_winnow_fps,
+      wn.winnow_xor
+    FROM documents d
+    LEFT JOIN rep r USING (doc_id)
+    LEFT JOIN winnow wn USING (doc_id)
     """,
     doc="Per-document token/fingerprint/repetition features: whitespace + "
     "GPT-2-pre-tokenizer-shaped regex token counts, raw/normalized md5 "
-    "fingerprints (winnowing hash covered rows-only in q13), and Gopher-"
-    "family repetition signals (top-token share, distinct-token ratio) left-"
-    "joined at doc grain — formerly q19+q20+q52, merged so the battery fits "
-    "the driver's 50-entry correctness window.",
+    "fingerprints, true winnowing fingerprints (k=5-gram rolling hash, "
+    "window=4 min selection, Schleimer et al. — count + bit_xor checksum "
+    "per doc, the oracle replays gram hashing, the sliding window min AND "
+    "the distinct selection), and Gopher-family repetition signals, all "
+    "left-joined at doc grain — merged so the battery fits the driver's "
+    "50-entry correctness window.",
 )
 def q19_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     base = text.fingerprints(text.token_counts(docs))
     rep = text.repetition_features(docs)
-    return base.join(rep, "doc_id", "left").select(
+    win = (
+        text.winnow_fingerprints(docs, k=5, window=4, hash_method="md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_winnow_fps"),
+            F.expr("bit_xor(fingerprint)").alias("winnow_xor"),
+        )
+    )
+    return base.join(rep, "doc_id", "left").join(win, "doc_id", "left").select(
         "doc_id", "whitespace_tokens", "regex_tokens", "chars_per_token",
         "content_md5", "normalized_md5", "top_token_share",
-        "distinct_token_ratio",
+        "distinct_token_ratio", "n_winnow_fps", "winnow_xor",
     )
 
 

@@ -424,7 +424,11 @@ def stream_ivf_ingest(
     argmin for small models, broadcast centroid table above — both are
     supported stream-side transforms), so the NATIVE parquet streaming sink
     applies, whose manifest log gives exactly-once file commits — no
-    foreachBatch, no custom idempotence needed.
+    foreachBatch, no custom idempotence needed. That manifest governs batch
+    reads of ``output_path``, so do NOT mix batch-written files into it —
+    to grow an offline-built index (``similarity.ivf_index_write``), point
+    ``output_path`` at the index root's ``stream_index/`` delta directory,
+    which ``ivf_index_search`` unions with the base automatically.
 
     Scale shape: no shuffle anywhere — assignment is a projection, and
     ``partitionBy("cell")`` fans files out at write time. At 100 TB of

@@ -538,3 +538,38 @@ def test_bigram_novelty_ground_truth(spark):
     assert (out[1].n_bigrams, out[1].n_rare, out[1].n_common) == (3, 1, 2)
     assert (out[2].n_bigrams, out[2].n_rare, out[2].n_common) == (2, 1, 1)
     assert out[2].rare_ratio == 0.5
+
+
+def test_winnow_fingerprints_guarantee_and_shape(spark):
+    """Winnowing's core guarantee: two documents sharing a substring of
+    >= k + window - 1 tokens share at least one fingerprint; disjoint
+    documents share none. Short docs: < k words -> no fingerprints,
+    < window grams -> exactly one (the global min)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} and a closing tail"),
+            (2, f"{shared} completely different continuation text"),
+            (3, "nothing in common with the others at all whatsoever"),
+            (4, "too short"),                     # < k words -> none
+            (5, "exactly five tokens right here"),  # 1 gram -> global min
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, window=4)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # shared 8-token run >= k + window - 1 = 8 -> overlap guaranteed
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+    # md5 mode selects identically (same grams, portable hash family)
+    md5_fps = winnow_fingerprints(df, k=5, window=4, hash_method="md5")
+    md5_docs = {r.doc_id for r in md5_fps.collect()}
+    assert 4 not in md5_docs and {1, 2, 3, 5} <= md5_docs

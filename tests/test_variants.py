@@ -135,3 +135,75 @@ def test_md5_signature_dim_mismatch_raises(spark):
     )
     with pytest.raises((Py4JJavaError, PySparkException)):
         bad.collect()
+
+
+def test_ivf_persisted_index_matches_ivf_topk(spark, tmp_path):
+    """ivf_index_write + ivf_index_search (the serving path: stored model,
+    cell-partitioned index, no query-time training) ranks identically to
+    ivf_topk trained with the same parameters."""
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    root = str(tmp_path / "ivf")
+
+    cents = similarity.kmeans_fit(emb, n_cells=8, n_iter=3, dim=64)
+    similarity.ivf_index_write(emb, cents, root)
+    # model round-trips exactly (6-dp rounded doubles)
+    assert similarity.ivf_model_read(spark, root + "/model") == cents
+
+    got = sorted(
+        map(tuple, similarity.ivf_index_search(
+            spark, root, q, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.ivf_topk(
+            emb, q, k=5, n_cells=8, n_iter=3, n_probe=2, dim=64).collect())
+    )
+    assert got == want
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """The search only reads the probed cells' partitions: the cell
+    equi-join against the broadcast query side must reach the parquet scan
+    as a dynamic partition pruning filter (at 100 TB this is the difference
+    between scanning 2/1024 cells and scanning the corpus)."""
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    root = str(tmp_path / "ivf")
+    cents = similarity.kmeans_fit(emb, n_cells=8, n_iter=3, dim=64)
+    similarity.ivf_index_write(emb, cents, root)
+    plan = (
+        similarity.ivf_index_search(
+            spark, root, emb.where(F.col("vec_id") < 3), k=5, n_probe=2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_stream_ingested_index_is_searchable(spark, tmp_path):
+    """Composition: an index built offline then grown via
+    streaming.stream_ivf_ingest serves ivf_index_search over the union —
+    the streaming appends land in the same cell-partitioned layout."""
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.ivf_index_write(old, cents, d + "/ivf")
+
+    new.write.mode("append").parquet(d + "/landing")
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, d + "/ivf/stream_index", d + "/ckpt"
+    ).awaitTermination(120)
+
+    q = emb.where(F.col("vec_id") < 6)
+    got = sorted(map(tuple, similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=3, n_probe=2).collect()))
+    want = sorted(map(tuple, similarity.ivf_topk(
+        emb, q, k=3, n_cells=4, n_iter=2, n_probe=2, dim=64).collect()))
+    assert got == want
