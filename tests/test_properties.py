@@ -447,3 +447,97 @@ def test_cap_per_group_invariants(spark, rows, cap):
     assert sizes == {g: min(cap, n) for g, n in full.items()}
     assert set(got) <= set(rows)
     assert got == pick(df.repartition(3, "k"))
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_lists)
+def test_winnow_fingerprints_matches_python_oracle(spark, docs):
+    """winnow_fingerprints(md5) == the pure-Python winnowing reference:
+    k-gram md5-60bit hashes, sliding-window min, distinct per doc."""
+    import hashlib
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, window = 2, 3
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect: dict[int, set[int]] = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < k:
+            continue
+        hs = [md5_60(" ".join(ws[j : j + k])) for j in range(len(ws) - k + 1)]
+        fps = {
+            min(hs[p : p + window])
+            for p in range(max(len(hs) - window, 0) + 1)
+        }
+        expect[i] = fps
+
+    got: dict[int, set[int]] = {}
+    out = winnow_fingerprints(
+        _doc_df(spark, docs), k=k, window=window, hash_method="md5"
+    )
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    bin_tokens=st.integers(8, 64),
+    target=st.integers(5, 20),
+)
+def test_greedy_packing_auto_shard_matches_python(spark, rows, bin_tokens,
+                                                  target):
+    """Auto-sharded greedy packing == the pure-Python greedy fold applied
+    per hash shard in doc_id order (and the unsharded path == one global
+    fold)."""
+    import hashlib as _h  # noqa: F401  (documentation: shard uses xxhash64)
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents_greedy(
+        df, bin_tokens=bin_tokens, target_shard_rows=target
+    ).collect()
+    assert len(out) == len(rows)
+
+    def greedy(tokens):  # [(doc_id, t)] in order -> {doc_id: (bin, off)}
+        res, bin_id, fill = {}, 0, 0
+        for i, t in tokens:
+            if fill > 0 and fill + t > bin_tokens:
+                bin_id, fill = bin_id + 1, 0
+            res[i] = (bin_id, fill)
+            fill += t
+        return res
+
+    if len(rows) <= target:  # single global sequence, no pack_shard column
+        assert all(not hasattr(r, "pack_shard") for r in out)
+        expect = greedy(list(enumerate(rows)))
+        assert {r.doc_id: (r.bin_id, r.bin_offset) for r in out} == expect
+    else:
+        shards: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: r.doc_id):
+            shards.setdefault(r.pack_shard, []).append(
+                (r.doc_id, rows[r.doc_id])
+            )
+        for members in shards.values():
+            expect = greedy(members)
+            got = {
+                r.doc_id: (r.bin_id, r.bin_offset)
+                for r in out
+                if (r.doc_id, rows[r.doc_id]) in members
+            }
+            assert got == expect
