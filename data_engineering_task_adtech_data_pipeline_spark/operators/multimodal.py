@@ -34,7 +34,9 @@ MEDIA_META = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
-        T.StructField("n_bytes", T.LongType(), False),
+        # nullable: a NULL payload has no byte count (and a non-null
+        # declaration would crash the Arrow round-trip in mapInPandas)
+        T.StructField("n_bytes", T.LongType(), True),
     ]
 )
 
@@ -128,6 +130,63 @@ def decode_images(
             )
 
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Resize image payloads via Arrow-batched ``mapInPandas`` — same
+    executor-side contract as ``decode_images``: output rows carry the
+    (possibly re-encoded) payload plus a meta struct with the new
+    dimensions filled in.
+
+    Real resizing needs PIL/cv2 (absent in this container): ``fake=True``
+    passes payload bytes through untouched and stamps width/height into the
+    metadata — exercising the full schema/batching path — while
+    ``fake=False`` raises NotImplementedError inside the executor batch,
+    exactly where `PIL.Image.open(BytesIO(payload)).resize(...)` plugs in.
+
+    Scale shape: per-partition Arrow batches, no shuffle, payloads never
+    visit the driver; pair with ``size_bucketed`` so one batch's memory is
+    bounded by ``batch_rows x max_payload``.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("meta", MEDIA_META, True),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize needs PIL/cv2 — not available in this "
+                    "container; run with fake=True for the pass-through stub"
+                )
+            metas = []
+            for m in pdf["meta"]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "meta": metas,
+                }
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

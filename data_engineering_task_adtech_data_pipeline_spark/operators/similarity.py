@@ -779,6 +779,33 @@ def ivf_index_write(
     )
 
 
+def ivf_index_compact(spark, root: str) -> int:
+    """Fold the streaming delta into the base index: batch-read
+    ``stream_index`` (the sink manifest guarantees only committed files),
+    append its rows into the cell-partitioned base, then drop the delta
+    directory. Returns the number of rows compacted. AFTER compacting,
+    restart ingestion with a FRESH checkpoint and landing directory — the
+    old checkpoint would replay already-compacted epochs into a new delta.
+
+    At 100 TB this is the usual base/delta maintenance job: appends are
+    per-cell files (no shuffle — rows are already cell-assigned), and
+    search cost returns to one scan instead of base + delta."""
+    import os
+    import shutil
+
+    delta_path = os.path.join(root, "stream_index")
+    if not os.path.isdir(delta_path):
+        return 0
+    delta = spark.read.parquet(delta_path)
+    n = delta.count()
+    if n:
+        delta.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(root, "index")
+        )
+    shutil.rmtree(delta_path)
+    return n
+
+
 def ivf_index_search(
     spark,
     root: str,

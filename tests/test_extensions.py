@@ -573,3 +573,20 @@ def test_winnow_fingerprints_guarantee_and_shape(spark):
     md5_fps = winnow_fingerprints(df, k=5, window=4, hash_method="md5")
     md5_docs = {r.doc_id for r in md5_fps.collect()}
     assert 4 not in md5_docs and {1, 2, 3, 5} <= md5_docs
+
+
+def test_resize_images_stub_contract(spark):
+    """resize_images: fake mode passes payloads through and stamps the new
+    dimensions into meta; real mode raises inside the executor batch."""
+    media = spark.createDataFrame(
+        [(1, bytearray(b"imgbytes")), (2, None)], "media_id long, payload binary"
+    )
+    media = multimodal.attach_meta(media, modality="image", mime="image/fake")
+    out = {r.media_id: r for r in
+           multimodal.resize_images(media, 224, 224, fake=True).collect()}
+    assert bytes(out[1].payload) == b"imgbytes"
+    assert (out[1].meta.width, out[1].meta.height) == (224, 224)
+    assert out[1].meta.n_bytes == 8  # original meta fields carried through
+    assert out[2].payload is None
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, 224, 224, fake=False).collect()

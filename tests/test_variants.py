@@ -207,3 +207,33 @@ def test_stream_ingested_index_is_searchable(spark, tmp_path):
     want = sorted(map(tuple, similarity.ivf_topk(
         emb, q, k=3, n_cells=4, n_iter=2, n_probe=2, dim=64).collect()))
     assert got == want
+
+
+def test_ivf_index_compact_folds_delta(spark, tmp_path):
+    """After compaction the delta directory is gone, the base holds the
+    union, and search results are unchanged."""
+    import os
+
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    similarity.ivf_index_write(emb.where(F.col("vec_id") % 2 == 0), cents, d + "/ivf")
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(d + "/landing")
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, d + "/ivf/stream_index", d + "/ckpt"
+    ).awaitTermination(120)
+
+    q = emb.where(F.col("vec_id") < 6)
+    before = sorted(map(tuple, similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=3, n_probe=2).collect()))
+    n = similarity.ivf_index_compact(spark, d + "/ivf")
+    assert n == emb.where(F.col("vec_id") % 2 == 1).count()
+    assert not os.path.isdir(d + "/ivf/stream_index")
+    after = sorted(map(tuple, similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=3, n_probe=2).collect()))
+    assert before == after
+    assert similarity.ivf_index_compact(spark, d + "/ivf") == 0  # idempotent
