@@ -398,6 +398,7 @@ def minhash_dedup(
     verify_threshold: float | None = 0.8,
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
+    persist_profile: bool = False,
 ) -> DataFrame:
     """Full near-dup removal: MinHash candidates (optionally verified with
     exact Jaccard) → connected-ish grouping by min-id → keep one doc per
@@ -409,12 +410,22 @@ def minhash_dedup(
     LSH candidate pairs (two broadcast-ish joins against per-doc shingle
     arrays + ``array_intersect``), not for the whole corpus — at scale the
     candidate set is orders of magnitude smaller than the all-pairs set.
-    Signatures and shingle sets come from one shared ``minhash_profile``
-    pass; identical subtrees reuse the shuffle (ReusedExchange).
+
+    The shared ``minhash_profile`` subtree is consumed three times
+    (signatures -> candidates; shingle sets -> both jaccard join sides) and
+    does NOT become a ReusedExchange: per-branch column pruning specializes
+    each copy (the candidate branch computes only the 64 minima, the verify
+    branches only collect_set), so their exchanges are not canonically
+    identical — measured as three Generate(explode) passes in the plan.
+    Locally recompute is cheaper than materializing (the pruned branches
+    each do less work); on a real corpus set ``persist_profile=True`` to
+    pay one full profile pass + storage instead of three scans of the
+    text. The cache lives until session end or LRU eviction (the returned
+    frame is lazy, so there is no safe point to unpersist automatically).
     """
     cand = _verified_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
-        max_shingles, hash_method,
+        max_shingles, hash_method, persist_profile,
     )
     drop = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
@@ -460,10 +471,13 @@ def _verified_candidates(
     verify_threshold: float | None,
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
+    persist_profile: bool = False,
 ) -> DataFrame:
     profile = minhash_profile(
         df, text_col, id_col, num_hashes, shingle_k, max_shingles, hash_method
     )
+    if persist_profile and verify_threshold is not None:
+        profile = profile.persist()
     cand = minhash_lsh_candidates(
         profile.select(id_col, "signature"),
         id_col,
@@ -640,6 +654,7 @@ def minhash_dedup_transitive(
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
     cc: str = "propagation",
+    persist_profile: bool = False,
 ) -> DataFrame:
     """Near-dup removal with FULL transitive closure: verified candidate
     pairs → connected components → keep the min-id doc per component.
@@ -651,10 +666,11 @@ def minhash_dedup_transitive(
     (large-star/small-star, O(log^2 n) rounds independent of component
     shape — the safe choice when boilerplate corpora can chain thousands
     of docs into one giant component). Identical output either way
-    (equivalence-tested); measured the same wall-time at sf0.1."""
+    (equivalence-tested); measured the same wall-time at sf0.1.
+    ``persist_profile``: see ``minhash_dedup``."""
     cand = _verified_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
-        max_shingles, hash_method,
+        max_shingles, hash_method, persist_profile,
     )
     if cc not in ("propagation", "star"):
         raise ValueError(f"unknown cc strategy: {cc!r}")

@@ -590,3 +590,12 @@ def test_resize_images_stub_contract(spark):
     assert out[2].payload is None
     with pytest.raises(Exception):
         multimodal.resize_images(media, 224, 224, fake=False).collect()
+
+
+def test_minhash_dedup_persist_profile_equivalent(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plain = {r.doc_id for r in dedup.minhash_dedup(
+        df, verify_threshold=0.5).collect()}
+    persisted = {r.doc_id for r in dedup.minhash_dedup(
+        df, verify_threshold=0.5, persist_profile=True).collect()}
+    assert plain == persisted == {1, 4, 5}
