@@ -181,14 +181,19 @@ def winnow_fingerprints(
     md5 family (``operators.dedup.md5_long``) so a SQL oracle reproduces
     the selection bit-for-bit.
 
-    Plan shape: bound-words projection → one posexplode (the gram lambda
-    captures only a bound attribute — the CollapseProject discipline of
-    ``operators.dedup._grams``) → per-doc window min over gram position →
+    Plan shape: bound-words projection → one posexplode DIRECTLY above the
+    binding projection (the CollapseProject discipline of
+    ``operators.dedup._grams``/``shingle_rows`` — a Filter or extra
+    word-array reference between them lets the optimizer collapse the
+    projections and inline the split/normalize tree into the per-gram
+    lambda, re-evaluating it per gram; the per-doc gram count is instead
+    recovered AFTER the Generate as ``max(pos) over (partition by id)``,
+    sharing the window shuffle) → per-doc window min over gram position →
     filter to valid window starts → distinct. One shuffle on id (window),
     one on (id, fingerprint) (distinct); scales by partition count. Docs
-    shorter than ``k`` words emit no fingerprints; docs with fewer than
-    ``window`` grams emit exactly one (the global min) via the pos=0
-    window."""
+    shorter than ``k`` words emit no gram rows at all (empty-array
+    explode); docs with fewer than ``window`` grams emit exactly one
+    fingerprint (the global min) via the pos=0 window."""
     from pyspark.sql import Window as W
 
     from .dedup import md5_long
@@ -196,29 +201,30 @@ def winnow_fingerprints(
     bound = df.select(
         F.col(id_col).alias("id"),
         F.filter(_word_array(text_col), lambda w: w != "").alias("__w"),
-    ).where(F.size("__w") >= k)
-    words = F.col("__w")
-    grams = bound.select(
-        "id",
-        (F.size(words) - (k - 1)).alias("__n_grams"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - k),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-            )
-        ).alias("pos", "gram"),
     )
+    words = F.col("__w")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    gram_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = bound.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
     h = (
         md5_long(F.col("gram"))
         if hash_method == "md5"
         else F.xxhash64(F.col("gram"))
     )
-    wspec = (
+    w_all = W.partitionBy("id")
+    w_min = (
         W.partitionBy("id").orderBy("pos").rowsBetween(W.currentRow, window - 1)
     )
     selected = (
         grams.withColumn("__h", h)
-        .withColumn("__fp", F.min("__h").over(wspec))
+        .withColumn("__fp", F.min("__h").over(w_min))
+        .withColumn("__n_grams", F.max("pos").over(w_all) + 1)
         .where(
             F.col("pos")
             <= F.greatest(F.col("__n_grams") - window, F.lit(0))

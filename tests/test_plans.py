@@ -122,3 +122,28 @@ def test_bigram_novelty_score_join_is_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_winnow_fingerprints_computes_words_once(spark):
+    """Regression lock on the CollapseProject recompute trap: the
+    normalize/split word-array tree must appear exactly once in the plan
+    (2 regexp_replace = one normalize_text chain). A Filter or extra
+    word-array reference between the binding projection and the posexplode
+    lets the optimizer inline the tree into the per-gram lambda, where it
+    re-evaluates per gram (the operators/dedup.py:_grams pathology —
+    measured 3x in round 4 before this shape was fixed)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    plan = (
+        winnow_fingerprints(docs, k=5, window=4, hash_method="md5")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") == 2, plan.count("regexp_replace")
