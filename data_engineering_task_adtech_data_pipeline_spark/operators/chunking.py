@@ -198,7 +198,13 @@ def pack_documents_greedy(
     )
 
     def pack(pdf):
-        pdf = pdf.sort_values(order_name, kind="mergesort").reset_index(drop=True)
+        # secondary id_col key: order_col alone may have ties, and a stable
+        # sort over pandas-group arrival order (a nondeterministic shuffle)
+        # would make tied rows' bins differ run to run
+        sort_keys = (
+            [order_name] if order_name == id_col else [order_name, id_col]
+        )
+        pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
         bins, offs = [], []
         bin_id, fill = 0, 0
         for t in pdf[token_col]:

@@ -95,6 +95,12 @@ def decode_images(
     (keeps every Spark-side contract testable); ``fake=False`` raises
     NotImplementedError *inside the executor batch*, which is where a real
     implementation would plug in (PIL/cv2 import at top of ``run``).
+
+    ``batch_rows`` sets the SESSION-level Arrow batch-size conf (Spark
+    reads it at execution, not per plan): the last multimodal operator
+    built before an action wins for every Arrow exchange in that job, and
+    the setting persists for later pandas-UDF operators in the session.
+    Set it once per job to the smallest payload-appropriate value.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
@@ -152,7 +158,9 @@ def resize_images(
 
     Scale shape: per-partition Arrow batches, no shuffle, payloads never
     visit the driver; pair with ``size_bucketed`` so one batch's memory is
-    bounded by ``batch_rows x max_payload``.
+    bounded by ``batch_rows x max_payload``. ``batch_rows`` is the same
+    session-level Arrow conf ``decode_images`` documents — last setting
+    before an action wins session-wide.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))

@@ -780,12 +780,25 @@ def ivf_index_write(
 
 
 def ivf_index_compact(spark, root: str) -> int:
-    """Fold the streaming delta into the base index: batch-read
-    ``stream_index`` (the sink manifest guarantees only committed files),
-    append its rows into the cell-partitioned base, then drop the delta
-    directory. Returns the number of rows compacted. AFTER compacting,
-    restart ingestion with a FRESH checkpoint and landing directory — the
-    old checkpoint would replay already-compacted epochs into a new delta.
+    """Fold the streaming delta into the base index: atomically rename
+    ``stream_index`` to a ``.compacting`` staging dir (so new streamed
+    epochs cannot race the fold), batch-read it (the sink manifest
+    guarantees only committed files), append its rows into the
+    cell-partitioned base, then drop the staging dir. Returns the number
+    of rows compacted. AFTER compacting, restart ingestion with a FRESH
+    checkpoint and landing directory — the old checkpoint would replay
+    already-compacted epochs into a new delta.
+
+    Crash contract: append-then-delete is two steps, so a crash between
+    them CANNOT be made exactly-once on plain parquet — instead it is made
+    DETECTABLE: a leftover ``.compacting`` dir means a prior run may have
+    already appended some or all of its rows, and this function refuses to
+    proceed (re-appending would silently double-ingest vectors, giving
+    duplicate corpus_ids in search results). Recovery is manual: verify
+    whether the base contains the staged ids, then delete the staging dir
+    (appended) or rename it back to ``stream_index`` (not appended). A
+    table format with atomic MERGE (Delta/Iceberg, ROADMAP #1) removes
+    this window entirely.
 
     At 100 TB this is the usual base/delta maintenance job: appends are
     per-cell files (no shuffle — rows are already cell-assigned), and
@@ -794,15 +807,37 @@ def ivf_index_compact(spark, root: str) -> int:
     import shutil
 
     delta_path = os.path.join(root, "stream_index")
+    staging = delta_path + ".compacting"
+    if os.path.isdir(staging):
+        raise RuntimeError(
+            f"interrupted compaction at {staging}: its rows may or may not "
+            "already be in the base index — verify, then delete it "
+            "(appended) or rename it back to stream_index (not appended)"
+        )
     if not os.path.isdir(delta_path):
         return 0
-    delta = spark.read.parquet(delta_path)
+    # Snapshot the manifest-committed data files BEFORE the rename: the
+    # streaming sink's _spark_metadata records absolute paths, so a read
+    # through the renamed directory would resolve to the old location.
+    # Reading the snapshot by explicit file list keeps the manifest's
+    # exactly-once filtering (orphan files from aborted tasks excluded)
+    # while the rename keeps racing new epochs out of this fold.
+    try:
+        files = spark.read.parquet(delta_path).inputFiles()
+    except Exception:  # only empty committed epochs -> nothing to fold
+        files = []
+    os.rename(delta_path, staging)
+    if not files:
+        shutil.rmtree(staging)
+        return 0
+    moved = [f.replace(delta_path, staging) for f in files]
+    delta = spark.read.option("basePath", staging).parquet(*moved)
     n = delta.count()
     if n:
         delta.write.mode("append").partitionBy("cell").parquet(
             os.path.join(root, "index")
         )
-    shutil.rmtree(delta_path)
+    shutil.rmtree(staging)
     return n
 
 
@@ -835,7 +870,15 @@ def ivf_index_search(
 
     c = read_part("index")
     if os.path.isdir(os.path.join(root, "stream_index")):
-        c = c.unionByName(read_part("stream_index"))
+        # the sink may have committed only empty epochs: the directory then
+        # holds just _spark_metadata and the read cannot infer a schema —
+        # an empty delta must not fail the whole search
+        from pyspark.errors import AnalysisException
+
+        try:
+            c = c.unionByName(read_part("stream_index"))
+        except AnalysisException:
+            pass
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )

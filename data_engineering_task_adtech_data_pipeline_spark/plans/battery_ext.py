@@ -1022,7 +1022,13 @@ def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
     )
     stream = pack_documents(toks, bin_tokens=512)
-    greedy = pack_documents_greedy(toks, bin_tokens=512).select(
+    # target_shard_rows pinned above any realistic documents row count: the
+    # oracle replays ONE global greedy fold, so the query must stay in the
+    # unsharded regime at every scale factor (auto-sharding would make
+    # bin ids shard-local and add a pack_shard column)
+    greedy = pack_documents_greedy(
+        toks, bin_tokens=512, target_shard_rows=1 << 40
+    ).select(
         "doc_id",
         F.col("bin_id").alias("greedy_bin_id"),
         F.col("bin_offset").alias("greedy_bin_offset"),
@@ -1201,10 +1207,13 @@ def q55_ivf_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTACT_SPARK_DOC = "constructed deterministic contact strings (testdata has no natural PII)"
 
-_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_P = r"(\+\d{1,2}[- ])?(\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4})\b"
-_PII_S = r"\b\d{3}-\d{2}-\d{4}\b"
-_PII_I = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# ONE source of truth for the patterns: the oracle must test literally the
+# same regex the Spark operator runs (round-4 review: the phone-pattern
+# broadening had to edit two hand-synced copies — never again)
+_PII_E = text.PII_PATTERNS["email"]
+_PII_P = text.PII_PATTERNS["phone"]
+_PII_S = text.PII_PATTERNS["ssn"]
+_PII_I = text.PII_PATTERNS["ip"]
 
 
 @query(

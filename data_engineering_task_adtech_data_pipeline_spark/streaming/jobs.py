@@ -279,7 +279,10 @@ def stream_decontaminate(
     dynamic partition overwrite — a replayed epoch overwrites its own
     partition instead of appending duplicates, giving effectively-once
     output for a given checkpoint lineage (the standard Structured
-    Streaming idempotent-sink recipe).
+    Streaming idempotent-sink recipe). The physical ``__epoch_id``
+    partition column is an implementation detail: read the output through
+    ``read_decontaminated`` (which strips it, mirroring
+    ``Pipeline.gold``'s handling of gold_bucket), not a raw parquet read.
 
     Scale shape: the benchmark collapses to a DISTINCT set of 8-byte gram
     hashes ONCE (cached here, not re-shingled per batch) and is broadcast
@@ -324,6 +327,14 @@ def stream_decontaminate(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def read_decontaminated(spark: SparkSession, output_path: str) -> DataFrame:
+    """Public reader for ``stream_decontaminate`` output: strips the
+    physical ``__epoch_id`` idempotence-partition column so consumers see
+    the plain document schema (interchangeable with the batch
+    ``operators.dedup.decontaminate`` output)."""
+    return spark.read.parquet(output_path).drop("__epoch_id")
 
 
 def stream_events_daily(
@@ -406,10 +417,10 @@ def stream_ivf_ingest(
     centroids: list,
     output_path: str,
     checkpoint_dir: str,
-    id_col: str = "vec_id",
     emb_col: str = "embedding",
     available_now: bool = True,
     processing_time: str = "5 minutes",
+    schema: "T.StructType | None" = None,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -419,6 +430,11 @@ def stream_ivf_ingest(
     model is trained once offline, then the index absorbs new vectors
     continuously without retraining, and ``ivf_topk``-style search reads
     the cell-partitioned layout with partition pruning on the probed cells.
+
+    ``schema`` overrides the default ``EMBEDDING_SCHEMA`` when the landing
+    files carry different column names (streaming file sources require an
+    explicit schema — columns absent from it read as NULL, so a mismatched
+    id column would otherwise silently populate the index with null ids).
 
     Sink semantics: this is a stateless per-row projection (plan-literal
     argmin for small models, broadcast centroid table above — both are
@@ -438,7 +454,7 @@ def stream_ivf_ingest(
     """
     from ..operators.similarity import _with_cell, with_double_embedding
 
-    stream = spark.readStream.schema(EMBEDDING_SCHEMA).parquet(input_dir)
+    stream = spark.readStream.schema(schema or EMBEDDING_SCHEMA).parquet(input_dir)
     assigned = _with_cell(
         with_double_embedding(stream, emb_col), emb_col, centroids
     )

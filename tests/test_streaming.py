@@ -333,7 +333,14 @@ def test_stream_decontaminate_replay_is_idempotent(spark, tmp_path):
     stream_decontaminate(
         spark, d + "/in", benchmark, d + "/out", d + "/ckpt"
     ).awaitTermination(120)
-    got = [r.doc_id for r in spark.read.parquet(d + "/out").collect()]
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        read_decontaminated,
+    )
+
+    out = read_decontaminated(spark, d + "/out")
+    # the idempotence partition column is stripped for consumers
+    assert "__epoch_id" not in out.columns
+    got = [r.doc_id for r in out.collect()]
     assert sorted(got) == [2]  # exactly once despite the replayed epoch
 
 

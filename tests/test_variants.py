@@ -237,3 +237,22 @@ def test_ivf_index_compact_folds_delta(spark, tmp_path):
         spark, d + "/ivf", q, k=3, n_probe=2).collect()))
     assert before == after
     assert similarity.ivf_index_compact(spark, d + "/ivf") == 0  # idempotent
+
+
+def test_ivf_index_compact_refuses_interrupted_run(spark, tmp_path):
+    """A leftover .compacting staging dir (crash between append and
+    cleanup) must stop compaction with a clear error instead of silently
+    double-ingesting the delta."""
+    import os
+
+    import pytest
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    root = str(tmp_path / "ivf")
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=1, dim=64)
+    similarity.ivf_index_write(emb, cents, root)
+    os.makedirs(root + "/stream_index.compacting")
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        similarity.ivf_index_compact(spark, root)
+    os.rmdir(root + "/stream_index.compacting")
+    assert similarity.ivf_index_compact(spark, root) == 0  # no delta -> noop
