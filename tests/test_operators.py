@@ -168,3 +168,40 @@ def test_ch_left_join_fill_overrides_and_broadcast(spark):
     }
     assert (out[2].cnt, out[2].tag) == (-1, "")  # override + string default
     assert (out[1].cnt, out[1].tag) == (5, "x")
+
+
+def test_csv_and_json_readers_roundtrip(spark, tmp_path):
+    """read_csv / read_json honor the explicit schema (no inference) and
+    round-trip values; malformed JSON lines land in _corrupt_record when
+    the schema includes it."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        read_csv,
+        read_json,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    csv_path = str(tmp_path / "t.csv")
+    with open(csv_path, "w") as f:
+        f.write("id,name,score\n1,alpha,1.5\n2,beta,-2.0\n")
+    got = {r.id: (r.name, r.score) for r in
+           read_csv(spark, csv_path, schema).collect()}
+    assert got == {1: ("alpha", 1.5), 2: ("beta", -2.0)}
+
+    json_path = str(tmp_path / "t.jsonl")
+    with open(json_path, "w") as f:
+        f.write(json.dumps({"id": 1, "name": "alpha", "score": 1.5}) + "\n")
+        f.write("{not valid json\n")
+    jschema = schema.add("_corrupt_record", T.StringType())
+    rows = read_json(spark, json_path, jschema).collect()
+    ok = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(ok) == 1 and ok[0].id == 1 and ok[0].score == 1.5
+    assert len(bad) == 1 and bad[0].id is None
