@@ -235,6 +235,50 @@ def winnow_fingerprints(
     return selected
 
 
+def winnow_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    hash_method: str = "xxhash64",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup/plagiarism pairs (id_a < id_b, shared_fps count)
+    from shared winnowing fingerprints — the MOSS matching step. Guaranteed
+    to surface every pair sharing a run of >= ``k + window - 1`` tokens
+    (each side selects at least one common fingerprint from the shared
+    run). Bucket-local pairing like ``dedup.minhash_lsh_candidates``:
+    fingerprint buckets are sorted and truncated at ``max_bucket`` so a
+    boilerplate fingerprint cannot go quadratic; rank pairs by
+    ``shared_fps`` desc for triage."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_method)
+    buckets = (
+        fps.groupBy("fingerprint")
+        .agg(F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda j: F.struct(
+                            F.col("ids")[i].alias("id_a"), j.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -599,3 +599,45 @@ def test_minhash_dedup_persist_profile_equivalent(spark):
     persisted = {r.doc_id for r in dedup.minhash_dedup(
         df, verify_threshold=0.5, persist_profile=True).collect()}
     assert plain == persisted == {1, 4, 5}
+
+
+def test_winnow_partitioning_invariant(spark):
+    """Fingerprint selection is a pure function of each document — same
+    output on any input partitioning."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+    from conftest import SF_ORACLE
+
+    docs = Testdata(spark, SF_ORACLE).documents.limit(100)
+    a = {(r.doc_id, r.fingerprint)
+         for r in winnow_fingerprints(docs, hash_method="md5").collect()}
+    b = {(r.doc_id, r.fingerprint)
+         for r in winnow_fingerprints(
+             docs.repartition(13), hash_method="md5").collect()}
+    assert a == b and a
+
+
+def test_winnow_candidates_finds_shared_run(spark):
+    """Pairs sharing a >= k+window-1 token run are guaranteed candidates;
+    disjoint docs never pair; id_a < id_b with a shared_fps count."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        winnow_candidates,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix one"),
+            (2, f"{shared} something else entirely here"),
+            (3, "unrelated content with zero overlap whatsoever present"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.shared_fps
+             for r in winnow_candidates(df, k=5, window=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
