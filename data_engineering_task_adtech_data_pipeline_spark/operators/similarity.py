@@ -761,19 +761,37 @@ def ivf_index_write(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     literal_max: int = LITERAL_CELL_MAX,
+    planes: int | None = None,
+    sig_seed: int = 42,
+    sig_hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> None:
     """Build the persisted index: assign every corpus row its nearest cell
     (one pass, no shuffle — assignment is a projection) and write
     cell-partitioned parquet plus the model table. Incremental additions
     after the initial build go through ``streaming.stream_ivf_ingest``,
-    which appends into the same layout."""
+    which appends into the same layout.
+
+    With ``planes`` set, each row also stores its ``planes``-bit
+    hyperplane sign sketch in a ``sig`` column (same signature family as
+    ``ivf_lsh_topk``); ``ivf_index_search`` with ``max_hamming`` then
+    serves the hybrid two-level plan — cell routing + stored-sketch
+    hamming prune — without recomputing corpus signatures at query time.
+    The sketch parameters are caller-managed: pass the same
+    (planes, sig_seed, sig_hash_method, dim) to the search."""
     import os
 
     spark = corpus.sparkSession
     ivf_model_write(spark, centroids, os.path.join(root, "model"))
-    assigned = _with_cell(
-        with_double_embedding(corpus, emb_col), emb_col, centroids, literal_max
-    )
+    work = with_double_embedding(corpus, emb_col)
+    if planes is not None:
+        work = work.withColumn(
+            "sig",
+            hyperplane_signature(
+                F.col(emb_col), planes, sig_seed, sig_hash_method, dim
+            ),
+        )
+    assigned = _with_cell(work, emb_col, centroids, literal_max)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(root, "index")
     )
@@ -850,49 +868,98 @@ def ivf_index_search(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     literal_max: int = LITERAL_CELL_MAX,
+    max_hamming: int | None = None,
+    planes: int = 16,
+    sig_seed: int = 42,
+    sig_hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
     ``n_probe`` nearest cells from the stored model, joins only those
     cells' partitions of the index (broadcast query side -> dynamic
     partition pruning on the parquet scan), exact cosine re-rank.
-    Identical ranking semantics to ``ivf_topk`` with the same model."""
+    Identical ranking semantics to ``ivf_topk`` with the same model.
+
+    With ``max_hamming`` set (requires an index written with ``planes`` so
+    a ``sig`` column is stored), serves the HYBRID plan of
+    ``ivf_lsh_topk``: the cell join carries only (id, cell, stored 8-byte
+    sig), the codegen hamming filter prunes candidates join-side, and the
+    wide embeddings are joined back BY ID for the survivors only — the
+    sketch parameters must match the ones given at write time."""
     import os
 
     centroids = ivf_model_read(spark, os.path.join(root, "model"))
 
-    def read_part(sub: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(root, sub)).select(
-            F.col(id_col).alias("corpus_id"),
-            F.col(emb_col).cast("array<double>").alias("__c_emb"),
-            "cell",
-        )
+    def read_index(cols) -> DataFrame:
+        c = spark.read.parquet(os.path.join(root, "index")).select(*cols)
+        delta_path = os.path.join(root, "stream_index")
+        if os.path.isdir(delta_path):
+            # the sink may have committed only empty epochs: the directory
+            # then holds just _spark_metadata and the read cannot infer a
+            # schema — an empty delta must not fail the whole search. Only
+            # the BARE read is guarded: a delta that exists but lacks a
+            # requested column (e.g. sig missing because stream_ivf_ingest
+            # ran without planes against a hybrid index) must fail loudly
+            # rather than be silently dropped from results.
+            from pyspark.errors import AnalysisException
 
-    c = read_part("index")
-    if os.path.isdir(os.path.join(root, "stream_index")):
-        # the sink may have committed only empty epochs: the directory then
-        # holds just _spark_metadata and the read cannot infer a schema —
-        # an empty delta must not fail the whole search
-        from pyspark.errors import AnalysisException
+            try:
+                raw = spark.read.parquet(delta_path)
+            except AnalysisException:
+                return c
+            c = c.unionByName(raw.select(*cols))
+        return c
 
-        try:
-            c = c.unionByName(read_part("stream_index"))
-        except AnalysisException:
-            pass
+    corpus_id = F.col(id_col).alias("corpus_id")
+    c_emb_cols = [corpus_id, F.col(emb_col).cast("array<double>").alias("__c_emb")]
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
-    probed = _with_probed_cells(q, "__q_emb", centroids, n_probe, literal_max)
-    scored = (
-        F.broadcast(probed)
-        .join(c, "cell")
-        .select(
-            "query_id",
-            "corpus_id",
-            cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+
+    if max_hamming is not None:
+        q_sig = q.withColumn(
+            "__q_sig",
+            hyperplane_signature(
+                F.col("__q_emb"), planes, sig_seed, sig_hash_method, dim
+            ),
         )
-        .where(F.col("query_id") != F.col("corpus_id"))
-    )
+        probed = _with_probed_cells(
+            q_sig, "__q_emb", centroids, n_probe, literal_max
+        ).select("query_id", "__q_sig", "cell")
+        c_compact = read_index([corpus_id, F.col("cell"), F.col("sig")])
+        pairs = (
+            F.broadcast(probed)
+            .join(c_compact, "cell")
+            .where(
+                F.bit_count(F.col("__q_sig").bitwiseXOR(F.col("sig")))
+                <= max_hamming
+            )
+            .where(F.col("query_id") != F.col("corpus_id"))
+            .select("query_id", "corpus_id")
+        )
+        scored = (
+            pairs.join(read_index(c_emb_cols), "corpus_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+            )
+        )
+    else:
+        c = read_index(c_emb_cols + [F.col("cell")])
+        probed = _with_probed_cells(q, "__q_emb", centroids, n_probe, literal_max)
+        scored = (
+            F.broadcast(probed)
+            .join(c, "cell")
+            .select(
+                "query_id",
+                "corpus_id",
+                cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+            )
+            .where(F.col("query_id") != F.col("corpus_id"))
+        )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id").asc()
     )

@@ -421,6 +421,10 @@ def stream_ivf_ingest(
     available_now: bool = True,
     processing_time: str = "5 minutes",
     schema: "T.StructType | None" = None,
+    planes: int | None = None,
+    sig_seed: int = 42,
+    sig_hash_method: str = "xxhash64",
+    dim: int | None = None,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -430,6 +434,11 @@ def stream_ivf_ingest(
     model is trained once offline, then the index absorbs new vectors
     continuously without retraining, and ``ivf_topk``-style search reads
     the cell-partitioned layout with partition pruning on the probed cells.
+
+    Growing a HYBRID index (``similarity.ivf_index_write`` with
+    ``planes``): pass the SAME (planes, sig_seed, sig_hash_method, dim) so
+    delta rows carry the stored ``sig`` sketch — ``ivf_index_search``
+    fails loudly if a hybrid search finds delta rows without it.
 
     ``schema`` overrides the default ``EMBEDDING_SCHEMA`` when the landing
     files carry different column names (streaming file sources require an
@@ -452,12 +461,22 @@ def stream_ivf_ingest(
     only cross-node traffic is the (tiny) broadcast model above
     ``literal_max`` cells.
     """
-    from ..operators.similarity import _with_cell, with_double_embedding
+    from ..operators.similarity import (
+        _with_cell,
+        hyperplane_signature,
+        with_double_embedding,
+    )
 
     stream = spark.readStream.schema(schema or EMBEDDING_SCHEMA).parquet(input_dir)
-    assigned = _with_cell(
-        with_double_embedding(stream, emb_col), emb_col, centroids
-    )
+    work = with_double_embedding(stream, emb_col)
+    if planes is not None:
+        work = work.withColumn(
+            "sig",
+            hyperplane_signature(
+                F.col(emb_col), planes, sig_seed, sig_hash_method, dim
+            ),
+        )
+    assigned = _with_cell(work, emb_col, centroids)
     writer = (
         assigned.writeStream.outputMode("append")
         .format("parquet")

@@ -256,3 +256,37 @@ def test_ivf_index_compact_refuses_interrupted_run(spark, tmp_path):
         similarity.ivf_index_compact(spark, root)
     os.rmdir(root + "/stream_index.compacting")
     assert similarity.ivf_index_compact(spark, root) == 0  # no delta -> noop
+
+
+def test_ivf_persisted_hybrid_matches_ivf_lsh_topk(spark, tmp_path):
+    """A hybrid index (stored sig sketches) searched with max_hamming
+    serves exactly ivf_lsh_topk's ranking for the same model and sketch
+    parameters — including delta rows grown via stream_ivf_ingest with
+    matching sketch args."""
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 8)
+    d = str(tmp_path)
+    sig_kw = dict(planes=16, sig_seed=42, sig_hash_method="md5", dim=64)
+
+    cents = similarity.kmeans_fit(emb, n_cells=8, n_iter=3, dim=64)
+    similarity.ivf_index_write(
+        emb.where(F.col("vec_id") % 2 == 0), cents, d + "/ivf", **sig_kw
+    )
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(d + "/landing")
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, d + "/ivf/stream_index", d + "/ckpt",
+        **sig_kw,
+    ).awaitTermination(120)
+
+    got = sorted(map(tuple, similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=5, n_probe=2, max_hamming=9, **sig_kw,
+    ).collect()))
+    want = sorted(map(tuple, similarity.ivf_lsh_topk(
+        emb, q, k=5, n_cells=8, n_iter=3, n_probe=2,
+        planes=16, max_hamming=9, seed=42, hash_method="md5", dim=64,
+    ).collect()))
+    assert got == want
