@@ -1,0 +1,105 @@
+"""Path-scheme-agnostic filesystem helpers (Hadoop FileSystem API).
+
+Every persisted layout in this package (silver/gold lake dirs, the
+ReplacingMergeTree-style upsert table, the base/delta IVF index) must work
+wherever Spark itself can read — local disk in tests, HDFS or S3A at the
+100 TB deployment the docstrings describe. Driver-side ``os.path`` /
+``shutil`` calls silently disagree with Spark about what exists as soon as
+the path carries a scheme (``os.path.isdir("s3a://...")`` is always
+False), which turns "union the streamed delta" into "serve stale results
+with no error". These helpers route every existence probe, rename, delete
+and marker-file read/write through the SAME Hadoop ``FileSystem`` the
+executors use, via the JVM gateway — so a probe agrees with the scan that
+follows it on every scheme Spark supports.
+
+Semantics notes for callers:
+
+* ``rename`` is atomic on HDFS and local filesystems; on S3A it is a
+  non-atomic server-side copy+delete. Code that relies on rename for
+  crash-*detection* (``ivf_index_compact``) stays correct — a torn rename
+  leaves both dirs visible, which the staging-dir guard treats as an
+  interrupted run — but code must never rely on rename for isolation on
+  object stores.
+* There is no reference analog to cite: the reference delegates all
+  storage maintenance to its databases (e.g. ClickHouse merges,
+  ``dags/initial_load_generate_postgres_data.py:97-98``); the equivalent
+  obligation here is "never assume POSIX".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Resolve ``path`` to (FileSystem, Path) through the active Hadoop
+    configuration — the scheme (file://, hdfs://, s3a://, or bare) picks
+    the implementation exactly as it does for ``spark.read``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs_and_path(spark, path)
+    fs.mkdirs(p)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete ``path``; returns False if it did not exist."""
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` -> ``dst``, raising on failure (Hadoop's rename
+    returns False instead of raising for most failure modes — a silent
+    False here would corrupt compaction staging)."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    if not fs.rename(s, d):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def join(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (``os.path.join`` would also work for
+    URI-style paths on POSIX hosts, but this makes no platform
+    assumptions and never swallows a scheme)."""
+    out = base.rstrip("/")
+    for part in parts:
+        out += "/" + part.strip("/")
+    return out
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomically-enough write of a small driver-side marker file
+    (overwrite mode); used for index metadata like the compaction
+    generation marker."""
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _fs_and_path(spark, path)
+    inp = fs.open(p)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+        )
+    finally:
+        inp.close()

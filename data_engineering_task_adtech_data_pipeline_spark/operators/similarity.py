@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .. import fs
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -779,10 +781,8 @@ def ivf_index_write(
     hamming prune — without recomputing corpus signatures at query time.
     The sketch parameters are caller-managed: pass the same
     (planes, sig_seed, sig_hash_method, dim) to the search."""
-    import os
-
     spark = corpus.sparkSession
-    ivf_model_write(spark, centroids, os.path.join(root, "model"))
+    ivf_model_write(spark, centroids, fs.join(root, "model"))
     work = with_double_embedding(corpus, emb_col)
     if planes is not None:
         work = work.withColumn(
@@ -793,7 +793,7 @@ def ivf_index_write(
         )
     assigned = _with_cell(work, emb_col, centroids, literal_max)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(root, "index")
+        fs.join(root, "index")
     )
 
 
@@ -820,19 +820,24 @@ def ivf_index_compact(spark, root: str) -> int:
 
     At 100 TB this is the usual base/delta maintenance job: appends are
     per-cell files (no shuffle — rows are already cell-assigned), and
-    search cost returns to one scan instead of base + delta."""
-    import os
-    import shutil
+    search cost returns to one scan instead of base + delta.
 
-    delta_path = os.path.join(root, "stream_index")
+    All directory probes/renames/deletes go through the Hadoop FileSystem
+    API (``fs`` module), so the layout works on any scheme Spark can read
+    (file://, hdfs://, s3a://) — driver-local ``os.path`` would silently
+    report "no delta" for any URI path. On S3A the staging rename is a
+    copy+delete rather than atomic, which WIDENS the detectable-crash
+    window but never narrows detection: a torn rename leaves both dirs
+    visible and the staging guard below refuses to proceed."""
+    delta_path = fs.join(root, "stream_index")
     staging = delta_path + ".compacting"
-    if os.path.isdir(staging):
+    if fs.is_dir(spark, staging):
         raise RuntimeError(
             f"interrupted compaction at {staging}: its rows may or may not "
             "already be in the base index — verify, then delete it "
             "(appended) or rename it back to stream_index (not appended)"
         )
-    if not os.path.isdir(delta_path):
+    if not fs.is_dir(spark, delta_path):
         return 0
     # Snapshot the manifest-committed data files BEFORE the rename: the
     # streaming sink's _spark_metadata records absolute paths, so a read
@@ -844,18 +849,21 @@ def ivf_index_compact(spark, root: str) -> int:
         files = spark.read.parquet(delta_path).inputFiles()
     except Exception:  # only empty committed epochs -> nothing to fold
         files = []
-    os.rename(delta_path, staging)
+    fs.rename(spark, delta_path, staging)
     if not files:
-        shutil.rmtree(staging)
+        fs.delete(spark, staging)
         return 0
-    moved = [f.replace(delta_path, staging) for f in files]
+    # inputFiles() returns fully-qualified URIs; map them into the staging
+    # dir by suffix so bare-path roots (test dirs) and URI roots both work.
+    delta_name, staging_name = "/stream_index/", "/stream_index.compacting/"
+    moved = [f.replace(delta_name, staging_name) for f in files]
     delta = spark.read.option("basePath", staging).parquet(*moved)
     n = delta.count()
     if n:
         delta.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(root, "index")
+            fs.join(root, "index")
         )
-    shutil.rmtree(staging)
+    fs.delete(spark, staging)
     return n
 
 
@@ -886,15 +894,18 @@ def ivf_index_search(
     ``ivf_lsh_topk``: the cell join carries only (id, cell, stored 8-byte
     sig), the codegen hamming filter prunes candidates join-side, and the
     wide embeddings are joined back BY ID for the survivors only — the
-    sketch parameters must match the ones given at write time."""
-    import os
+    sketch parameters must match the ones given at write time.
 
-    centroids = ivf_model_read(spark, os.path.join(root, "model"))
+    The streamed-delta probe goes through the Hadoop FileSystem API, so a
+    delta under an hdfs:// or s3a:// root is found exactly like a local
+    one — an ``os.path`` probe would return False for any URI and serve
+    the base index only, silently dropping every streamed row."""
+    centroids = ivf_model_read(spark, fs.join(root, "model"))
 
     def read_index(cols) -> DataFrame:
-        c = spark.read.parquet(os.path.join(root, "index")).select(*cols)
-        delta_path = os.path.join(root, "stream_index")
-        if os.path.isdir(delta_path):
+        c = spark.read.parquet(fs.join(root, "index")).select(*cols)
+        delta_path = fs.join(root, "stream_index")
+        if fs.is_dir(spark, delta_path):
             # the sink may have committed only empty epochs: the directory
             # then holds just _spark_metadata and the read cannot infer a
             # schema — an empty delta must not fail the whole search. Only

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .. import fs
+
 _RN = "__rn_replacing_merge"
 
 
@@ -82,9 +84,8 @@ def compact(
     deduped = latest_version(spark.read.parquet(path), keys, version, tiebreak)
     tmp = path.rstrip("/") + "__compact_tmp"
     deduped.write.mode("overwrite").parquet(tmp)
-    # atomic-enough swap for local/test use; on object stores prefer a
-    # lakehouse table format where compaction is a metadata swap
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # scheme-agnostic swap via Hadoop FileSystem (atomic on HDFS/local,
+    # copy+delete on S3A); on object stores prefer a lakehouse table
+    # format where compaction is a metadata swap
+    fs.delete(spark, path)
+    fs.rename(spark, tmp, path)

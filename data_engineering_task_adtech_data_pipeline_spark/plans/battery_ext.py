@@ -8,7 +8,9 @@ entries (q13/q14/q35) run the engine-portable md5 affine hash family
 value-checked, and the ANN entries (q16/q49) run md5-derived hyperplanes
 (``operators.similarity.md5_plane_weights``) for the same reason; xxhash64
 remains the operators' scale-path default and is covered by tests + the q48
-verify-stage oracle. Still rows-only: q40 (binary decode stub). Normalization
+verify-stage oracle. Every battery entry now carries a full value oracle —
+q40 (multimodal) gained one via length/strlen over the binary payload in
+round 4, leaving zero rows-only entries. Normalization
 SQL mirrors ``operators.dedup.normalize_text`` exactly (DuckDB
 regexp_replace needs the 'g' flag; Spark's replaces all matches by default).
 """

@@ -19,12 +19,12 @@ deduped silver view, not bronze.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs
 from ..operators.delta import changed_keys, select_changed
 from ..operators.upsert import latest_version, upsert_append
 from .reports import daily_ctr_report, totals_report
@@ -64,13 +64,13 @@ class Paths:
     root: str
 
     def bronze(self, table: str) -> str:
-        return os.path.join(self.root, "bronze", table)
+        return fs.join(self.root, "bronze", table)
 
     def silver(self, table: str) -> str:
-        return os.path.join(self.root, "silver", table)
+        return fs.join(self.root, "silver", table)
 
     def gold(self, table: str) -> str:
-        return os.path.join(self.root, "gold", table)
+        return fs.join(self.root, "gold", table)
 
 
 class Pipeline:
@@ -135,7 +135,7 @@ class Pipeline:
         only gold hash-buckets containing this cycle's changed campaigns are
         recomputed (``rebuild_reports_incremental``).
         """
-        if not os.path.isdir(self.paths.silver("advertiser_campaigns")):
+        if not fs.is_dir(self.spark, self.paths.silver("advertiser_campaigns")):
             self.initial_load()
             return {name: df.count() for name, df in self._extracts().items()}
         counts: dict[str, int] = {}
@@ -235,7 +235,7 @@ class Pipeline:
         path = self.paths.gold("advertiser_campaigns_daily_ctr_report")
         imp_d = self.silver("advertiser_campaigns_impressions")
         clk_d = self.silver("advertiser_campaigns_clicks")
-        first_build = not os.path.isdir(path)
+        first_build = not fs.is_dir(self.spark, path)
         if not first_build:
             flt = F.pmod("rtm_campaign_id", F.lit(GOLD_BUCKETS)).isin(
                 sorted(touched_buckets)

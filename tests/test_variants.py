@@ -290,3 +290,71 @@ def test_ivf_persisted_hybrid_matches_ivf_lsh_topk(spark, tmp_path):
         planes=16, max_hamming=9, seed=42, hash_method="md5", dim=64,
     ).collect()))
     assert got == want
+
+
+def test_ivf_index_uri_scheme_roundtrip(spark, tmp_path):
+    """The persisted-index family must work through a URI-scheme root
+    (file://...), the shape every non-local deployment uses. Regression
+    for the silent-data-drop hazard: with driver-local ``os.path`` probes,
+    ``os.path.isdir("file:///...")`` is False, so ivf_index_search served
+    the BASE ONLY — streamed rows vanished from results with no error —
+    and ivf_index_compact was a silent no-op. Asserts search through a
+    file:// root sees the delta, compaction folds it through the same
+    scheme, and results are invariant across the fold."""
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    root = "file://" + str(tmp_path / "ivf")
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.ivf_index_write(base, cents, root)
+
+    landing = "file://" + str(tmp_path / "landing")
+    delta.write.mode("append").parquet(landing)
+    stream_ivf_ingest(
+        spark,
+        landing,
+        cents,
+        root + "/stream_index",
+        "file://" + str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+
+    q = emb.where(F.col("vec_id") < 6)
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, q, k=3, n_cells=4, n_iter=2, n_probe=2, dim=64
+            ).collect(),
+        )
+    )
+    before = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search(
+                spark, root, q, k=3, n_probe=2
+            ).collect(),
+        )
+    )
+    # the delta MUST be visible through the URI root (== full-corpus ANN);
+    # base-only results would differ because half the corpus is streamed
+    assert before == want
+
+    n = similarity.ivf_index_compact(spark, root)
+    assert n == delta.count()
+    assert not fs.exists(spark, root + "/stream_index")
+    assert not fs.exists(spark, root + "/stream_index.compacting")
+    after = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search(
+                spark, root, q, k=3, n_probe=2
+            ).collect(),
+        )
+    )
+    assert after == before
+    assert similarity.ivf_index_compact(spark, root) == 0  # idempotent
