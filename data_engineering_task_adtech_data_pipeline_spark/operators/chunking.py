@@ -145,6 +145,7 @@ def pack_documents_greedy(
     order_col: str | None = None,
     shard_col: str | None = None,
     target_shard_rows: int = 262_144,
+    shard_hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Greedy NO-STRADDLE packing: documents are placed whole, in
     ``order_col`` order, into the current bin while they fit; a document
@@ -160,13 +161,20 @@ def pack_documents_greedy(
     With ``shard_col=None`` the operator AUTO-SHARDS (round-3 VERDICT
     missing #3 — it used to funnel the whole frame through one pandas
     group): if the input exceeds ``target_shard_rows`` rows, a
-    deterministic hash shard ``pack_shard = pmod(xxhash64(order_key),
-    ceil(n / target_shard_rows))`` is derived and KEPT in the output, so
-    (pack_shard, bin_id) is the global bin key and every pandas group is
-    bounded by ~``target_shard_rows`` rows regardless of input size.
+    deterministic hash shard ``pack_shard = pmod(xxhash64(order_key,
+    id), ceil(n / target_shard_rows))`` is derived and KEPT in the
+    output, so (pack_shard, bin_id) is the global bin key and every
+    pandas group is bounded by ~``target_shard_rows`` rows regardless of
+    input size. The shard hash includes ``id_col`` so a low-cardinality
+    order key (e.g. a date) cannot funnel all tied rows into one shard —
+    the within-shard sort restores (order, id) order afterwards.
     Inputs at or under the target keep the exact single-sequence greedy
     semantics (and schema) of a global pack. Costs one count() job when
-    auto-sharding is considered.
+    auto-sharding is considered. ``shard_hash_method`` picks the shard
+    hash family: ``"xxhash64"`` (default, fastest) or ``"md5"`` (the
+    engine-portable 60-bit construction shared with ``dedup.md5_long`` /
+    ``sampling._hash_bucket``, so a SQL oracle can replay the shard
+    assignment — battery q58 value-checks the sharded fold per shard).
 
     Returns df + ``bin_id`` (shard-local ordinal from 0), ``bin_offset``
     (token position within the bin) — plus ``pack_shard`` when auto-
@@ -180,9 +188,22 @@ def pack_documents_greedy(
     if added_shard and n_rows > target_shard_rows:
         n_shards = -(-n_rows // target_shard_rows)
         shard, auto = "pack_shard", True
+        shard_keys = (
+            [F.col(order_name)]
+            if order_name == id_col
+            else [F.col(order_name), F.col(id_col)]
+        )
+        if shard_hash_method == "md5":
+            from .dedup import md5_long
+
+            key = F.concat_ws("\x1f", *[k.cast("string") for k in shard_keys])
+            shard_hash = md5_long(key)
+        elif shard_hash_method == "xxhash64":
+            shard_hash = F.xxhash64(*shard_keys)
+        else:
+            raise ValueError(f"unknown shard_hash_method: {shard_hash_method!r}")
         work = df.withColumn(
-            shard,
-            F.pmod(F.xxhash64(F.col(order_name)), F.lit(n_shards)).cast("int"),
+            shard, F.pmod(shard_hash, F.lit(n_shards)).cast("int")
         )
     else:
         shard = "__shard" if added_shard else shard_col

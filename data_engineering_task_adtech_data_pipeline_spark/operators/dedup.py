@@ -388,6 +388,40 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+class ProfileCache:
+    """Deterministic release for ``persist_profile``: the minhash profile
+    is persisted to be scanned three times inside ONE logical dedup call,
+    but the returned frame is lazy, so the operator itself has no safe
+    point to unpersist — without a handle, repeated dedup calls in a
+    long-lived session accumulate cached RDDs until LRU pressure. Pass an
+    instance (or use it as a context manager) and the operator registers
+    every frame it persists; call ``release()`` (or leave the ``with``
+    block) AFTER consuming the result to drop the cache deterministically.
+
+        with ProfileCache() as pc:
+            kept = minhash_dedup(docs, persist_profile=True, profile_cache=pc)
+            kept.write.parquet(out)   # consume inside the scope
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> DataFrame:
+        self._frames.append(df)
+        return df
+
+    def release(self) -> None:
+        for f in self._frames:
+            f.unpersist()
+        self._frames.clear()
+
+    def __enter__(self) -> "ProfileCache":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -399,6 +433,7 @@ def minhash_dedup(
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
     persist_profile: bool = False,
+    profile_cache: "ProfileCache | None" = None,
 ) -> DataFrame:
     """Full near-dup removal: MinHash candidates (optionally verified with
     exact Jaccard) → connected-ish grouping by min-id → keep one doc per
@@ -420,12 +455,14 @@ def minhash_dedup(
     Locally recompute is cheaper than materializing (the pruned branches
     each do less work); on a real corpus set ``persist_profile=True`` to
     pay one full profile pass + storage instead of three scans of the
-    text. The cache lives until session end or LRU eviction (the returned
-    frame is lazy, so there is no safe point to unpersist automatically).
+    text. The returned frame is lazy, so the operator has no safe point to
+    unpersist automatically: pass a ``ProfileCache`` to release the cache
+    deterministically after consuming the result; without one it lives
+    until session end or LRU eviction.
     """
     cand = _verified_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
-        max_shingles, hash_method, persist_profile,
+        max_shingles, hash_method, persist_profile, profile_cache,
     )
     drop = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
@@ -472,12 +509,15 @@ def _verified_candidates(
     max_shingles: int | None = 512,
     hash_method: str = "xxhash64",
     persist_profile: bool = False,
+    profile_cache: "ProfileCache | None" = None,
 ) -> DataFrame:
     profile = minhash_profile(
         df, text_col, id_col, num_hashes, shingle_k, max_shingles, hash_method
     )
     if persist_profile and verify_threshold is not None:
         profile = profile.persist()
+        if profile_cache is not None:
+            profile_cache.track(profile)
     cand = minhash_lsh_candidates(
         profile.select(id_col, "signature"),
         id_col,
@@ -655,6 +695,7 @@ def minhash_dedup_transitive(
     hash_method: str = "xxhash64",
     cc: str = "propagation",
     persist_profile: bool = False,
+    profile_cache: "ProfileCache | None" = None,
 ) -> DataFrame:
     """Near-dup removal with FULL transitive closure: verified candidate
     pairs → connected components → keep the min-id doc per component.
@@ -667,10 +708,10 @@ def minhash_dedup_transitive(
     shape — the safe choice when boilerplate corpora can chain thousands
     of docs into one giant component). Identical output either way
     (equivalence-tested); measured the same wall-time at sf0.1.
-    ``persist_profile``: see ``minhash_dedup``."""
+    ``persist_profile`` / ``profile_cache``: see ``minhash_dedup``."""
     cand = _verified_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
-        max_shingles, hash_method, persist_profile,
+        max_shingles, hash_method, persist_profile, profile_cache,
     )
     if cc not in ("propagation", "star"):
         raise ValueError(f"unknown cc strategy: {cc!r}")

@@ -756,6 +756,26 @@ def ivf_model_read(spark, path: str) -> list[list[float]]:
     return [list(r.centroid) for r in rows]
 
 
+GENERATION_MARKER = "generation"
+
+
+def index_generation(spark, root: str) -> "int | None":
+    """Compaction generation of a persisted index: 0 at build, +1 per
+    successful ``ivf_index_compact`` fold. Returns None when the root has
+    no marker (an index written before markers existed, or a bare
+    streaming-only layout) — callers then skip generation validation.
+    The marker closes the silent double-ingest window: a streaming
+    checkpoint records which epochs were already written to the delta, so
+    re-using it AFTER the delta was folded away replays those epochs into
+    a fresh delta and duplicates every vector; ``stream_ivf_ingest``
+    pins the generation it saw into the checkpoint and refuses to start
+    when the index has moved on."""
+    path = fs.join(root, GENERATION_MARKER)
+    if not fs.exists(spark, path):
+        return None
+    return int(fs.read_text(spark, path).strip())
+
+
 def ivf_index_write(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -783,6 +803,7 @@ def ivf_index_write(
     (planes, sig_seed, sig_hash_method, dim) to the search."""
     spark = corpus.sparkSession
     ivf_model_write(spark, centroids, fs.join(root, "model"))
+    fs.write_text(spark, fs.join(root, GENERATION_MARKER), "0")
     work = with_double_embedding(corpus, emb_col)
     if planes is not None:
         work = work.withColumn(
@@ -805,7 +826,9 @@ def ivf_index_compact(spark, root: str) -> int:
     cell-partitioned base, then drop the staging dir. Returns the number
     of rows compacted. AFTER compacting, restart ingestion with a FRESH
     checkpoint and landing directory — the old checkpoint would replay
-    already-compacted epochs into a new delta.
+    already-compacted epochs into a new delta (ENFORCED: compaction bumps
+    <root>/generation and ``stream_ivf_ingest`` refuses a checkpoint
+    pinned to an older generation).
 
     Crash contract: append-then-delete is two steps, so a crash between
     them CANNOT be made exactly-once on plain parquet — instead it is made
@@ -846,12 +869,31 @@ def ivf_index_compact(spark, root: str) -> int:
     # exactly-once filtering (orphan files from aborted tasks excluded)
     # while the rename keeps racing new epochs out of this fold.
     try:
-        files = spark.read.parquet(delta_path).inputFiles()
+        delta_preview = spark.read.parquet(delta_path)
+        files = delta_preview.inputFiles()
     except Exception:  # only empty committed epochs -> nothing to fold
-        files = []
+        delta_preview, files = None, []
+    if files:
+        # Schema-coverage guard BEFORE any mutation: a delta missing base
+        # columns (e.g. stream_ivf_ingest run without ``planes`` against a
+        # hybrid index, so no ``sig``) fails loudly in ivf_index_search —
+        # folding it in would instead fill those columns with NULL on read
+        # and the hamming filter would silently drop the rows from every
+        # future hybrid search. Raising here, pre-rename, leaves the delta
+        # intact for the caller to re-ingest correctly.
+        base_cols = set(spark.read.parquet(fs.join(root, "index")).columns)
+        missing = sorted(base_cols - set(delta_preview.columns))
+        if missing:
+            raise ValueError(
+                f"refusing to compact {delta_path}: delta lacks base index "
+                f"column(s) {missing} — rows folded without them would read "
+                "as NULL and silently vanish from hybrid searches; re-ingest "
+                "the delta with matching sketch settings first"
+            )
     fs.rename(spark, delta_path, staging)
     if not files:
         fs.delete(spark, staging)
+        _bump_generation(spark, root)
         return 0
     # inputFiles() returns fully-qualified URIs; map them into the staging
     # dir by suffix so bare-path roots (test dirs) and URI roots both work.
@@ -864,7 +906,18 @@ def ivf_index_compact(spark, root: str) -> int:
             fs.join(root, "index")
         )
     fs.delete(spark, staging)
+    _bump_generation(spark, root)
     return n
+
+
+def _bump_generation(spark, root: str) -> None:
+    """Advance the compaction generation after the delta directory has
+    been consumed — any checkpoint created against the previous delta is
+    now stale, and stream_ivf_ingest will refuse it."""
+    gen = index_generation(spark, root)
+    fs.write_text(
+        spark, fs.join(root, GENERATION_MARKER), str((gen or 0) + 1)
+    )
 
 
 def ivf_index_search(

@@ -89,3 +89,134 @@ def compact(
     # format where compaction is a metadata swap
     fs.delete(spark, path)
     fs.rename(spark, tmp, path)
+
+
+BUCKET_COL = "merge_bucket"
+_META_FILE = "_merge_meta"
+
+
+def merge_upsert(
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    version: str,
+    tiebreak: Sequence[str] = (),
+    num_buckets: int = 64,
+    table_format: str = "parquet",
+) -> None:
+    """MERGE INTO semantics (matched → keep latest version, not matched →
+    insert) as a lakehouse-style COPY-ON-WRITE table on plain parquet —
+    the structural answer to append+dedup-view's read amplification
+    (ROADMAP #1): reads of a merged table need no window dedup and cost
+    one scan, and there is nothing to compact.
+
+    Layout: parquet partitioned by ``merge_bucket =
+    pmod(xxhash64(keys), num_buckets)``; a ``_merge_meta`` marker pins
+    (keys, version, num_buckets) and subsequent merges validate it, so a
+    mismatched bucketing can never silently split one key across buckets.
+
+    Write path: only buckets PRESENT IN THE SOURCE are rewritten — the
+    merge unions the source with just those target partitions (partition
+    pruning on a bounded ``isin``), applies ``latest_version``, writes to
+    a staging dir, then swaps the ≤ ``num_buckets`` bucket dirs through
+    Hadoop FileSystem renames (scheme-agnostic, same ``fs`` discipline as
+    ``similarity.ivf_index_compact``). At 100 TB a delta touching k keys
+    rewrites ≤ min(k, num_buckets) buckets ≈ k/|keys| of the table, the
+    same touched-bucket math as the gold incremental rebuild.
+
+    Crash contract: the swap is per-bucket delete+rename, so a crash
+    mid-swap leaves a mixed table plus the staging dir. Recovery is
+    REPLAY, not refusal: re-running the merge with the same source is
+    idempotent — ``latest_version`` over (partially-merged target ∪
+    source) emits exactly the rows the completed merge would have
+    (max-version-wins is associative/commutative/idempotent), and the
+    staging overwrite resets any leftover. Tested in
+    ``tests/test_operators.py::test_merge_upsert_replay_after_partial_swap``.
+
+    ``table_format="delta"`` routes the same call through Delta Lake's
+    native ``MERGE INTO`` (atomic, no crash window) when delta-spark is
+    on the classpath; this sandbox cannot install it (no network — see
+    DEVIATIONS.md), so that arm is environment-gated exactly like the
+    multimodal decode stub.
+    """
+    spark = source.sparkSession
+    if table_format == "delta":
+        _merge_upsert_delta(spark, source, path, keys, version)
+        return
+    if table_format != "parquet":
+        raise ValueError(f"unknown table_format: {table_format!r}")
+
+    src = source.withColumn(
+        BUCKET_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+        ).cast("int"),
+    )
+    meta = repr((sorted(keys), version, int(num_buckets)))
+    meta_path = fs.join(path, _META_FILE)
+    if not fs.is_dir(spark, path):
+        src.write.partitionBy(BUCKET_COL).parquet(path)
+        fs.write_text(spark, meta_path, meta)
+        return
+    stored = fs.read_text(spark, meta_path).strip()
+    if stored != meta:
+        raise ValueError(
+            f"merge_upsert config mismatch at {path}: table was created "
+            f"with {stored}, called with {meta} — a different bucketing "
+            "would split keys across buckets and silently duplicate rows"
+        )
+
+    buckets = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )  # bounded by num_buckets — never corpus-sized
+    target = spark.read.parquet(path)
+    relevant = target.where(F.col(BUCKET_COL).isin(buckets))
+    merged = latest_version(
+        relevant.unionByName(src), keys, version, tiebreak
+    )
+
+    staging = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    for b in buckets:
+        bdst = fs.join(path, f"{BUCKET_COL}={b}")
+        bsrc = fs.join(staging, f"{BUCKET_COL}={b}")
+        fs.delete(spark, bdst)
+        if fs.exists(spark, bsrc):
+            fs.rename(spark, bsrc, bdst)
+    fs.delete(spark, staging)
+
+
+def _merge_upsert_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    version: str,
+) -> None:
+    """Delta Lake MERGE INTO arm — env-gated (delta-spark is not
+    installable in this sandbox; kept real for deployments that have it)."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as exc:  # pragma: no cover - env-blocked
+        raise RuntimeError(
+            "table_format='delta' needs delta-spark on the classpath; "
+            "unavailable in this environment (DEVIATIONS.md)"
+        ) from exc
+    if not DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        source.write.format("delta").save(path)
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)  # pragma: no cover
+    (  # pragma: no cover
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll(condition=f"s.{version} >= t.{version}")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge_upsert table: latest versions WITHOUT a dedup window —
+    the read-amplification win MERGE buys over append+latest_version."""
+    return spark.read.parquet(path).drop(BUCKET_COL)

@@ -393,6 +393,68 @@ def q06_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# q59 — the same ReplacingMergeTree semantics through the MERGE-INTO path
+# (operators.upsert.merge_upsert, ROADMAP #1): copy-on-write hash-bucket
+# table, matched->latest-version, not-matched->insert; the read needs no
+# dedup window. Same oracle as q06 — MERGE must land exactly the rows the
+# append+latest_version view emits.
+# ===========================================================================
+
+@query(
+    "q59_merge_upsert",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT user_id, event_type, COUNT(*) AS event_count, MAX(ts) AS rtm_delta
+      FROM events WHERE ts < TIMESTAMP '{_CUTOFF}' GROUP BY user_id, event_type
+    ),
+    v2 AS (
+      SELECT user_id, event_type, COUNT(*) AS event_count, MAX(ts) AS rtm_delta
+      FROM events GROUP BY user_id, event_type
+    ),
+    appended AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT user_id, event_type, event_count, rtm_delta
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY rtm_delta DESC, event_count DESC
+             ) AS rn
+      FROM appended
+    ) WHERE rn = 1
+    """,
+    doc="MERGE INTO upsert (copy-on-write hash-bucket table): initial "
+    "snapshot merged, then the later snapshot merged on top — matched "
+    "keys keep the max-version row, new keys insert; value-checked "
+    "against the identical latest-version oracle as q06, proving the "
+    "two upsert disciplines agree row-for-row.",
+)
+def q59_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import merge_upsert, read_merged
+
+    events = Testdata(spark, sf_dir).events
+    snap = lambda df: df.groupBy("user_id", "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("event_count"), F.max("ts").alias("rtm_delta")
+    )
+    v1 = snap(events.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    v2 = snap(events)
+    # the returned frame stays lazy over this path, so it cannot be
+    # cleaned up here; a fresh dir per call keeps runs independent
+    path = tempfile.mkdtemp(prefix="q59_merge_") + "/t"
+    keys = ["user_id", "event_type"]
+    merge_upsert(v1, path, keys=keys, version="rtm_delta",
+                 tiebreak=["event_count"], num_buckets=16)
+    merge_upsert(v2, path, keys=keys, version="rtm_delta",
+                 tiebreak=["event_count"], num_buckets=16)
+    return read_merged(spark, path).select(
+        "user_id", "event_type", "event_count", "rtm_delta"
+    )
+
+
+# ===========================================================================
 # q07 — totals report: the gold KPI report with FLOOR / CASE / datediff /
 # guarded-division classifiers (initial_load_generate_postgres_data.py:426-492).
 # as_of injected as a constant for reproducibility (SURVEY.md §4.3-6).

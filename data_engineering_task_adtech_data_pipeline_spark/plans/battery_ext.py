@@ -1039,6 +1039,73 @@ def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q58_greedy_pack_sharded",
+    # The AUTO-SHARD scale path of pack_documents_greedy, value-checked:
+    # target_shard_rows=100 < 500 docs forces sharding (5 shards), the
+    # shard hash runs the engine-portable md5 family, and the oracle
+    # replays the greedy fold PER SHARD — one recursive step advances
+    # every shard by one document (round-4 VERDICT wrong #2: the sharded
+    # path was property-tested only; "the scale path is the value-checked
+    # one", as q35 got for star-CC).
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    ns AS (
+      SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_shards FROM toks
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % n_shards AS INTEGER) AS pack_shard
+      FROM toks CROSS JOIN ns
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY pack_shard ORDER BY doc_id) AS rn
+      FROM sharded
+    ),
+    greedy AS (
+      SELECT pack_shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS bin_offset,
+             CAST(n_tokens AS BIGINT) AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN g.fill > 0 AND g.fill + o.n_tokens > 512
+                  THEN g.bin_id + 1 ELSE g.bin_id END,
+             CASE WHEN g.fill > 0 AND g.fill + o.n_tokens > 512
+                  THEN 0 ELSE g.fill END,
+             CASE WHEN g.fill > 0 AND g.fill + o.n_tokens > 512
+                  THEN CAST(o.n_tokens AS BIGINT)
+                  ELSE g.fill + o.n_tokens END
+      FROM ord o JOIN greedy g
+        ON o.pack_shard = g.pack_shard AND o.rn = g.rn + 1
+    )
+    SELECT doc_id, n_tokens, pack_shard, bin_id, bin_offset FROM greedy
+    """,
+    doc="Greedy no-straddle packing with the auto-shard SCALE PATH "
+    "engaged: 500 docs / target 100 rows -> 5 md5-hash shards, greedy "
+    "fold per shard via applyInPandas, (pack_shard, bin_id) global bin "
+    "key; oracle replays each shard's fold with one WITH RECURSIVE "
+    "advancing all shards in lockstep.",
+)
+def q58_greedy_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import pack_documents_greedy
+    from ..operators.text import token_counts
+
+    docs = Testdata(spark, sf_dir).documents
+    toks = token_counts(docs).select(
+        "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_documents_greedy(
+        toks, bin_tokens=512, target_shard_rows=100, shard_hash_method="md5"
+    ).select("doc_id", "n_tokens", "pack_shard", "bin_id", "bin_offset")
+
+
+@query(
     "q51_domain_cap",
     oracle="""
     SELECT doc_id, source FROM (

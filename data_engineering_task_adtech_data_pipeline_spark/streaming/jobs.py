@@ -425,6 +425,7 @@ def stream_ivf_ingest(
     sig_seed: int = 42,
     sig_hash_method: str = "xxhash64",
     dim: int | None = None,
+    index_root: "str | None" = None,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -461,11 +462,43 @@ def stream_ivf_ingest(
     only cross-node traffic is the (tiny) broadcast model above
     ``literal_max`` cells.
     """
+    from .. import fs
     from ..operators.similarity import (
         _with_cell,
         hyperplane_signature,
+        index_generation,
         with_double_embedding,
     )
+
+    # Generation guard (persisted-index roots only): ivf_index_compact
+    # consumes the delta and bumps <root>/generation; a checkpoint created
+    # against the pre-compaction delta would REPLAY its epochs into a new
+    # delta — every one of those vectors would then appear twice in search
+    # results, silently. Pin the generation this checkpoint was born under
+    # into the checkpoint dir and refuse to start once they diverge: after
+    # each compaction, callers start a FRESH checkpoint (the contract the
+    # ivf_index_compact docstring states — now enforced, not conventional).
+    # A pre-marker checkpoint (no pinned generation) adopts the current one.
+    root = index_root
+    if root is None:
+        op = output_path.rstrip("/")
+        if op.endswith("/stream_index"):
+            root = op[: -len("/stream_index")]
+    gen = index_generation(spark, root) if root else None
+    if gen is not None:
+        marker = fs.join(checkpoint_dir, ".ivf_generation")
+        if fs.exists(spark, marker):
+            pinned = int(fs.read_text(spark, marker).strip())
+            if pinned != gen:
+                raise RuntimeError(
+                    f"stale streaming checkpoint {checkpoint_dir}: it was "
+                    f"created at index generation {pinned} but {root} is "
+                    f"now at generation {gen} (compaction ran) — reusing "
+                    "it would replay already-compacted epochs and "
+                    "double-ingest their vectors; start a fresh checkpoint"
+                )
+        else:
+            fs.write_text(spark, marker, str(gen))
 
     stream = spark.readStream.schema(schema or EMBEDDING_SCHEMA).parquet(input_dir)
     work = with_double_embedding(stream, emb_col)

@@ -641,3 +641,86 @@ def test_winnow_candidates_finds_shared_run(spark):
              for r in winnow_candidates(df, k=5, window=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert not any(3 in p for p in pairs)
+
+
+def test_greedy_auto_shard_survives_order_key_ties(spark):
+    """ADVICE r4: hashing the order key alone would funnel all tied rows
+    (e.g. one date) into a single shard, recreating the unbounded pandas
+    group auto-shard exists to prevent. The shard hash is (order, id), so
+    a constant order key still spreads ~evenly; within-shard sort keeps
+    (order, id) greedy order deterministic."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents_greedy,
+    )
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("2026-01-01").alias("day"),  # one value: total order-key tie
+        (F.col("id") % 60 + 1).alias("n_tokens"),
+    )
+    out = pack_documents_greedy(
+        df, bin_tokens=256, order_col="day", target_shard_rows=10_000
+    )
+    counts = {
+        r.pack_shard: r.cnt
+        for r in out.groupBy("pack_shard").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(counts) == 4  # ceil(40k/10k) shards all populated
+    assert max(counts.values()) < 2 * 10_000  # no shard collapses the bound
+
+
+def test_greedy_md5_shard_hash_matches_xxhash_semantics(spark):
+    """shard_hash_method='md5' (the oracle-portable family) must keep all
+    greedy invariants; only the shard ASSIGNMENT differs from xxhash64."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.chunking import (
+        pack_documents_greedy,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 60 + 1).alias("n_tokens")
+    )
+    out = pack_documents_greedy(
+        df, bin_tokens=256, target_shard_rows=1_000, shard_hash_method="md5"
+    )
+    rows = out.collect()
+    assert len(rows) == 5_000
+    assert len({r.pack_shard for r in rows}) == 5
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r.pack_shard, r.bin_id), []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r.bin_offset)
+        fill = 0
+        for m in members:
+            assert m.bin_offset == fill
+            fill += m.n_tokens
+        assert fill <= 256 or len(members) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="shard_hash_method"):
+        pack_documents_greedy(
+            df, bin_tokens=256, target_shard_rows=1_000, shard_hash_method="sha9"
+        )
+
+
+def test_profile_cache_releases_persisted_profile(spark):
+    """ADVICE r4: persist_profile had no unpersist path — repeated dedup
+    calls accumulated cached RDDs for the session lifetime. ProfileCache
+    tracks what the operator persists and releases it deterministically."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        ProfileCache,
+        minhash_dedup,
+    )
+
+    rows = [(i, f"common shingle text body number {i % 7} padding words") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with ProfileCache() as pc:
+        kept = minhash_dedup(
+            df, num_hashes=16, bands=8, persist_profile=True, profile_cache=pc
+        )
+        assert kept.count() > 0
+        assert len(pc._frames) == 1
+        assert pc._frames[0].storageLevel.useMemory  # persisted inside scope
+        handle = pc._frames[0]
+    assert not handle.storageLevel.useMemory  # released on scope exit
+    assert pc._frames == []

@@ -358,3 +358,78 @@ def test_ivf_index_uri_scheme_roundtrip(spark, tmp_path):
     )
     assert after == before
     assert similarity.ivf_index_compact(spark, root) == 0  # idempotent
+
+
+def test_compaction_generation_guard(spark, tmp_path):
+    """ivf_index_compact bumps <root>/generation; re-running
+    stream_ivf_ingest with the pre-compaction checkpoint must raise
+    (reusing it would replay already-compacted epochs into a new delta and
+    double-ingest every vector — previously a docstring-only convention,
+    now an enforced contract), while a fresh checkpoint proceeds."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    root = d + "/ivf"
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=1, dim=64)
+    similarity.ivf_index_write(emb.where(F.col("vec_id") % 2 == 0), cents, root)
+    assert similarity.index_generation(spark, root) == 0
+
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        d + "/landing"
+    )
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, root + "/stream_index", d + "/ckpt"
+    ).awaitTermination(120)
+    n = similarity.ivf_index_compact(spark, root)
+    assert n > 0
+    assert similarity.index_generation(spark, root) == 1
+
+    with pytest.raises(RuntimeError, match="stale streaming checkpoint"):
+        stream_ivf_ingest(
+            spark, d + "/landing", cents, root + "/stream_index", d + "/ckpt"
+        )
+
+    # a fresh checkpoint is pinned to the new generation and proceeds
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, root + "/stream_index", d + "/ckpt2"
+    ).awaitTermination(120)
+    q = emb.where(F.col("vec_id") < 4)
+    assert similarity.ivf_index_search(spark, root, q, k=2).count() > 0
+
+
+def test_compact_refuses_schema_gap_delta(spark, tmp_path):
+    """A delta missing base-index columns (sig-less ingest against a
+    hybrid index) must fail compaction loudly and leave the delta intact —
+    folding it would NULL-fill sig and the hamming filter would silently
+    drop those rows from every future hybrid search."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    root = d + "/ivf"
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=1, dim=64)
+    similarity.ivf_index_write(
+        emb.where(F.col("vec_id") % 2 == 0), cents, root, planes=8, dim=64
+    )
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        d + "/landing"
+    )
+    # ingest WITHOUT planes: delta rows carry no sig column
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, root + "/stream_index", d + "/ckpt"
+    ).awaitTermination(120)
+
+    with pytest.raises(ValueError, match="lacks base index column"):
+        similarity.ivf_index_compact(spark, root)
+    assert fs.is_dir(spark, root + "/stream_index")  # delta left intact
+    assert similarity.index_generation(spark, root) == 0  # no bump

@@ -5,8 +5,15 @@ per configuration, at the benchmark scale factor. Turns the ANN parameter
 guidance in docstrings/SCALING.md into data: more bands (lsh) or probes
 (ivf) buy recall with more candidate-join work.
 
-Usage: python tools/ann_sweep.py [sf_dir] [k]
+Usage: python tools/ann_sweep.py [sf_dir] [k] [--clustered]
 Prints one markdown table row per configuration.
+
+``--clustered`` swaps the testdata embeddings (near-uniform — IVF's worst
+case, cells carve arbitrary Voronoi borders through an unclustered cloud)
+for a synthetic mixture-of-Gaussians corpus of the same size: 32 well-
+separated centers, per-dim sigma 0.35 vs center spread ~3. This is the
+regime real embedding corpora live in (semantic clusters), and the regime
+where cell routing (ivf/hybrid) should beat signature banding (lsh).
 """
 
 from __future__ import annotations
@@ -28,11 +35,41 @@ def pairs(df) -> set[tuple[int, int]]:
     return {(r.query_id, r.corpus_id) for r in df.collect()}
 
 
+def clustered_corpus(spark, n: int, dim: int = 64, n_clusters: int = 32,
+                     sigma: float = 0.35, tmp: str = "/tmp/ann_sweep_mog"):
+    """Deterministic-enough mixture of Gaussians, generated DISTRIBUTED
+    (spark.range + seeded randn — no driver-side numpy materialization)
+    and written to parquet once so every sweep row reads identical data
+    (randn's values depend on partition layout, so the parquet snapshot is
+    what makes timings/recalls comparable across configurations)."""
+    cl = F.col("vec_id") % n_clusters
+    cols = F.array(
+        *[
+            (
+                3.0 * F.sin(cl * 997 + F.lit(d))
+                + F.randn(seed=4242 + d) * sigma
+            ).cast("float")
+            for d in range(dim)
+        ]
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"), cols.alias("embedding")
+    )
+    df.write.mode("overwrite").parquet(tmp)
+    return spark.read.parquet(tmp)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    clustered = "--clustered" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    k = int(args[1]) if len(args) > 1 else 10
     spark = get_spark("ann-sweep")
     emb = Testdata(spark, sf_dir).embeddings
+    if clustered:
+        n = emb.count()
+        emb = clustered_corpus(spark, n)
+        print(f"clustered mixture-of-Gaussians corpus: {n} vectors, 32 centers")
     emb.count()  # warm the file cache so timings compare configurations
     queries = emb.where(F.col("vec_id") < 20)
 
@@ -60,7 +97,10 @@ def main() -> None:
                 emb, queries, k=k, planes=p, bands=b
             ),
         )
-    for n_cells, n_probe in [(8, 1), (8, 2), (8, 4)]:
+    ivf_grid = [(8, 1), (8, 2), (8, 4)] + (
+        [(32, 1), (32, 2), (32, 4)] if "--clustered" in sys.argv else []
+    )
+    for n_cells, n_probe in ivf_grid:
         row(
             "ivf_topk",
             f"cells={n_cells} probe={n_probe}",
@@ -68,12 +108,13 @@ def main() -> None:
                 emb, queries, k=k, n_cells=c, n_probe=p, dim=64
             ),
         )
+    hyb_cells = 32 if "--clustered" in sys.argv else 8
     for n_probe, max_h in [(2, 6), (2, 9), (4, 12)]:
         row(
             "ivf_lsh_topk",
-            f"probe={n_probe} max_hamming={max_h}",
+            f"cells={hyb_cells} probe={n_probe} max_hamming={max_h}",
             lambda p=n_probe, h=max_h: similarity.ivf_lsh_topk(
-                emb, queries, k=k, n_cells=8, n_probe=p,
+                emb, queries, k=k, n_cells=hyb_cells, n_probe=p,
                 planes=16, max_hamming=h, dim=64,
             ),
         )
