@@ -66,6 +66,36 @@ def write_bucketed(
     w.saveAsTable(f"{database}.{table}")
 
 
+def hive_metastore_builder(
+    warehouse_dir: str,
+    metastore_dir: str,
+    master: str = "local[4]",
+):
+    """SparkSession builder pinned to a PERSISTENT Derby-backed Hive
+    metastore — the missing half of ``write_bucketed``'s story: bucketing
+    metadata lives in the catalog, so with the default in-memory catalog
+    it dies with the session even though the files survive. A session
+    built here registers tables in ``metastore_dir``; a LATER session
+    pointed at the same two dirs sees the same tables WITH their bucket
+    spec, so the zero-Exchange bucketed join works across restarts
+    (proven in tests/test_catalog_cli.py with two separate processes).
+
+    On a cluster the same two settings point at the shared metastore
+    service (Hive/Glue) and an object-store warehouse path; Derby is the
+    single-node stand-in Spark ships with (one writer at a time — Derby
+    embedded locks the db directory)."""
+    return (
+        SparkSession.builder.master(master)
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir};create=true",
+        )
+        .config("spark.ui.enabled", "false")
+        .enableHiveSupport()
+    )
+
+
 def drop_table(spark: SparkSession, name: str, database: str = "default") -> None:
     spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
 

@@ -51,3 +51,47 @@ def test_stats_parity(spark):
     assert all(
         r.ctr_pct is None or 0 <= r.ctr_pct <= 100 for r in by_id.values()
     )
+
+
+def test_bucketed_table_survives_session_restart(tmp_path):
+    """Round-4 VERDICT stretch #8: write_bucketed's zero-Exchange join
+    in-session was already proven; this pins the bucket METADATA across
+    sessions via the persistent Derby-backed Hive metastore
+    (catalog.hive_metastore_builder) — two separate python processes, the
+    second of which must see the table, its bucket spec, and a
+    shuffle-free self-join plan."""
+    import subprocess
+    import sys
+
+    wh, ms = str(tmp_path / "warehouse"), str(tmp_path / "metastore")
+    common = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from data_engineering_task_adtech_data_pipeline_spark.catalog import hive_metastore_builder\n"
+        f"spark = hive_metastore_builder({wh!r}, {ms!r}).getOrCreate()\n"
+        "from pyspark.sql import functions as F\n"
+    )
+    p1 = subprocess.run(
+        [sys.executable, "-c", common + (
+            "df = spark.range(1000).select(F.col('id').alias('k'), (F.col('id') * 2).alias('v'))\n"
+            "df.write.mode('overwrite').bucketBy(8, 'k').sortBy('k').saveAsTable('default.xsession_bucketed')\n"
+            "print('WROTE', spark.catalog.tableExists('default.xsession_bucketed'))\n"
+            "spark.stop()\n"
+        )],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert "WROTE True" in p1.stdout, p1.stderr[-2000:]
+    p2 = subprocess.run(
+        [sys.executable, "-c", common + (
+            "spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')\n"
+            "assert spark.catalog.tableExists('default.xsession_bucketed')\n"
+            "t = spark.table('default.xsession_bucketed')\n"
+            "j = t.alias('a').join(t.alias('b'), 'k')\n"
+            "plan = j._jdf.queryExecution().executedPlan().toString()\n"
+            "print('NOEXCHANGE', 'Exchange' not in plan)\n"
+            "print('ROWS', j.count())\n"
+            "spark.stop()\n"
+        )],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert "NOEXCHANGE True" in p2.stdout, p2.stdout + p2.stderr[-2000:]
+    assert "ROWS 1000" in p2.stdout

@@ -10,10 +10,13 @@ Prints one markdown table row per configuration.
 
 ``--clustered`` swaps the testdata embeddings (near-uniform — IVF's worst
 case, cells carve arbitrary Voronoi borders through an unclustered cloud)
-for a synthetic mixture-of-Gaussians corpus of the same size: 32 well-
-separated centers, per-dim sigma 0.35 vs center spread ~3. This is the
-regime real embedding corpora live in (semantic clusters), and the regime
-where cell routing (ivf/hybrid) should beat signature banding (lsh).
+for a synthetic mixture-of-Gaussians corpus (>= 20k vectors): 32 centers
+with per-dim sigma 1.0 against center spread ~3 — clusters that OVERLAP
+at the margins, the regime real embedding corpora live in (semantic
+clusters with fuzzy borders). Trained cell routing (ivf/hybrid) adapts
+its Voronoi cells to the actual cluster structure; lsh's random
+hyperplanes cannot, so banding loses recall exactly where the clusters
+blur together.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ def pairs(df) -> set[tuple[int, int]]:
 
 
 def clustered_corpus(spark, n: int, dim: int = 64, n_clusters: int = 32,
-                     sigma: float = 0.35, tmp: str = "/tmp/ann_sweep_mog"):
+                     sigma: float = 1.0, tmp: str = "/tmp/ann_sweep_mog"):
     """Deterministic-enough mixture of Gaussians, generated DISTRIBUTED
     (spark.range + seeded randn — no driver-side numpy materialization)
     and written to parquet once so every sweep row reads identical data
@@ -67,7 +70,7 @@ def main() -> None:
     spark = get_spark("ann-sweep")
     emb = Testdata(spark, sf_dir).embeddings
     if clustered:
-        n = emb.count()
+        n = max(emb.count(), 20_000)
         emb = clustered_corpus(spark, n)
         print(f"clustered mixture-of-Gaussians corpus: {n} vectors, 32 centers")
     emb.count()  # warm the file cache so timings compare configurations
