@@ -146,7 +146,12 @@ def merge_upsert(
     if table_format != "parquet":
         raise ValueError(f"unknown table_format: {table_format!r}")
 
-    src = source.withColumn(
+    # Dedupe WITHIN the batch first: Delta's MERGE errors on multiple
+    # source rows per key; ReplacingMergeTree (the semantics this mirrors)
+    # keeps the max-version row. We take the ClickHouse behavior — one
+    # window shuffle over the delta-sized source, found by property test
+    # (a dup-key source used to land both rows on initial load).
+    src = latest_version(source, keys, version, tiebreak).withColumn(
         BUCKET_COL,
         F.pmod(
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)

@@ -446,9 +446,9 @@ def q59_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="q59_merge_") + "/t"
     keys = ["user_id", "event_type"]
     merge_upsert(v1, path, keys=keys, version="rtm_delta",
-                 tiebreak=["event_count"], num_buckets=16)
+                 tiebreak=["event_count"], num_buckets=8)
     merge_upsert(v2, path, keys=keys, version="rtm_delta",
-                 tiebreak=["event_count"], num_buckets=16)
+                 tiebreak=["event_count"], num_buckets=8)
     return read_merged(spark, path).select(
         "user_id", "event_type", "event_count", "rtm_delta"
     )

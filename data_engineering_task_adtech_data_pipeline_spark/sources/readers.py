@@ -12,11 +12,12 @@ date are partition-pruned via the `event_date` filter, and
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
+
+from .. import fs
 
 from ..schemas import TESTDATA_TABLES
 
@@ -48,7 +49,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the column's arrived type so both vintages keep the public schema
     TimestampType.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = fs.join(sf_dir, f"{name}.parquet")  # scheme-preserving join
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

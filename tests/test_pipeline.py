@@ -201,3 +201,35 @@ def test_incremental_gold_survives_cache_eviction(spark, tmp_path, monkeypatch):
     want = sorted(map(tuple, p.gold(
         "advertiser_campaigns_daily_ctr_report").collect()))
     assert got == want
+
+
+def test_pipeline_on_uri_scheme_root(spark, tmp_path):
+    """The whole lake must work through a URI-scheme root (file://...) —
+    the shape of every non-local deployment. Regression for the round-4
+    finding class: Pipeline's first-run probes used os.path.isdir, which
+    is always False for a URI, so track_deltas would re-run initial_load
+    every cycle against an existing lake. One full cycle: initial load,
+    no-op delta (all zero counts), incremental delta lands new rows."""
+    root = "file://" + str(tmp_path / "lake")
+    p = Pipeline(spark, root, as_of=AS_OF)
+    cfg = GenConfig(advertisers=3, campaigns_per_advertiser=2,
+                    impressions_per_campaign=40, seed=11)
+    p.write_bronze(gen_all(spark, cfg))
+    p.initial_load()
+    assert p.silver("advertiser_campaigns").count() == 6
+
+    # a second cycle with unchanged bronze must be a NO-OP delta, which
+    # only happens if the first-run probe SEES the existing URI lake
+    counts = p.track_deltas()
+    assert set(counts.values()) == {0}, counts
+
+    # grow bronze -> delta must land the new campaigns through the URI root
+    cfg2 = GenConfig(advertisers=4, campaigns_per_advertiser=2,
+                     impressions_per_campaign=40, seed=11)
+    p.write_bronze(gen_all(spark, cfg2))
+    counts = p.track_deltas()
+    assert counts["advertiser_campaigns"] > 0
+    # generator naming shifts with config, so the new lake is a superset
+    # in size, not an exact superset of keys — the URI-path property under
+    # test is that the delta cycle LANDS rows through the scheme at all
+    assert p.silver("advertiser_campaigns").count() >= 8

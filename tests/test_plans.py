@@ -9,6 +9,7 @@ import io
 from contextlib import redirect_stdout
 
 from conftest import SF_ORACLE
+from pyspark.sql import functions as F
 
 from data_engineering_task_adtech_data_pipeline_spark.plans import REGISTRY
 
@@ -147,3 +148,36 @@ def test_winnow_fingerprints_computes_words_once(spark):
         .toString()
     )
     assert plan.count("regexp_replace") == 2, plan.count("regexp_replace")
+
+
+def test_merge_upsert_read_prunes_to_touched_buckets(spark, tmp_path):
+    """merge_upsert's copy-on-write bound rests on the target read being
+    PARTITION-pruned to the source's buckets — if the isin filter fell
+    through to a data filter the merge would scan the whole table every
+    delta. Asserts the bucket predicate lands in PartitionFilters and the
+    scan reads only that bucket's rows."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        BUCKET_COL,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("v"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    merge_upsert(base, path, keys=["k"], version="ver", num_buckets=16)
+    src = spark.createDataFrame(
+        [(7, "y", 2)], "k long, v string, ver long"
+    ).withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("k"), F.lit(16)).cast("int")
+    )
+    buckets = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    rel = spark.read.parquet(path).where(F.col(BUCKET_COL).isin(buckets))
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*merge_bucket[^\]]*\]", plan)
+    assert m, plan[:2000]
+    assert rel.count() < 1000 / 4  # one bucket of 16, not a full scan

@@ -541,3 +541,53 @@ def test_greedy_packing_auto_shard_matches_python(spark, rows, bin_tokens,
                 if (r.doc_id, rows[r.doc_id]) in members
             }
             assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),  # key
+                st.integers(min_value=0, max_value=9),  # version
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_upsert_sequence_matches_latest_version(spark, tmp_path_factory, batches):
+    """Any sequence of merge batches lands exactly latest_version over the
+    concatenation of all batches (MERGE ≡ append+dedup-view, per-key
+    max-version with deterministic value tiebreak)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        latest_version,
+        merge_upsert,
+        read_merged,
+    )
+
+    path = str(tmp_path_factory.mktemp("mu")) + "/t"
+    frames = []
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(k, v, f"b{v}") for k, v in batch], "k long, ver long, val string"
+        )
+        frames.append(df)
+        merge_upsert(df, path, keys=["k"], version="ver",
+                     tiebreak=["val"], num_buckets=4)
+    allrows = frames[0]
+    for f in frames[1:]:
+        allrows = allrows.unionByName(f)
+    want = sorted(
+        map(tuple, latest_version(allrows, ["k"], "ver", ["val"]).collect())
+    )
+    got = sorted(
+        map(tuple, read_merged(spark, path).select("k", "ver", "val").collect())
+    )
+    assert got == want
