@@ -28,6 +28,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # --- engine-portable md5 hash family -------------------------------------
@@ -952,3 +953,198 @@ def simhash_candidates(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_docs: int = 2,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Span-granular duplicate detection — the substring-level dedup step
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), which catches what doc-level dedup cannot: repeated
+    boilerplate (licenses, headers, chain quotes) EMBEDDED inside
+    otherwise-unique documents. The paper builds a suffix array; this is
+    the scalable k-gram-anchor approximation used by open data pipelines:
+    a word position whose normalized ``k``-gram occurs in >= ``min_docs``
+    distinct documents opens a duplicated window [pos, pos+k), and
+    overlapping/adjacent windows merge into maximal spans (so any
+    duplicated substring of >= k words is covered end-to-end).
+
+    Returns one row per maximal span: (``id_col``, span_id ordinal from 0
+    in position order, start_word, end_word exclusive, n_grams flagged
+    inside the span) — word-indexed over ``normalize_text`` tokens, for
+    callers to cut spans out or drop documents whose span mass is high.
+
+    Scale shape (no driver state, nothing all-pairs, nothing broadcast by
+    assumption): positional gram explode (x words/doc, the decontaminate
+    shape) -> gram doc-frequency agg (one shuffle on the 8-byte gram
+    hash; the frequency table is vocabulary-sized and STAYS distributed)
+    -> equi-join back on the same hash (co-partitioned with the agg) ->
+    per-doc gaps-and-islands (one window shuffle on id). Skew: a gram
+    shared by millions of docs contributes one frequency row and rejoins
+    per occurrence — no collect_list of doc ids ever materializes a hot
+    bucket (contrast ``ngram_jaccard_pairs``, which needs pairs and caps
+    buckets instead).
+
+    ``hash_method="md5"`` uses the engine-portable 60-bit family so a SQL
+    oracle can replay the whole pipeline (battery q60).
+    """
+    if hash_method == "md5":
+        gram_hash = lambda c: md5_long(c)  # noqa: E731
+    elif hash_method == "xxhash64":
+        gram_hash = lambda c: F.xxhash64(c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash method: {hash_method!r}")
+
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__words"),
+    )
+    words = F.col("__words")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    pos_grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(words, i + 1, k)).alias("g"),
+        ),
+    )
+    # explode directly over the binding projection (CollapseProject stops
+    # at Generate — the _grams contract), then hash ABOVE the explode so
+    # each gram string is hashed exactly once
+    rows = (
+        bound.where(n > 0)
+        .select("id", F.explode(pos_grams).alias("pg"))
+        .select(
+            "id",
+            F.col("pg.pos").alias("pos"),
+            gram_hash(F.col("pg.g")).alias("h"),
+        )
+    )
+    dup_grams = (
+        rows.groupBy("h")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("h")
+    )
+    flagged = rows.join(dup_grams, "h").select("id", "pos")
+
+    w = W.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = flagged.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    spans = marked.withColumn(
+        "span_id",
+        (
+            F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)) - 1
+        ).cast("int"),
+    )
+    return (
+        spans.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").cast("int").alias("start_word"),
+            (F.max("pos") + k).cast("int").alias("end_word"),
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_id",
+            "start_word",
+            "end_word",
+            "n_grams",
+        )
+    )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` output: rewrite each document with its
+    duplicated spans REMOVED, the Lee-et-al. remedy (cut the repeated
+    substring, keep the rest of the document).
+
+    ``keep`` decides what happens to the duplicated text itself:
+
+    - ``"first"`` (default, the paper's all-but-one-occurrence policy):
+      occurrences are grouped by the span's exact normalized content, and
+      the (min doc id, min start) occurrence of each distinct content
+      SURVIVES; every other occurrence is cut. Deterministic, no driver
+      state — one window over the span table (span-count sized, far
+      smaller than the corpus).
+    - ``"none"``: every flagged span is cut everywhere (maximal removal;
+      pair with doc-level dedup if canonical copies must survive).
+
+    Output: ``df`` with ``text_col`` rebuilt from NORMALIZED words minus
+    cut ranges (span offsets are defined over ``normalize_text`` tokens,
+    so the rewrite necessarily normalizes; keep the original column
+    alongside if raw formatting matters). Docs without spans pass through
+    with normalized text too, keeping the column's definition uniform.
+
+    Scale shape: spans join back to the words projection by id (equi),
+    span-content hashing is a projection, the keep-first window shuffles
+    only span rows, cut ranges aggregate to ≤ spans-per-doc arrays, and
+    the rebuild is one index-aware ``F.filter`` over the words array —
+    corpus text flows through exactly one join and zero explodes."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
+
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__words"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("id"), "start_word", "end_word"
+    ).join(bound, "id")
+    sp = sp.withColumn(
+        "__content",
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__words"),
+                    F.col("start_word") + 1,
+                    F.col("end_word") - F.col("start_word"),
+                ),
+            )
+        ),
+    )
+    if keep == "first":
+        w = W.partitionBy("__content").orderBy(
+            F.col("id").asc(), F.col("start_word").asc()
+        )
+        sp = sp.withColumn("__occ", F.row_number().over(w)).where(
+            F.col("__occ") > 1
+        )
+    ranges = sp.groupBy("id").agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("__cuts")
+    )
+    out = bound.join(ranges, "id", "left")
+    kept_words = F.filter(
+        F.col("__words"),
+        lambda x, i: ~F.exists(
+            F.col("__cuts"),
+            lambda r: (i >= r["start_word"]) & (i < r["end_word"]),
+        ),
+    )
+    rebuilt = F.when(
+        F.col("__cuts").isNull(), F.concat_ws(" ", F.col("__words"))
+    ).otherwise(F.concat_ws(" ", kept_words))
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    carried = df.select(F.col(id_col).alias("id"), *others)
+    return (
+        out.withColumn(text_col, rebuilt)
+        .join(carried, "id")
+        .select(F.col("id").alias(id_col), *others, text_col)
+    )

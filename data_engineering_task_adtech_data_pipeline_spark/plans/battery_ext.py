@@ -1106,6 +1106,66 @@ def q58_greedy_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q60_duplicate_spans",
+    # Span-granular dedup (Lee et al. 2022 ExactSubstr, k-gram-anchor
+    # approximation): the oracle replays positional 13-grams, corpus
+    # doc-frequency, and the gaps-and-islands merge with window functions
+    # — every stage is SQL-expressible, so the whole pipeline is
+    # value-checked (md5-portable gram hash family).
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({norm}, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             ('0x' || substr(md5(array_to_string(w[i+1 : i+13], ' ')), 1, 15))::BIGINT AS h
+      FROM words, UNNEST(range(greatest(len(w) - 12, 0))) AS t(i)
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 13) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 13) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS newi
+      FROM flagged
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             CAST(SUM(newi) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - 1 AS INTEGER) AS span_id
+      FROM marked
+    )
+    SELECT doc_id, span_id,
+           CAST(MIN(pos) AS INTEGER) AS start_word,
+           CAST(MAX(pos) + 13 AS INTEGER) AS end_word,
+           CAST(COUNT(*) AS INTEGER) AS n_grams
+    FROM islands GROUP BY doc_id, span_id
+    """.format(norm=_NORM.format(c="trim(text)")),
+    doc="Duplicate text SPANS inside documents (substring-level dedup, "
+    "Lee et al. 2022 k-gram-anchor form): positions whose normalized "
+    "13-gram occurs in >=2 docs open windows, overlapping windows merge "
+    "into maximal spans via distributed gaps-and-islands; oracle replays "
+    "gram hashing, doc-frequency and the island merge bit-for-bit.",
+)
+def q60_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.duplicate_spans(docs, k=13, min_docs=2, hash_method="md5")
+
+
+@query(
     "q51_domain_cap",
     oracle="""
     SELECT doc_id, source FROM (

@@ -724,3 +724,51 @@ def test_profile_cache_releases_persisted_profile(spark):
         handle = pc._frames[0]
     assert not handle.storageLevel.useMemory  # released on scope exit
     assert pc._frames == []
+
+
+def test_duplicate_spans_and_cut(spark):
+    """Span-level dedup end-to-end: shared boilerplate inside otherwise
+    unique docs is found as one maximal span per doc; cut_spans keep=first
+    retains exactly one occurrence (min doc id), keep=none cuts all."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "intro one STANDARD LICENSE HEADER TEXT BLOCK words tail a"),
+        (2, "different start standard license header text block words closing"),
+        (3, "totally clean document nothing shared with any other entry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = duplicate_spans(df, k=6, min_docs=2)
+    got = {r.doc_id: (r.start_word, r.end_word, r.n_grams) for r in sp.collect()}
+    # 7 shared words ("standard license header text block words" + one
+    # neighbour differs) -> span of the 6+1 overlap region in each doc
+    assert set(got) == {1, 2}
+    for d, (a, b, ng) in got.items():
+        assert b - a >= 6 and ng >= 1
+
+    first = {r.doc_id: r.text for r in cut_spans(df, sp, keep="first").collect()}
+    none = {r.doc_id: r.text for r in cut_spans(df, sp, keep="none").collect()}
+    assert "standard license header" in first[1]  # survives in min doc
+    assert "standard license header" not in first[2]
+    assert "standard license header" not in none[1]
+    assert "standard license header" not in none[2]
+    assert none[3] == rows[2][1].lower()  # untouched (normalized) passthrough
+    # non-span words survive every policy
+    assert "different start" in first[2] and "closing" in first[2]
+
+
+def test_cut_spans_rejects_unknown_policy(spark):
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sp = duplicate_spans(df, k=2)
+    with pytest.raises(ValueError, match="keep policy"):
+        cut_spans(df, sp, keep="both")

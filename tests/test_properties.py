@@ -591,3 +591,73 @@ def test_merge_upsert_sequence_matches_latest_version(spark, tmp_path_factory, b
         map(tuple, read_merged(spark, path).select("k", "ver", "val").collect())
     )
     assert got == want
+
+
+def _py_duplicate_spans(docs, k, min_docs):
+    import re
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return [w for w in re.sub(r"\s+", " ", t).strip().split(" ") if w]
+
+    words = {d: norm(t) for d, t in docs}
+    grams: dict = {}
+    for d, ws in words.items():
+        for i in range(max(len(ws) - k + 1, 0)):
+            grams.setdefault(" ".join(ws[i : i + k]), set()).add(d)
+    dup = {g for g, s in grams.items() if len(s) >= min_docs}
+    out = []
+    for d, ws in words.items():
+        flagged = [
+            i
+            for i in range(max(len(ws) - k + 1, 0))
+            if " ".join(ws[i : i + k]) in dup
+        ]
+        spans: list = []
+        for i in flagged:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + k)
+                spans[-1][2] += 1
+            else:
+                spans.append([i, i + k, 1])
+        out.extend(
+            (d, sid, a, b, ng) for sid, (a, b, ng) in enumerate(spans)
+        )
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff".split()),
+            min_size=0,
+            max_size=24,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+def test_duplicate_spans_matches_python(spark, docs, k, min_docs):
+    """duplicate_spans (positional grams -> corpus doc-frequency ->
+    gaps-and-islands merge) against a direct python re-implementation on
+    tiny-vocabulary corpora (small vocab forces heavy gram sharing, the
+    regime where island merging actually exercises overlaps/adjacency)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, duplicate_spans(df, k=k, min_docs=min_docs).collect())
+    )
+    want = _py_duplicate_spans(list(enumerate(docs)), k, min_docs)
+    assert got == want
