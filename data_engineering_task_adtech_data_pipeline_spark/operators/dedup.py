@@ -962,6 +962,8 @@ def duplicate_spans(
     k: int = 13,
     min_docs: int = 2,
     hash_method: str = "xxhash64",
+    persist_rows: bool = False,
+    profile_cache: "ProfileCache | None" = None,
 ) -> DataFrame:
     """Span-granular duplicate detection — the substring-level dedup step
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -992,6 +994,20 @@ def duplicate_spans(
 
     ``hash_method="md5"`` uses the engine-portable 60-bit family so a SQL
     oracle can replay the whole pipeline (battery q60).
+
+    Plan note: the positional-gram subtree feeds both the frequency agg
+    and the join-back side and is recomputed per branch (column pruning
+    specializes the copies, so they never become a ReusedExchange).
+    Unlike the minhash profile — where the pruned branches are cheap and
+    recompute wins locally — here each branch rebuilds every k-word gram
+    STRING, and the measured crossover flips early: at 200k docs x 60
+    words on local[32], recompute 105 s vs ``persist_rows=True`` 56 s
+    (SCALING.md). Set ``persist_rows=True`` on any real corpus; pass a
+    ``ProfileCache`` to release the cached (id, pos, 8-byte hash) rows
+    deterministically. The gram equi-join broadcasts only when AQE sizes
+    the frequency table under the threshold; at scale it is a
+    co-partitioned hash join (both sides already hashed on ``h`` by the
+    agg).
     """
     if hash_method == "md5":
         gram_hash = lambda c: md5_long(c)  # noqa: E731
@@ -1025,6 +1041,10 @@ def duplicate_spans(
             gram_hash(F.col("pg.g")).alias("h"),
         )
     )
+    if persist_rows:
+        rows = rows.persist()
+        if profile_cache is not None:
+            profile_cache.track(rows)
     dup_grams = (
         rows.groupBy("h")
         .agg(F.count_distinct("id").alias("df"))

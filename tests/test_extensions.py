@@ -772,3 +772,31 @@ def test_cut_spans_rejects_unknown_policy(spark):
     sp = duplicate_spans(df, k=2)
     with pytest.raises(ValueError, match="keep policy"):
         cut_spans(df, sp, keep="both")
+
+
+def test_duplicate_spans_persist_rows_equivalent_and_released(spark):
+    """persist_rows=True (the real-corpus default per SCALING.md) must be
+    result-identical to recompute, and ProfileCache must release the
+    cached gram rows deterministically."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        ProfileCache,
+        duplicate_spans,
+    )
+
+    rows = [(i, f"shared run of words here tail {i % 4} pad{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, duplicate_spans(df, k=4, min_docs=2).collect()))
+    with ProfileCache() as pc:
+        fast = sorted(
+            map(
+                tuple,
+                duplicate_spans(
+                    df, k=4, min_docs=2, persist_rows=True, profile_cache=pc
+                ).collect(),
+            )
+        )
+        assert len(pc._frames) == 1
+        handle = pc._frames[0]
+        assert handle.storageLevel.useMemory
+    assert fast == base
+    assert not handle.storageLevel.useMemory

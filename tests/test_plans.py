@@ -181,3 +181,33 @@ def test_merge_upsert_read_prunes_to_touched_buckets(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*merge_bucket[^\]]*\]", plan)
     assert m, plan[:2000]
     assert rel.count() < 1000 / 4  # one bucket of 16, not a full scan
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans' 100 TB claims, locked: no cartesian/nested-loop
+    anywhere (gram join is a hash join), and the two window steps
+    (prev-end lookback + island running sum) share ONE sort+exchange on
+    the doc id rather than shuffling twice."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    df = duplicate_spans(docs, k=13, min_docs=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # numbered physical nodes, e.g. "(23) Sort" — two Window nodes, one Sort
+    nodes = re.findall(r"\(\d+\) (\w+)", plan)
+    assert nodes.count("Window") == 2
+    assert nodes.count("Sort") == 1
