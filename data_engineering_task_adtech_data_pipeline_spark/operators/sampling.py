@@ -137,3 +137,148 @@ def cap_per_group(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def _hash_full(
+    keys: Sequence[str | Column], salt: int, method: str = "xxhash64"
+) -> Column:
+    """Full-width deterministic key hash (no bucket reduction) — the
+    within-shard shuffle order for :func:`export_shards`. md5 variant is
+    the portable 60-bit construction (`dedup.md5_long` layout)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in keys]
+    if method == "md5":
+        s = F.concat_ws(_SEP, *cols, F.lit(str(salt)))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    if method != "xxhash64":
+        raise ValueError(f"unknown hash method: {method!r}")
+    return F.xxhash64(*cols, F.lit(salt))
+
+
+def export_shards(
+    df: DataFrame,
+    num_shards: int,
+    keys: Sequence[str],
+    salt: int = 42,
+    method: str = "xxhash64",
+    shard_col: str = "shard",
+    ordinal_col: str | None = "ordinal",
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-count shard assignment — the
+    "shuffle and shard" step that precedes training-data export (GPT-3 /
+    Pile-style corpora ship as N shuffled shard files).
+
+    Every row gets ``shard_col`` in [0, num_shards) and (optionally) a
+    1-based ``ordinal_col`` giving its position within the shard. Both are
+    pure functions of the row KEYS: stable across partitionings, cluster
+    sizes and re-runs, and the key-hash order is an unbiased global shuffle
+    (hash order ≈ random order), so a reader streaming shard files in
+    ordinal order sees an i.i.d.-shuffled corpus without any single-task
+    global sort.
+
+    Scale shape (100 TB): the shard id is a narrow hash expression (no
+    shuffle); the ordinal is ONE window shuffle partitioned by shard —
+    num_shards partitions of ~n/num_shards rows each, so pick num_shards
+    (typically 2^10..2^16 for corpus scale) high enough that a shard fits
+    an executor. Pass ``ordinal_col=None`` to skip that shuffle entirely
+    when only the assignment is needed. Ties in the full-width hash break
+    on the keys themselves, keeping the order total and deterministic.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = _hash_full(keys, salt, method)
+    # pmod: md5 hashes are non-negative 60-bit, xxhash64 is signed
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(num_shards)))
+    if ordinal_col is None:
+        return out
+    from pyspark.sql import Window as W
+
+    order = [h.asc()] + [F.col(k).asc() for k in keys]
+    w = W.partitionBy(shard_col).orderBy(*order)
+    return out.withColumn(ordinal_col, F.row_number().over(w))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    keys: Sequence[str],
+    salt: int = 42,
+    method: str = "xxhash64",
+    output_format: str = "parquet",
+) -> None:
+    """Materialize :func:`export_shards` as one directory per shard
+    (``shard=K/``), rows within each shard file sorted in the deterministic
+    shuffle order — a reader that concatenates files per shard directory
+    replays the global shuffle exactly.
+
+    ``repartition(num_shards, shard)`` routes each shard to one task (a
+    few shards may co-reside in a task; ``partitionBy`` still splits them
+    into their own directories), ``sortWithinPartitions`` orders rows
+    without any global sort, and the native writer streams each partition —
+    nothing ever materializes on the driver.
+    """
+    sharded = export_shards(
+        df, num_shards, keys, salt, method, ordinal_col="ordinal"
+    )
+    (
+        sharded.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "ordinal")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(output_format)
+        .save(path)
+    )
+
+
+def quantile_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    tail: str = "top",
+) -> DataFrame:
+    """Corpus-quantile filtering: keep the best ``keep_fraction`` of rows by
+    ``score_col`` (``tail="top"`` keeps high scores, ``"bottom"`` low) —
+    the classifier-threshold step of quality-based curation (e.g. keep the
+    top 20% by a fastText-style quality score).
+
+    The cutoff is the exact k-th order statistic (k = ceil(fraction * n)),
+    ties INCLUDED — so the result is a pure function of the data (no
+    approximation drift between runs) and matches a ``rank() <= k`` oracle.
+
+    Scale shape (100 TB): no global row sort. The threshold comes from a
+    two-level aggregation over the narrow (score, count) projection:
+    groupBy(score).count() collapses the corpus to its distinct scores (one
+    partial-agg shuffle over an 8-byte key), then a single cumulative-sum
+    window over DISTINCT scores only — millions of rows at most, orders of
+    magnitude below corpus row count. The final filter is a broadcast of
+    one scalar against the original frame, which keeps the scan's column
+    pruning and pushdown intact.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError("keep_fraction must be in (0, 1]")
+    if tail not in ("top", "bottom"):
+        raise ValueError("tail must be 'top' or 'bottom'")
+    from pyspark.sql import Window as W
+
+    desc = tail == "top"
+    score = F.col(score_col)
+    freq = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    order = score.desc() if desc else score.asc()
+    cum = freq.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            W.orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("__n", F.sum("__c").over(W.partitionBy()))
+    # threshold = score at rank k = ceil(fraction * n): the first distinct
+    # score (in keep-direction order) whose cumulative count reaches k
+    thr_df = (
+        cum.where(F.col("__cum") >= F.ceil(F.col("__n") * F.lit(keep_fraction)))
+        .agg(
+            (F.max(score) if desc else F.min(score)).alias("__thr")
+        )
+    )
+    cond = (
+        score >= F.col("__thr") if desc else score <= F.col("__thr")
+    )
+    return df.join(F.broadcast(thr_df), on=cond, how="inner").drop("__thr")

@@ -400,3 +400,58 @@ def bigram_novelty(
             ),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (sklearn's smoothed variant:
+    ``idf = ln((1+n)/(1+df)) + 1``) — the document-term weighting behind
+    keyword extraction, near-duplicate explanation and topic sampling.
+
+    Output: one row per kept (document, term) with ``tf`` (occurrences in
+    the doc), ``df`` (corpus documents containing the term), ``tfidf`` and
+    ``rnk`` (1-based rank within the doc, score desc / term asc).
+
+    Portability: idf is rounded to 6 dp before the tf multiply, so the
+    score is (tf: exact int) x (idf: 6-dp double) — one IEEE multiply,
+    bit-stable across engines; ranking ties break on the term string.
+
+    Scale shape (100 TB): one explode into (doc, term) occurrence rows,
+    one partial-aggregating groupBy for tf, one for the document
+    frequencies (model side is vocabulary-sized), a shuffle join back on
+    the term (both sides hash-partitioned on it; a hot stopword term is
+    AQE's skew case), and one per-doc window for the top-k. The corpus
+    size n arrives via a single-row broadcast join, not a driver collect.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_array(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    idf = F.round(
+        F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0, 6
+    )
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * idf)
+        .drop("__n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rnk"
+        )
+    )

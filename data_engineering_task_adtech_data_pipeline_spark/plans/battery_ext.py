@@ -1419,3 +1419,187 @@ def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     return text.bigram_novelty(docs)
+
+
+# ===========================================================================
+# q61 — deterministic shuffle + shard for training-data export
+# ===========================================================================
+
+@query(
+    "q61_export_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(concat_ws(chr(31), doc_id, '42')), 1, 15))
+               ::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           hv % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hv % 8 ORDER BY hv, doc_id
+           ) AS INTEGER) AS ordinal
+    FROM h
+    """,
+    doc="Training-data export sharding: deterministic md5-order global "
+    "shuffle, 8 fixed shards with within-shard ordinals — the 'shuffle "
+    "and shard' step before writing corpus shard files "
+    "(operators.sampling.export_shards; write_shards materializes it).",
+)
+def q61_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import export_shards
+
+    docs = Testdata(spark, sf_dir).documents
+    return export_shards(docs, 8, ["doc_id"], method="md5").select(
+        "doc_id", "shard", "ordinal"
+    )
+
+
+# ===========================================================================
+# q62 — corpus-quantile quality filter (exact k-th order statistic)
+# ===========================================================================
+
+@query(
+    "q62_quantile_filter",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             rank() OVER (ORDER BY n_chars DESC) AS rk,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rk <= ceil(0.2 * n)
+    """,
+    doc="Quality-threshold curation: keep the top 20% of documents by "
+    "score (n_chars stands in for a classifier score), cutoff = exact "
+    "k-th order statistic with ties included — computed from a distinct-"
+    "score cumulative sum, never a global row sort "
+    "(operators.sampling.quantile_threshold).",
+)
+def q62_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quantile_threshold
+
+    docs = Testdata(spark, sf_dir).documents
+    return quantile_threshold(docs, "n_chars", 0.2, tail="top").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ===========================================================================
+# q63 — TF-IDF top-k keywords per document
+# ===========================================================================
+
+_TFIDF_K = 5
+
+@query(
+    "q63_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             tf * round(ln((1.0 + n) / (1.0 + df)) + 1.0, 6) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      ) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= {_TFIDF_K}
+    """,
+    doc="Keyword extraction: per-document top-5 terms by smoothed TF-IDF "
+    "(idf = ln((1+n)/(1+df)) + 1, 6-dp-rounded for engine portability); "
+    "one explode + vocabulary-sized model join (operators.text.tfidf_topk).",
+)
+def q63_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    out = text.tfidf_topk(docs, k=_TFIDF_K)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ===========================================================================
+# q64 — HyperLogLog distinct-token sketch per source, vs exact
+# ===========================================================================
+
+def _hll_oracle(p: int) -> str:
+    from ..operators import sketch
+
+    m = 1 << p
+    width = 60 - p  # md5 base hash is 60 bits
+    top = width + 1
+    numer = sketch._alpha(m) * m * m * float(1 << top)
+    return f"""
+    WITH words AS (
+      SELECT source, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT source, term FROM words WHERE term <> ''),
+    h AS (
+      SELECT source,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv,
+             term
+      FROM w2
+    ),
+    regs AS (
+      SELECT source, hv % {m} AS bucket,
+             max(CASE WHEN (hv >> {p}) = 0 THEN {top}
+                 ELSE {top} - length(bin(hv >> {p})) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             sum(CAST(pow(2, {top} - rho) AS BIGINT)) AS s,
+             count(*) AS present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT source,
+             CASE WHEN {numer!r} / CAST(s + ({m} - present) * {1 << top}
+                    AS DOUBLE) <= {2.5 * m!r}
+                   AND present < {m}
+                  THEN {float(m)!r} * ln({float(m)!r} /
+                       CAST({m} - present AS DOUBLE))
+                  ELSE {numer!r} / CAST(s + ({m} - present) * {1 << top}
+                       AS DOUBLE)
+             END AS raw_est
+      FROM agg
+    ),
+    exact AS (SELECT source, count(DISTINCT term) AS n_exact FROM w2 GROUP BY 1)
+    SELECT source, round(raw_est, 6) AS est_distinct, n_exact
+    FROM est JOIN exact USING (source)
+    """
+
+
+_HLL_P = 9
+
+@query(
+    "q64_hll_distinct",
+    oracle=_hll_oracle(_HLL_P),
+    doc="Mergeable HyperLogLog sketch (Flajolet 2007): per-source distinct-"
+    "token estimate (p=9, 512 registers, md5-portable hashes, integer-"
+    "exact harmonic mean) alongside the exact distinct count — the sketch "
+    "COUNT(DISTINCT) needs at 100 TB (operators.sketch; reference stats "
+    "analog scripts/main.py:139-170).",
+)
+def q64_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    docs = Testdata(spark, sf_dir).documents
+    words = docs.select(
+        "source", F.explode(F.split(dedup.normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    est = sketch.hll_distinct(
+        words, "term", ["source"], p=_HLL_P, method="md5"
+    )
+    exact = words.groupBy("source").agg(
+        F.count_distinct("term").alias("n_exact")
+    )
+    return est.join(exact, "source")

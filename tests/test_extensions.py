@@ -800,3 +800,112 @@ def test_duplicate_spans_persist_rows_equivalent_and_released(spark):
         assert handle.storageLevel.useMemory
     assert fast == base
     assert not handle.storageLevel.useMemory
+
+
+# --- HyperLogLog sketch ----------------------------------------------------
+
+
+def test_hll_accuracy_and_partition_invariance(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    # three groups of known cardinality (values overlap across groups on
+    # purpose: sketches are per-group)
+    base = spark.range(20_000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    mid = spark.range(2_000).select(
+        F.lit("mid").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    small = spark.range(50).select(
+        F.lit("small").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    df = base.unionByName(mid).unionByName(small)
+    for method in ("xxhash64", "md5"):
+        est = {
+            r.g: r.est_distinct
+            for r in sketch.hll_distinct(df, "v", ["g"], p=10, method=method).collect()
+        }
+        for g, n in (("big", 20_000), ("mid", 2_000), ("small", 50)):
+            # standard error ~1.04/sqrt(1024) ~ 3.3%; allow 5 sigma
+            assert abs(est[g] - n) / n < 0.17, (method, g, est[g])
+    # pure function of the data
+    a = sketch.hll_distinct(df, "v", ["g"], p=10).collect()
+    b = sketch.hll_distinct(df.repartition(37), "v", ["g"], p=10).collect()
+    assert {(r.g, r.est_distinct) for r in a} == {(r.g, r.est_distinct) for r in b}
+
+
+def test_hll_merge_is_lossless(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    # overlapping halves: dedup must happen inside the sketch merge
+    h1 = df.where(F.col("id") < 6_000)
+    h2 = df.where(F.col("id") >= 3_000)
+    whole = sketch.hll_registers(df, "v", ["g"], p=8)
+    merged = sketch.hll_merge(
+        [
+            sketch.hll_registers(h1, "v", ["g"], p=8),
+            sketch.hll_registers(h2, "v", ["g"], p=8),
+        ],
+        ["g"],
+    )
+    assert {(r.g, r.bucket, r.rho) for r in whole.collect()} == {
+        (r.g, r.bucket, r.rho) for r in merged.collect()
+    }
+    e1 = sketch.hll_estimate(whole, ["g"], p=8).collect()[0].est_distinct
+    e2 = sketch.hll_estimate(merged, ["g"], p=8).collect()[0].est_distinct
+    assert e1 == e2
+
+
+def test_hll_small_range_correction_and_plan(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    # tiny cardinality vs m=1024 -> linear-counting branch; should be
+    # near-exact (every value lands in its own register w.h.p.)
+    df = spark.range(30).select(
+        F.lit("g").alias("g"), F.concat(F.lit("y"), F.col("id")).alias("v")
+    )
+    est = sketch.hll_distinct(df, "v", ["g"], p=10).collect()[0].est_distinct
+    assert abs(est - 30) <= 2
+    # register build is ONE partial-aggregating shuffle: a single Exchange
+    # (plus AQE reads), no window, no sort-based fallback
+    plan = (
+        sketch.hll_registers(df, "v", ["g"], p=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_tfidf_topk_hand_example(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.term): (r.tf, r.df, round(r.tfidf, 6), r.rnk)
+        for r in T.tfidf_topk(df, k=2).collect()
+    }
+    import math
+
+    def idf(dfreq):
+        return round(math.log(4.0 / (1.0 + dfreq)) + 1.0, 6)
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(1, "apple")] == (2, 1, round(2 * idf(1), 6), 1)
+    assert out[(1, "banana")][3] == 2
+    # doc 3: cherry tf=2 df=2; durian tf=1 df=1 -> cherry wins on tf*idf
+    assert out[(3, "cherry")][3] == (
+        1 if 2 * idf(2) > 1 * idf(1) else 2
+    )
+    assert len([k for k in out if k[0] == 2]) == 2

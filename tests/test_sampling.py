@@ -87,3 +87,70 @@ def test_repetition_features_flags_boilerplate(spark):
     assert out[1].distinct_token_ratio == 0.25  # 2 of 8
     assert out[2].top_token_share < 0.2
     assert out[2].distinct_token_ratio == 1.0
+
+
+def test_export_shards_partition_invariant_and_total_order(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import export_shards
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    a = export_shards(docs, 8, ["doc_id"])
+    b = export_shards(docs.repartition(13), 8, ["doc_id"])
+    ra = {(r.doc_id, r.shard, r.ordinal) for r in a.collect()}
+    rb = {(r.doc_id, r.shard, r.ordinal) for r in b.collect()}
+    assert ra == rb  # pure function of the data
+    # shards partition the corpus; ordinals are 1..len(shard) gap-free
+    rows = sorted(ra, key=lambda t: (t[1], t[2]))
+    assert len(rows) == 500
+    from itertools import groupby
+
+    for shard, grp in groupby(rows, key=lambda t: t[1]):
+        assert 0 <= shard < 8
+        ords = [t[2] for t in grp]
+        assert ords == list(range(1, len(ords) + 1))
+
+
+def test_export_shards_skip_ordinal_has_no_window(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import export_shards
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    plan = export_shards(docs, 8, ["doc_id"], ordinal_col=None)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+
+
+def test_write_shards_roundtrip_replays_shuffle(spark, tmp_path):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        export_shards,
+        write_shards,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents.select("doc_id", "source")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, 4, ["doc_id"])
+    back = spark.read.parquet(out)
+    expect = export_shards(docs, 4, ["doc_id"])
+    assert {(r.doc_id, r.shard, r.ordinal) for r in back.collect()} == {
+        (r.doc_id, r.shard, r.ordinal) for r in expect.collect()
+    }
+    # one directory per shard on disk
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    ) == [f"shard={i}" for i in range(4)]
+
+
+def test_quantile_threshold_ties_and_bottom(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import quantile_threshold
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([1, 2, 2, 2, 3, 4, 5, 5, 9, 10])],
+        "id int, score int",
+    )
+    # top 20% of 10 rows -> k=2 -> threshold is 2nd largest (9); ties incl.
+    top = quantile_threshold(df, "score", 0.2, tail="top")
+    assert sorted(r.score for r in top.collect()) == [9, 10]
+    # bottom 30% -> k=3 -> threshold = 3rd smallest = 2; ALL 2s kept
+    bot = quantile_threshold(df, "score", 0.3, tail="bottom")
+    assert sorted(r.score for r in bot.collect()) == [1, 2, 2, 2]
+    # keep everything
+    assert quantile_threshold(df, "score", 1.0).count() == 10
