@@ -181,3 +181,98 @@ def hll_distinct(
     return hll_estimate(
         regs, group_cols, p, method, out_col=out_col
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005: d rows of w counters; item x increments
+# counter (j, h_j(x) % w) for each row j; the point estimate is the MIN over
+# the d counters, which never underestimates and overestimates by at most
+# eps*N (eps = e/w) with probability 1 - delta (delta = e^-d). Like the HLL
+# above it is mergeable (counters ADD), portable (md5 base hash + the repo's
+# Carter-Wegman affine family — the SAME (a_j, b_j) constants the minhash
+# battery oracle replays), and integer-exact end to end.
+
+
+def _cm_col(h, j: int, w: int, method: str):
+    """Counter column for row j: affine-expanded hash folded into [0, w)."""
+    from .dedup import MERSENNE_31, minhash_affine_constants
+
+    a, b = minhash_affine_constants(j + 1)[j]
+    return F.pmod((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31), F.lit(w))
+
+
+def _cm_base_hash(value_col: str | Column, method: str):
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if method == "md5":
+        return F.pmod(md5_long(v.cast("string")), F.lit(2_147_483_647))
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(v), F.lit(2_147_483_647))
+    raise ValueError(f"unknown hash method: {method!r}")
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str] = (),
+    d: int = 4,
+    w: int = 2048,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Occurrence rows → Count-Min counters: one row per (group, j, col)
+    with the occurrence count. d*w counters per group (tiny), built with
+    ONE partial-aggregating shuffle — the posexplode multiplies rows by d
+    BEFORE the map-side combine collapses each partition to <= d*w rows
+    per group, so the shuffle moves sketch-sized data only."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 rows and w >= 2 counters")
+    h = _cm_base_hash(value_col, method)
+    cols = F.array(*[_cm_col(h, j, w, method) for j in range(d)])
+    groups = [F.col(g) for g in group_cols]
+    return (
+        df.select(*groups, F.posexplode(cols).alias("j", "col"))
+        .groupBy(*group_cols, "j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge Count-Min sketches: counters add (sketch(A ⊎ B) ==
+    merge(sketch(A), sketch(B)) exactly — multiset union, so partial
+    sketches roll up across partitions/days without re-reading raw data)."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "j", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str] = (),
+    d: int = 4,
+    w: int = 2048,
+    method: str = "xxhash64",
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-estimate the frequency of each query row's value: min over the
+    d counters it maps to (missing counter = 0). Join shape: queries gain
+    (j, col) via posexplode, equi-join the sketch on (group, j, col) —
+    sketch side is d*w rows per group, so Spark broadcasts it; never a
+    driver collect."""
+    h = _cm_base_hash(value_col, method)
+    cols = F.array(*[_cm_col(h, j, w, method) for j in range(d)])
+    keys = [*group_cols, "j", "col"]
+    exploded = queries.select("*", F.posexplode(cols).alias("j", "col"))
+    qcols = list(queries.columns)
+    joined = exploded.join(sketch, keys, "left").fillna(0, subset=["cnt"])
+    return (
+        joined.groupBy(*qcols)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -1603,3 +1603,74 @@ def q64_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("term").alias("n_exact")
     )
     return est.join(exact, "source")
+
+
+# ===========================================================================
+# q65 — Count-Min sketch frequency estimation for heavy hitters
+# ===========================================================================
+
+def _cm_oracle(d: int, w: int, topn: int) -> str:
+    from ..operators.dedup import MERSENNE_31, minhash_affine_constants
+
+    ab = minhash_affine_constants(d)
+    x = "('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647"
+    counter_sel = "\n        UNION ALL\n        ".join(
+        f"SELECT {j} AS j, ((({a} * x + {b}) % {MERSENNE_31}) % {w}) AS col"
+        " FROM occ"
+        for j, (a, b) in enumerate(ab)
+    )
+    probe_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT term, exact_cnt, {j} AS j,"
+        f" ((({a} * x + {b}) % {MERSENNE_31}) % {w}) AS col FROM top"
+        for j, (a, b) in enumerate(ab)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT term FROM words WHERE term <> ''),
+    occ AS (SELECT term, {x} AS x FROM w2),
+    counters AS (
+      SELECT j, col, count(*) AS cnt FROM (
+        {counter_sel}
+      ) GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, count(*) AS exact_cnt FROM w2 GROUP BY 1),
+    top AS (
+      SELECT term, exact_cnt, {x} AS x FROM exact
+      ORDER BY exact_cnt DESC, term ASC LIMIT {topn}
+    ),
+    probes AS (
+      {probe_sel}
+    )
+    SELECT p.term, p.exact_cnt, min(coalesce(c.cnt, 0)) AS est_cnt
+    FROM probes p LEFT JOIN counters c USING (j, col)
+    GROUP BY 1, 2
+    """
+
+
+_CM_D, _CM_W, _CM_TOPN = 4, 2048, 20
+
+@query(
+    "q65_cm_heavy_hitters",
+    oracle=_cm_oracle(_CM_D, _CM_W, _CM_TOPN),
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005) frequency "
+    "estimation: d=4 x w=2048 counters over corpus token occurrences "
+    "(md5 + the same Carter-Wegman affine family the minhash oracle "
+    "replays), probed at the top-20 exact heavy hitters — est >= exact "
+    "always, within eps*N w.h.p. (operators.sketch.cm_sketch/cm_estimate).",
+)
+def q65_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    docs = Testdata(spark, sf_dir).documents
+    words = docs.select(
+        F.explode(F.split(dedup.normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(_CM_TOPN)
+    sk = sketch.cm_sketch(words, "term", d=_CM_D, w=_CM_W, method="md5")
+    return sketch.cm_estimate(
+        sk, top, "term", d=_CM_D, w=_CM_W, method="md5"
+    ).select("term", "exact_cnt", "est_cnt")

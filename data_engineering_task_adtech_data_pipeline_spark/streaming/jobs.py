@@ -522,3 +522,66 @@ def stream_ivf_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_hll_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    value_col: str,
+    registers_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    method: str = "xxhash64",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming distinct-count monitor: new value files fold into a
+    per-group HyperLogLog sketch incrementally — the cardinality dashboard
+    ("distinct users/domains/tokens so far") that exact COUNT(DISTINCT)
+    cannot sustain on an unbounded stream.
+
+    The streaming aggregation IS ``operators.sketch.hll_registers`` (the
+    same select + groupBy/max runs unchanged on a streaming frame); its
+    keyed state is sketch-sized (groups x 2^p rows, each a tiny int pair)
+    and NEVER grows with stream length — the whole point of the sketch.
+    Update-mode ``foreachBatch`` appends each micro-batch's changed
+    registers; because rho only ever grows, the append log replays into
+    the exact batch sketch via max-per-(group,bucket)
+    (:func:`read_hll_registers`), the same append+latest-view contract the
+    silver upsert path uses. No watermark: registers are tiny and the
+    monitor is cumulative by design.
+    """
+    from ..operators.sketch import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    regs = hll_registers(stream, value_col, group_cols or [], p, method)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(registers_path)
+
+    writer = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_hll_registers(
+    spark: SparkSession, registers_path: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse the streamed register append-log to the current sketch
+    (max rho per (group, bucket)); feed to ``sketch.hll_estimate``."""
+    return (
+        spark.read.parquet(registers_path)
+        .groupBy(*(group_cols or []), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -909,3 +909,37 @@ def test_tfidf_topk_hand_example(spark):
         1 if 2 * idf(2) > 1 * idf(1) else 2
     )
     assert len([k for k in out if k[0] == 2]) == 2
+
+
+def test_cm_sketch_overestimates_and_merges(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    # zipf-ish: value k appears ~ 3000/k times
+    df = spark.range(1, 120).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.lit(3000) / F.col("id")).cast("int")),
+                lambda i: F.concat(F.lit("t"), F.col("id")),
+            )
+        ).alias("v")
+    )
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    for method in ("xxhash64", "md5"):
+        sk = sketch.cm_sketch(df, "v", d=4, w=1024, method=method)
+        est = sketch.cm_estimate(sk, exact, "v", d=4, w=1024, method=method)
+        rows = est.collect()
+        n = df.count()
+        for r in rows:
+            assert r.est_cnt >= r.exact_cnt, (method, r)  # never under
+            # eps = e/w; allow 5x slack on the w.h.p. bound
+            assert r.est_cnt - r.exact_cnt <= 5 * 2.718 * n / 1024, (method, r)
+    # merge additivity: sketch(A ⊎ B) == merge over halves, exactly
+    h1 = df.limit(0).unionByName(df).where(F.length("v") <= 2)
+    h2 = df.where(F.length("v") > 2)
+    whole = sketch.cm_sketch(df, "v", d=2, w=256)
+    merged = sketch.cm_merge(
+        [sketch.cm_sketch(h1, "v", d=2, w=256), sketch.cm_sketch(h2, "v", d=2, w=256)]
+    )
+    assert {(r.j, r.col, r.cnt) for r in whole.collect()} == {
+        (r.j, r.col, r.cnt) for r in merged.collect()
+    }

@@ -387,3 +387,52 @@ def test_stream_ivf_ingest_matches_batch_assignment(spark, tmp_path):
         ).collect()
     }
     assert got == want  # every vector ingested exactly once, same cell
+
+
+@pytest.mark.slow
+def test_stream_hll_monitor_matches_batch_sketch(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        read_hll_registers,
+        stream_hll_monitor,
+    )
+
+    input_dir = str(tmp_path / "vals_in")
+    regs_path = str(tmp_path / "hll_regs")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+    )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+            F.concat(F.lit("u"), F.col("id") % 4000).alias("v"),
+        )
+
+    mk(0, 3000).write.mode("append").parquet(input_dir)
+    q = stream_hll_monitor(
+        spark, input_dir, schema, "v", regs_path, ckpt, group_cols=["g"], p=9
+    )
+    q.awaitTermination(120)
+    # second, overlapping batch: sketch must fold, not double-count
+    mk(1500, 5000).write.mode("append").parquet(input_dir)
+    q = stream_hll_monitor(
+        spark, input_dir, schema, "v", regs_path, ckpt, group_cols=["g"], p=9
+    )
+    q.awaitTermination(120)
+
+    streamed = read_hll_registers(spark, regs_path, ["g"])
+    batch = sketch.hll_registers(mk(0, 5000), "v", ["g"], p=9)
+    assert {(r.g, r.bucket, r.rho) for r in streamed.collect()} == {
+        (r.g, r.bucket, r.rho) for r in batch.collect()
+    }
+    est = {
+        r.g: r.est_distinct
+        for r in sketch.hll_estimate(streamed, ["g"], p=9).collect()
+    }
+    # 4000 distinct v values split evenly across two groups -> 2000 each
+    for g in ("even", "odd"):
+        assert abs(est[g] - 2000) / 2000 < 0.25
