@@ -247,6 +247,47 @@ def minhash_signatures(
     )
 
 
+def _sig_band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    sig_len: int,
+    hash_method: str,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from minhash signatures — the banded
+    LSH key construction shared by self-join (:func:`minhash_lsh_candidates`)
+    and cross-corpus (:func:`dedup_against`) candidate generation.
+
+    Band hash = one multi-arg xxhash64 over the band's signature elements
+    (element_at unrolled statically — no string building, no sub-arrays);
+    ``"md5"`` mode keys buckets on the band's literal values joined as a
+    string (oracle-portable, collision-free)."""
+    width = sig_len // bands
+
+    def band_key(b: int) -> Column:
+        elems = [
+            F.element_at("signature", b * width + j + 1) for j in range(width)
+        ]
+        if hash_method == "md5":
+            return F.concat_ws("_", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems)
+
+    return signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_key(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -274,8 +315,6 @@ def minhash_lsh_candidates(
     signature pipeline at plan-construction time (a silent 2x on the most
     expensive dedup stage).
     """
-    # band hash = one multi-arg xxhash64 over the band's signature elements
-    # (element_at unrolled statically — no string building, no sub-arrays)
     if sig_len is None:
         probe = signatures.select(F.size("signature").alias("n")).first()
         if probe is None:  # empty input -> empty, correctly-typed pair set
@@ -283,30 +322,7 @@ def minhash_lsh_candidates(
                 F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
             ).limit(0)
         sig_len = probe.n
-    width = sig_len // bands
-
-    def band_key(b: int) -> Column:
-        elems = [
-            F.element_at("signature", b * width + j + 1) for j in range(width)
-        ]
-        if hash_method == "md5":
-            return F.concat_ws("_", *[e.cast("string") for e in elems])
-        return F.xxhash64(*elems)
-
-    banded = signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        band_key(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = _sig_band_rows(signatures, id_col, bands, sig_len, hash_method)
 
     # bucket-local pairing: collect ids per bucket (capped), emit i<j pairs
     buckets = banded.groupBy("band_idx", "band_hash").agg(
@@ -1168,3 +1184,168 @@ def cut_spans(
         .join(carried, "id")
         .select(F.col("id").alias(id_col), *others, text_col)
     )
+
+
+def collapse_duplicates(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.8,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
+    cc: str = "star",
+    cluster_col: str = "cluster",
+    size_col: str = "cluster_size",
+    persist_profile: bool = False,
+    profile_cache: "ProfileCache | None" = None,
+) -> DataFrame:
+    """Quality-aware duplicate-cluster collapse: group near-duplicates by
+    full transitive closure, then keep the BEST row of each cluster by
+    ``score_col`` (ties broken by ``id_col`` ascending) — the canonical-
+    document selection step of corpus curation, where "drop the min-id
+    copy" (:func:`minhash_dedup_transitive`) would throw away the cleanest
+    variant of a boilerplate family just because of its id.
+
+    Output = the kept rows, each carrying its duplicate-cluster label
+    (``cluster_col``, the cluster's min id) and member count (``size_col``)
+    — the cluster stats downstream mixing/inspection needs. Singleton docs
+    keep themselves with size 1.
+
+    Scale shape: candidate generation and closure are the proven
+    minhash_dedup_transitive machinery (bucketed equi-joins with
+    deterministic caps; ``cc="star"`` large-star/small-star closure is the
+    giant-component-safe default here, since keep-best exists precisely
+    for big boilerplate families). The selection itself is ONE window
+    shuffle on the cluster label — count + row_number share the same
+    partitioning, and cluster sizes are bounded by the dedup graph, not
+    the corpus.
+    """
+    cand = _verified_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, verify_threshold,
+        max_shingles, hash_method, persist_profile, profile_cache,
+    )
+    if cc not in ("propagation", "star"):
+        raise ValueError(f"unknown cc strategy: {cc!r}")
+    comp = (
+        connected_components_star(cand)
+        if cc == "star"
+        else connected_components(cand)
+    )
+    from pyspark.sql import Window as W
+
+    labeled = df.join(
+        comp.select(
+            F.col("id").alias(id_col), F.col("component").alias(cluster_col)
+        ),
+        id_col,
+        "left",
+    ).withColumn(cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col)))
+    w = W.partitionBy(cluster_col)
+    ranked = labeled.withColumn(
+        size_col, F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        ),
+    )
+    return ranked.where(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_against(
+    df: DataFrame,
+    corpus: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.8,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
+    max_bucket: int = 64,
+    corpus_profile: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dedup: drop rows of ``df`` (the incoming batch)
+    that near-duplicate a row of ``corpus`` (the already-accepted data) —
+    the batch-over-batch form every continuously-ingesting training
+    pipeline needs, where re-running all-pairs dedup over corpus + batch
+    per ingest would rescan the whole corpus quadratically.
+
+    Candidates come from a banded-LSH EQUI-JOIN between the batch's band
+    rows and the corpus's bucketed band rows (corpus buckets capped at
+    ``max_bucket`` with sorted-id-first determinism, same contract as
+    :func:`minhash_lsh_candidates`); verification is exact Jaccard over
+    the two shingle profiles, candidate-local. Batch rows whose best
+    verified match >= ``verify_threshold`` are dropped; ``None`` skips
+    verification (any shared band drops). Within-batch duplicates are NOT
+    removed here — compose with :func:`minhash_dedup` for that.
+
+    Scale shape (100 TB corpus, small batch): the corpus side reduces to
+    (band_idx, band_hash, capped id array) — at steady state you compute
+    the corpus minhash profile ONCE (pass it as ``corpus_profile``; e.g. a
+    cached/persisted :func:`minhash_profile` frame, as
+    ``streaming.stream_dedup_against`` does per micro-batch) and join each
+    batch against it; nothing in the join is proportional to corpus text
+    size, and the batch side is batch-sized throughout. Exactly one of
+    ``corpus`` / ``corpus_profile`` must be given.
+    """
+    if (corpus is None) == (corpus_profile is None):
+        raise ValueError("pass exactly one of corpus / corpus_profile")
+    prof_new = minhash_profile(
+        df, text_col, id_col, num_hashes, shingle_k, max_shingles, hash_method
+    )
+    prof_corp = (
+        corpus_profile
+        if corpus_profile is not None
+        else minhash_profile(
+            corpus, text_col, id_col, num_hashes, shingle_k, max_shingles,
+            hash_method,
+        )
+    )
+    new_bands = _sig_band_rows(
+        prof_new.select(id_col, "signature"), id_col, bands, num_hashes,
+        hash_method,
+    ).select(F.col(id_col).alias("id_new"), "band_idx", "band_hash")
+    corp_buckets = (
+        _sig_band_rows(
+            prof_corp.select(id_col, "signature"), id_col, bands, num_hashes,
+            hash_method,
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias(
+                "ids"
+            )
+        )
+    )
+    cand = (
+        new_bands.join(corp_buckets, ["band_idx", "band_hash"])
+        .select("id_new", F.explode("ids").alias("id_corp"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        hits = cand.select(F.col("id_new").alias(id_col)).distinct()
+        return df.join(hits, id_col, "left_anti")
+    sh_new = prof_new.select(
+        F.col(id_col).alias("id_new"), F.col("shingle_set").alias("__sh_n")
+    )
+    sh_corp = prof_corp.select(
+        F.col(id_col).alias("id_corp"), F.col("shingle_set").alias("__sh_c")
+    )
+    jac = (
+        F.size(F.array_intersect("__sh_n", "__sh_c")).cast("double")
+        / F.size(F.array_union("__sh_n", "__sh_c")).cast("double")
+    )
+    hits = (
+        cand.join(sh_new, "id_new")
+        .join(sh_corp, "id_corp")
+        .where(jac >= verify_threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

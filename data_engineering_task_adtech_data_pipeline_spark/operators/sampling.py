@@ -282,3 +282,93 @@ def quantile_threshold(
         score >= F.col("__thr") if desc else score <= F.col("__thr")
     )
     return df.join(F.broadcast(thr_df), on=cond, how="inner").drop("__thr")
+
+
+def mixture_rates(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    budget_rows: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group sampling rates that realize a target corpus MIXTURE — the
+    "data mixing" step of training-set assembly (The Pile / LLaMA-style
+    recipes: "CommonCrawl 67%, Wikipedia 4.5%, ...").
+
+    For each group g with target share w_g (normalized over
+    ``target_weights``) and available count n_g, the rate is
+    ``least(1.0, budget_rows * w_g / n_g)`` — take exactly the budgeted
+    share of g, or everything g has when the budget asks for more than
+    exists (under-filled shares are NOT redistributed; redistribution is a
+    policy choice callers can layer by re-running on the residual budget).
+    Groups absent from ``target_weights`` get rate 0.
+
+    Returns one row per group: (group_col, n_avail, rate). Scale shape:
+    ONE column-pruned aggregation over ``group_col`` — the 100 TB scan
+    reads a single dictionary-encoded column; the result is
+    groups-cardinality tiny.
+    """
+    if budget_rows <= 0:
+        raise ValueError("budget_rows must be positive")
+    total = sum(target_weights.values())
+    if total <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v) / total) for k, v in target_weights.items()],
+        f"{group_col} string, __w double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    return (
+        counts.join(F.broadcast(wdf), group_col, "left")
+        .select(
+            group_col,
+            "n_avail",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_rows))
+                * F.coalesce(F.col("__w"), F.lit(0.0))
+                / F.col("n_avail"),
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    budget_rows: int,
+    keys: Sequence[str],
+    group_col: str = "source",
+    salt: int = 42,
+    method: str = "xxhash64",
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Deterministically sample ``df`` to (approximately) ``budget_rows``
+    rows in the :func:`mixture_rates` proportions: each group is an
+    independent key-hash sample at its computed rate, so membership is a
+    pure function of the data (same row survives on any cluster /
+    partitioning / rerun) and per-group sizes land within binomial noise of
+    ``budget_rows * w_g``.
+
+    The per-group cutoff is derived IN-ENGINE as
+    ``floor(rate * 1e6 + 0.5)`` over the rate's double value — the same
+    round-half-up rule as :func:`_cutoff`, expressed as IEEE double ops so
+    an external SQL oracle reproduces the exact cutoff bit-for-bit.
+
+    Scale shape: one tiny groups-cardinality aggregation (column-pruned),
+    broadcast back onto the corpus scan — no shuffle of the data itself,
+    and the scan's pushdown/pruning stay intact. Keep ``rate_col`` to
+    carry each row's sampling rate (e.g. for importance weighting);
+    ``None`` drops it.
+    """
+    rates = mixture_rates(df, target_weights, budget_rows, group_col)
+    cutoff = F.floor(F.col("rate") * F.lit(float(_BUCKETS)) + F.lit(0.5)).cast(
+        "long"
+    )
+    picked = (
+        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .where(_hash_bucket(keys, salt, method) < cutoff)
+    )
+    if rate_col is None:
+        return picked.drop("rate")
+    return picked.withColumnRenamed("rate", rate_col)

@@ -718,6 +718,93 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    train_fraction: float | None = None,
+    train_salt: int = 42,
+    train_hash_method: str = "xxhash64",
+    max_cell: int = 1024,
+    centroids: list[list[float]] | None = None,
+    literal_max: int = LITERAL_CELL_MAX,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning.
+    Embeddings land in ``n_cells`` trained cells; inside each cell, a row
+    is a semantic duplicate if some SMALLER-id row of the same cell has
+    cosine similarity >= ``threshold`` (the paper keeps one point per
+    epsilon-ball; fixed id order makes the choice deterministic and
+    engine-portable). Returns (id_col, cell, is_dup) for every input row —
+    callers drop ``is_dup`` rows or inspect per-cell dup rates.
+
+    Pairing never goes all-pairs-global: candidates are CELL-local, from
+    sorted id arrays truncated at ``max_cell`` (rows beyond the cap are
+    kept and never drop others — the same deterministic-cap contract as
+    the LSH buckets). At 100 TB you run this with ``n_cells`` sized so
+    corpus/n_cells ~ max_cell (the paper uses k in the tens of thousands),
+    ``train_fraction`` bounding the k-means pass, and the O(cell²) verify
+    stays bounded per cell. Embeddings are joined back BY ID for the
+    cosine verify, so the wide arrays never transit the pair explode.
+
+    Pass ``centroids`` (e.g. from :func:`kmeans_fit` or
+    :func:`ivf_model_read`) to reuse a trained model across batches.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, n_cells, n_iter, id_col, emb_col, dim,
+            train_fraction, train_salt, train_hash_method, literal_max,
+        )
+    d = with_double_embedding(df, emb_col).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("__emb")
+    )
+    assigned = _with_cell(d, "__emb", centroids, literal_max)
+    cells = assigned.groupBy("cell").agg(
+        F.slice(F.array_sort(F.collect_set("id")), 1, max_cell).alias("ids")
+    )
+    pairs = (
+        cells.where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda j: F.struct(
+                                F.col("ids")[i].alias("id_a"), j.alias("id_b")
+                            ),
+                        ),
+                    )
+                ).alias("p")
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    emb_a = d.select(F.col("id").alias("id_a"), F.col("__emb").alias("__emb_a"))
+    emb_b = d.select(F.col("id").alias("id_b"), F.col("__emb").alias("__emb_b"))
+    dups = (
+        pairs.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .where(cosine(F.col("__emb_a"), F.col("__emb_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 # --- persisted IVF index (offline build / streaming ingest / pruned search) --
 #
 # Layout under one root (base + delta, the standard serving split):

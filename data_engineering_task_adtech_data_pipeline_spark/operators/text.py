@@ -455,3 +455,127 @@ def tfidf_topk(
             F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rnk"
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Corpus inverted index: one row per term with its document frequency,
+    total occurrence count, and a sorted posting list of document ids —
+    the retrieval-side complement of :func:`tfidf_topk` (BM25 serving,
+    contamination lookup, corpus search all start here).
+
+    Output: (term, df, tf_total, postings array<id>). The posting list is
+    ascending-id and truncated at ``max_postings``; ``df`` is the TRUE
+    document count, so truncation stays visible as
+    ``df > size(postings)``. ``min_df`` drops hapax/noise terms before
+    the lists materialize.
+
+    Scale shape (100 TB): one explode to (term, doc) occurrence rows, one
+    partial-aggregating groupBy to per-doc tf (this absorbs the occurrence
+    multiplicity BEFORE the term shuffle), then one groupBy on the term
+    building count + sum + capped sorted list in a single aggregation.
+    Hot stopword terms are exactly why ``max_postings`` exists: the list
+    is bounded regardless of df, the counts stay exact, and stopword skew
+    on the term shuffle is AQE's skew-join case (or pre-filter a stopword
+    list). No driver materialization anywhere.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_array(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    post = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.slice(F.array_sort(F.collect_list("id")), 1, max_postings).alias(
+            "postings"
+        ),
+    )
+    return post.where(F.col("df") >= min_df).select(
+        "term", "df", "tf_total", "postings"
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = 10,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus: score every document against
+    every query in ``queries`` (query_id, term — one row per query term)
+    and keep the top ``k`` docs per query (``None`` = all matches). The
+    standard lexical-search baseline, and the classic hybrid partner of
+    the ANN operators in ``operators.similarity``.
+
+    idf is the Lucene/ATIRE non-negative variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Portability: idf is rounded to
+    6 dp, each (doc, term) contribution ``idf * tf*(k1+1)/(tf + k1*(1 - b
+    + b*dl/avgdl))`` is rounded to 6 dp and summed as DECIMAL(18,6) —
+    float-summation order can never flip the result across engines or
+    partitionings, which is what lets the whole scorer be value-checked
+    by a SQL oracle. Ranking ties break on doc id.
+
+    Scale shape (100 TB corpus, small query set): one explode to
+    per-doc tf rows, doc lengths from the same pass's groupBy, avgdl and
+    N via single-row broadcast joins, the query terms BROADCAST onto the
+    tf rows (an equi-join on term that prunes the corpus to matching
+    occurrences before any scoring), and one per-query window for the
+    top-k. Nothing is driver-side.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_array(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
+    idf = F.round(
+        F.log(
+            1.0
+            + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(dft, "term")
+        .join(dl, "id")
+        .join(F.broadcast(n))
+        .join(F.broadcast(avgdl))
+        .groupBy("query_id", "id")
+        .agg(F.sum(contrib).cast("double").alias("score"))
+    )
+    if k is None:
+        return scored.select(
+            "query_id", F.col("id").alias(id_col), "score"
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rnk")
+    )

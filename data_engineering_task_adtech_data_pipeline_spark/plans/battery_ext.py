@@ -42,10 +42,11 @@ _NORM = (
 _M31 = dedup.MERSENNE_31
 
 
-def _minhash_pair_ctes(num_hashes: int, bands: int, threshold: float) -> str:
-    """CTE chain from ``documents`` to ``ver`` (verified near-dup pairs),
-    mirroring minhash_profile + minhash_lsh_candidates + exact_jaccard with
-    hash_method='md5', max_shingles=None, max_bucket=64."""
+def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
+    """CTE chain from ``documents`` to ``bands`` (per-doc banded minhash
+    keys), mirroring minhash_profile + the band construction with
+    hash_method='md5', max_shingles=None — the shared front half of the
+    self-join (q13/q35/q67) and cross-corpus (q70) dedup oracles."""
     width = num_hashes // bands
     ab = dedup.minhash_affine_constants(num_hashes)
     mins = ",\n             ".join(
@@ -80,7 +81,14 @@ def _minhash_pair_ctes(num_hashes: int, bands: int, threshold: float) -> str:
     ),
     bands AS (
       {band_sel}
-    ),
+    )"""
+
+
+def _minhash_pair_ctes(num_hashes: int, bands: int, threshold: float) -> str:
+    """CTE chain from ``documents`` to ``ver`` (verified near-dup pairs),
+    mirroring minhash_profile + minhash_lsh_candidates + exact_jaccard with
+    hash_method='md5', max_shingles=None, max_bucket=64."""
+    return f"""{_minhash_band_ctes(num_hashes, bands)},
     buckets AS (
       SELECT band_idx, band_key,
              (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
@@ -1674,3 +1682,347 @@ def q65_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cm_estimate(
         sk, top, "term", d=_CM_D, w=_CM_W, method="md5"
     ).select("term", "exact_cnt", "est_cnt")
+
+
+# ===========================================================================
+# q66 — target-mixture weighted sampling (data mixing)
+# ===========================================================================
+
+@query(
+    "q66_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_avail FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT * FROM (VALUES
+        ('src0', 0.5), ('src1', 0.25), ('src2', 0.125), ('src3', 0.125)
+      ) t(source, w)
+    ),
+    rates AS (
+      SELECT c.source,
+             least(1.0, 60.0 * COALESCE(w.w, 0.0) / c.n_avail) AS rate
+      FROM counts c LEFT JOIN w USING (source)
+    )
+    SELECT d.doc_id, d.source, d.n_chars, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(concat_ws(chr(31), doc_id, '7')), 1, 15))
+            ::BIGINT % 1000000
+          < CAST(floor(rate * 1000000 + 0.5) AS BIGINT)
+    """,
+    doc="Training-mixture assembly (Pile/LLaMA-style source weighting): "
+    "per-source sampling rates least(1, budget*w/n) realize a 50/25/12.5/"
+    "12.5 target over four sources within a 60-row budget, membership by "
+    "deterministic md5 key-hash — rates, cutoff arithmetic and the "
+    "per-row keep decision are all value-checked "
+    "(operators.sampling.mixture_rates/mixture_sample).",
+)
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_sample
+
+    docs = Testdata(spark, sf_dir).documents
+    out = mixture_sample(
+        docs,
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        budget_rows=60,
+        keys=["doc_id"],
+        group_col="source",
+        salt=7,
+        method="md5",
+        rate_col="rate",
+    )
+    return out.select("doc_id", "source", "n_chars", "rate")
+
+
+# ===========================================================================
+# q67 — quality-aware duplicate-cluster collapse (keep-best canonical)
+# ===========================================================================
+
+@query(
+    "q67_collapse_duplicates",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(num_hashes=64, bands=16, threshold=0.5)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lbl AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             COALESCE(l.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM labeled
+    )
+    SELECT doc_id, lang, source, n_chars, cluster, cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Keep-best canonical selection over near-duplicate clusters: the "
+    "q35 minhash + star-closure clustering, then ONE window keeps the "
+    "highest-quality member per cluster (n_chars as the score, id "
+    "tie-break) and carries cluster label + size — value-checks "
+    "operators.dedup.collapse_duplicates end-to-end incl. the closure.",
+)
+def q67_collapse_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return dedup.collapse_duplicates(
+        docs, "n_chars", verify_threshold=0.5, max_shingles=None,
+        hash_method="md5", cc="star",
+    ).select("doc_id", "lang", "source", "n_chars", "cluster", "cluster_size")
+
+
+# ===========================================================================
+# q68 — SemDeDup: semantic dedup via k-means cells + within-cell cosine
+# ===========================================================================
+
+def _semantic_dedup_oracle(
+    n_cells: int, n_iter: int, threshold: float, max_cell: int, dim: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
+) -> str:
+    """The q50 training unroll re-targeted at dedup: identical sampled
+    k-means CTEs land on bit-identical centroids and cell assignments, then
+    within-cell (sorted, capped) pairs + exact cosine mark smaller-id-wins
+    duplicates."""
+    final = f"c{n_iter}"
+    its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
+    corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {train},
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
+    ),{its},
+    corpus_cells AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, {final}.cell ASC) AS rn
+        FROM v, {final}
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT cell, (list_sort(list(vec_id)))[1:{max_cell}] AS ids
+      FROM corpus_cells GROUP BY cell
+    ),
+    mem AS (
+      SELECT cell, generate_subscripts(ids, 1) AS p, unnest(ids) AS id
+      FROM cells WHERE len(ids) > 1
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM mem a JOIN mem b ON a.cell = b.cell AND a.p < b.p
+    ),
+    dups AS (
+      SELECT DISTINCT p.id_b AS id
+      FROM pairs p
+      JOIN v va ON va.vec_id = p.id_a
+      JOIN v vb ON vb.vec_id = p.id_b
+      WHERE {_COSINE_SQL.format(a="va.e", b="vb.e")} >= {threshold}
+    )
+    SELECT cc.vec_id, cc.cell,
+           (cc.vec_id IN (SELECT id FROM dups)) AS is_dup
+    FROM corpus_cells cc
+    """
+
+
+@query(
+    "q68_semantic_dedup",
+    oracle=_semantic_dedup_oracle(
+        n_cells=8, n_iter=3, threshold=0.35, max_cell=1024, dim=64
+    ),
+    doc="SemDeDup (Abbas et al. 2023): k-means cells (same sampled "
+    "deterministic training as q50) + within-cell cosine pruning, "
+    "smaller-id-wins — the oracle unrolls training, assignment, capped "
+    "pair generation and the dup decision, so the whole semantic-dedup "
+    "pipeline is value-checked (operators.similarity.semantic_dedup).",
+)
+def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    return similarity.semantic_dedup(
+        emb, threshold=0.35, n_cells=8, n_iter=3, dim=64,
+        train_fraction=0.5, train_hash_method="md5", max_cell=1024,
+    )
+
+
+# ===========================================================================
+# q69 — corpus inverted index (posting lists)
+# ===========================================================================
+
+@query(
+    "q69_inverted_index",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    post AS (
+      SELECT term,
+             count(*) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total,
+             array_to_string((list_sort(list(doc_id)))[1:20], ',')
+               AS postings_csv
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, tf_total, postings_csv FROM post WHERE df >= 3
+    """,
+    doc="Corpus inverted index: per-term document frequency, total "
+    "occurrences, and ascending posting lists capped at 20 ids (min_df=3) "
+    "— the retrieval-side index build; occurrence multiplicity collapses "
+    "into per-doc tf BEFORE the term shuffle "
+    "(operators.text.inverted_index).",
+)
+def q69_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import inverted_index
+
+    docs = Testdata(spark, sf_dir).documents
+    out = inverted_index(docs, min_df=3, max_postings=20)
+    return out.select(
+        "term",
+        "df",
+        "tf_total",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings_csv"
+        ),
+    )
+
+
+# ===========================================================================
+# q70 — incremental dedup of a batch AGAINST an existing corpus
+# ===========================================================================
+
+@query(
+    "q70_dedup_against_corpus",
+    oracle=f"""
+    WITH {_minhash_band_ctes(num_hashes=64, bands=16)},
+    nb AS (
+      SELECT doc_id AS id_new, band_idx, band_key FROM bands
+      WHERE doc_id >= 250
+    ),
+    cb AS (
+      SELECT band_idx, band_key,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM bands WHERE doc_id < 250 GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT nb.id_new, u.id_corp
+      FROM nb JOIN cb USING (band_idx, band_key),
+      LATERAL unnest(cb.ids) AS u(id_corp)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_new, c.id_corp, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_new
+      JOIN sh b ON b.doc_id = c.id_corp AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT DISTINCT i.id_new
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_new
+      JOIN sizes sb ON sb.doc_id = i.id_corp
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_new FROM hits)
+    """,
+    doc="Incremental near-dedup: the doc_id>=250 batch deduped AGAINST the "
+    "doc_id<250 corpus — banded-LSH equi-join between batch band rows and "
+    "capped corpus buckets, exact-Jaccard verify at 0.5, batch rows with "
+    "a verified corpus match dropped (operators.dedup.dedup_against).",
+)
+def q70_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    batch = docs.where(F.col("doc_id") >= 250)
+    corpus = docs.where(F.col("doc_id") < 250)
+    return dedup.dedup_against(
+        batch, corpus, verify_threshold=0.5, max_shingles=None,
+        hash_method="md5",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ===========================================================================
+# q71 — BM25 lexical retrieval
+# ===========================================================================
+
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"), (1, "shuffle"),
+    (2, "window"), (2, "stream"),
+    (3, "vector"), (3, "batch"), (3, "scan"),
+]
+
+
+@query(
+    "q71_bm25_topk",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum(CAST(round(
+               round(ln(1 + (n.n - dft.df + 0.5) / (dft.df + 0.5)), 6)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)),
+             6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM tf
+      JOIN q USING (term)
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, n, avgdl
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+      ) AS INTEGER) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Okapi BM25 top-5 retrieval (k1=1.2, b=0.75, Lucene idf) for three "
+    "multi-term queries — per-term contributions rounded to 6 dp and "
+    "summed as DECIMAL so float order can never flip ranks across "
+    "engines; idf, tf saturation, length normalization and ranking all "
+    "value-checked (operators.text.bm25_scores).",
+)
+def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
+    docs = Testdata(spark, sf_dir).documents
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    out = bm25_scores(docs, qdf, k=5)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

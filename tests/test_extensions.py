@@ -943,3 +943,187 @@ def test_cm_sketch_overestimates_and_merges(spark):
     assert {(r.j, r.col, r.cnt) for r in whole.collect()} == {
         (r.j, r.col, r.cnt) for r in merged.collect()
     }
+
+
+def test_collapse_duplicates_keeps_best_per_cluster(spark):
+    """The transitive chain collapses to ONE kept row — the highest-score
+    member, not the min id — and carries cluster label (min id) + size;
+    singletons keep themselves with size 1."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        collapse_duplicates,
+        minhash_dedup_transitive,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today ok", 10),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight ok", 99),
+            (3, "a quick brown fox jumps over the lazy dog near the river bank tonight ok", 50),
+            (4, "completely different content about spark query engines and shuffles", 7),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = {r.doc_id: r for r in
+           collapse_duplicates(docs, "score", verify_threshold=0.5).collect()}
+    # chain 1~2~3 is one cluster labeled 1; doc 2 wins on score
+    assert set(out) == {2, 4}
+    assert (out[2].cluster, out[2].cluster_size) == (1, 3)
+    assert (out[4].cluster, out[4].cluster_size) == (4, 1)
+    # same clustering decision as minhash_dedup_transitive (which keeps min id)
+    min_id_kept = sorted(
+        r.doc_id
+        for r in minhash_dedup_transitive(docs, verify_threshold=0.5).collect()
+    )
+    assert min_id_kept == [1, 4]
+    # cc strategies agree
+    out_prop = {r.doc_id: (r.cluster, r.cluster_size) for r in
+                collapse_duplicates(docs, "score", verify_threshold=0.5,
+                                    cc="propagation").collect()}
+    assert out_prop == {k: (v.cluster, v.cluster_size) for k, v in out.items()}
+
+
+def test_collapse_duplicates_rejects_unknown_cc(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        collapse_duplicates,
+    )
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c", 1)],
+                                 "doc_id long, text string, score long")
+    with pytest.raises(ValueError, match="unknown cc"):
+        collapse_duplicates(docs, "score", cc="bogus").collect()
+
+
+def test_semantic_dedup_flags_smaller_id_wins(spark):
+    """Identical/near-identical vectors in one cell: every copy except the
+    smallest id is flagged; distinct directions survive; partition-
+    invariant; a pre-trained centroid model short-circuits training."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~ dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.01, 0.0]),   # ~ dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.95, n_cells=2, n_iter=2,
+                          dim=4).collect()}
+    assert len(out) == 5
+    assert not out[1].is_dup and out[2].is_dup
+    assert not out[3].is_dup and out[4].is_dup
+    assert not out[5].is_dup
+    # partition invariance (pure function of the data)
+    out2 = {(r.vec_id, r.cell, r.is_dup) for r in
+            semantic_dedup(df.repartition(7), threshold=0.95, n_cells=2,
+                           n_iter=2, dim=4).collect()}
+    assert out2 == {(k, v.cell, v.is_dup) for k, v in out.items()}
+    # reusing a trained model gives the same answer as training in-line
+    model = kmeans_fit(df, n_cells=2, n_iter=2, dim=4)
+    out3 = {(r.vec_id, r.cell, r.is_dup) for r in
+            semantic_dedup(df, threshold=0.95, centroids=model).collect()}
+    assert out3 == out2
+
+
+def test_dedup_against_corpus_drops_only_matched_batch_rows(spark):
+    """Batch rows near-duplicating a corpus row are dropped; novel batch
+    rows and within-batch duplicates survive (incremental contract); the
+    corpus itself is never returned."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        dedup_against,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today ok"),
+            (2, "completely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank tonight ok"),  # ~ corpus 1
+            (11, "novel text that shares nothing with anything else in this corpus at all"),
+            (12, "novel text that shares nothing with anything else in this corpus at all"),  # dup of 11: must SURVIVE
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against(batch, corpus, verify_threshold=0.5).collect()
+    )
+    assert kept == [11, 12]
+    # verify_threshold=None: any shared band drops (10 still goes)
+    kept_nb = sorted(
+        r.doc_id
+        for r in dedup_against(batch, corpus, verify_threshold=None).collect()
+    )
+    assert 10 not in kept_nb and 11 in kept_nb
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha gamma gamma"),
+            (3, "alpha delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in inverted_index(docs).collect()}
+    assert out["alpha"].df == 3 and out["alpha"].tf_total == 3
+    assert list(out["alpha"].postings) == [1, 2, 3]
+    assert out["beta"].df == 1 and out["beta"].tf_total == 2
+    assert out["gamma"].df == 2 and out["gamma"].tf_total == 3
+    # cap truncates the list but keeps exact counts
+    capped = {r.term: r for r in
+              inverted_index(docs, max_postings=2).collect()}
+    assert list(capped["alpha"].postings) == [1, 2]
+    assert capped["alpha"].df == 3  # truncation visible: df > len(postings)
+    # min_df drops hapax terms
+    filtered = {r.term for r in inverted_index(docs, min_df=2).collect()}
+    assert filtered == {"alpha", "gamma"}
+
+
+def test_bm25_hand_example(spark):
+    """BM25 sanity on a 3-doc corpus: rarer term dominates, tf saturates,
+    longer docs are penalized, unmatched docs absent."""
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry cherry cherry cherry cherry"),
+            (3, "durian elderberry fig"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "apple"), (2, "banana")],
+                              "query_id int, term string")
+    out = {(r.query_id, r.doc_id): r for r in
+           bm25_scores(docs, q, k=None).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    # doc 1: tf=2 in len 3; doc 2: tf=1 in len 6 -> doc 1 scores higher
+    assert out[(1, 1)].score > out[(1, 2)].score
+    # banana idf (df=1) > apple idf (df=2): check the idf factor directly
+    idf_banana = round(math.log(1 + (3 - 1 + 0.5) / (1 + 0.5)), 6)
+    # doc1: dl=3, avgdl=4.0, tf=1
+    expect = round(idf_banana * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 4.0)), 6)
+    assert abs(out[(2, 1)].score - expect) < 1e-9
+    # top-k path returns ranked rows
+    ranked = {(r.query_id, r.rnk): r.doc_id for r in
+              bm25_scores(docs, q, k=1).collect()}
+    assert ranked == {(1, 1): 1, (2, 1): 1}

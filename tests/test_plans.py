@@ -211,3 +211,39 @@ def test_duplicate_spans_plan_shape(spark):
     nodes = re.findall(r"\(\d+\) (\w+)", plan)
     assert nodes.count("Window") == 2
     assert nodes.count("Sort") == 1
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The per-group rate frame must reach the corpus as a broadcast (the
+    corpus never shuffles for its own sampling) and the scan must stay
+    column-pruned despite the rates subquery reading the same table."""
+    plan = _plan(spark, "q66_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    """BM25's query-term join must broadcast the (tiny) query side so the
+    corpus tf rows prune to matching terms without a shuffle join; no
+    nested-loop anywhere despite the two single-row stat joins."""
+    plan = _plan(spark, "q71_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian_and_id_only_pairs(spark):
+    """SemDeDup's within-cell pairing must stay an aggregation over id
+    arrays (no cartesian/nested-loop pair join), with embeddings joined
+    back by id for the cosine verify only."""
+    plan = _plan(spark, "q68_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_against_no_cartesian(spark):
+    """Cross-corpus candidates must come from the (band_idx, band_hash)
+    equi-join — never an all-pairs batch x corpus product."""
+    plan = _plan(spark, "q70_dedup_against_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -154,3 +154,52 @@ def test_quantile_threshold_ties_and_bottom(spark):
     assert sorted(r.score for r in bot.collect()) == [1, 2, 2, 2]
     # keep everything
     assert quantile_threshold(df, "score", 1.0).count() == 10
+
+
+def test_mixture_sample_rates_budget_and_determinism(spark):
+    """Rates realize the target mixture: capped groups keep everything,
+    uncapped groups land within binomial noise of budget*w; membership is
+    partition-invariant; unweighted sources are dropped."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents  # 20 sources x 25 docs
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+    rates = {
+        r.source: (r.n_avail, r.rate)
+        for r in mixture_rates(docs, weights, 60, "source").collect()
+    }
+    assert rates["src0"] == (25, 1.0)  # budget asks 30 > 25 available
+    assert rates["src1"] == (25, 0.6)
+    assert rates["src2"][1] == rates["src3"][1]
+    assert abs(rates["src2"][1] - 0.3) < 1e-12
+    assert rates["src4"][1] == 0.0  # unweighted -> dropped
+
+    out = mixture_sample(docs, weights, 60, keys=["doc_id"], rate_col="rate")
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["src0"] == 25  # capped group keeps everything
+    assert set(by_src) <= set(weights)
+    assert 5 <= by_src.get("src1", 0) <= 25  # ~15 expected
+    # pure function of the data
+    out2 = mixture_sample(
+        docs.repartition(13), weights, 60, keys=["doc_id"], rate_col="rate"
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in out2.collect()}
+
+
+def test_mixture_sample_validates_inputs(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        mixture_rates,
+    )
+    import pytest
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    with pytest.raises(ValueError, match="budget_rows"):
+        mixture_rates(docs, {"src0": 1.0}, 0)
+    with pytest.raises(ValueError, match="sum to a positive"):
+        mixture_rates(docs, {"src0": 0.0}, 10)
