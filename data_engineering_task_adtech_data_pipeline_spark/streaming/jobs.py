@@ -585,3 +585,96 @@ def read_hll_registers(
         .groupBy(*(group_cols or []), "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def stream_dedup_against(
+    spark: SparkSession,
+    input_dir: str,
+    corpus: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.8,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
+    max_bucket: int = 64,
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Ingestion-time INCREMENTAL near-dedup: document parquet files land →
+    each micro-batch is deduped AGAINST the accepted ``corpus`` via
+    ``operators.dedup.dedup_against`` → surviving rows append to
+    ``output_path``. The streaming front door for continuous corpus
+    ingestion, where every arriving batch must not re-introduce documents
+    the corpus already has.
+
+    The corpus minhash profile — the only corpus-derived state the join
+    needs — is computed ONCE here and cached, then passed to every
+    micro-batch via ``corpus_profile``; per batch the work is batch-sized
+    (shingle the batch, band join against corpus buckets, candidate-local
+    Jaccard), never proportional to corpus text. At true scale the profile
+    is a persisted table maintained alongside the corpus; the cache here is
+    the session-local equivalent.
+
+    Same ``foreachBatch`` + epoch-partitioned dynamic-overwrite sink recipe
+    as :func:`stream_decontaminate` (and the same reason: the keep-only-
+    unmatched decision is an anti-join, not a supported stream-static join
+    shape), so replays are idempotent per checkpoint lineage. NOTE: batches
+    are deduped against the STATIC corpus only — rows accepted by earlier
+    micro-batches do not join the corpus mid-stream (fold the output back
+    into the corpus profile between stream runs for that); within-batch
+    duplicates are likewise left to a composed ``minhash_dedup``.
+    """
+    from ..operators.dedup import dedup_against, minhash_profile
+
+    prof_corp = minhash_profile(
+        corpus, text_col, id_col, num_hashes, shingle_k, max_shingles,
+        hash_method,
+    ).cache()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = dedup_against(
+            batch_df,
+            None,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            verify_threshold=verify_threshold,
+            max_shingles=max_shingles,
+            hash_method=hash_method,
+            max_bucket=max_bucket,
+            corpus_profile=prof_corp,
+        )
+        (
+            kept.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path)
+        )
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_deduped(spark: SparkSession, output_path: str) -> DataFrame:
+    """Public reader for ``stream_dedup_against`` output: strips the
+    physical ``__epoch_id`` idempotence-partition column."""
+    return spark.read.parquet(output_path).drop("__epoch_id")

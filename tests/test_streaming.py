@@ -436,3 +436,56 @@ def test_stream_hll_monitor_matches_batch_sketch(spark, tmp_path):
     # 4000 distinct v values split evenly across two groups -> 2000 each
     for g in ("even", "odd"):
         assert abs(est[g] - 2000) / 2000 < 0.25
+
+
+def test_stream_dedup_against_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup converges to the batch operator's output
+    on the union of all landed files: corpus near-dups dropped, novel docs
+    (and within-batch duplicates, per the documented contract) kept."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        dedup_against,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        read_deduped,
+        stream_dedup_against,
+    )
+
+    d = str(tmp_path)
+    known = (
+        "the quick brown fox jumps over the lazy dog near the river bank today ok"
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog near the river bank tonight ok"
+    )
+    novel = "completely different content about spark query engines and shuffles"
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in rows], schema=DOC_SCHEMA
+        )
+
+    corpus = docs([(1, known)])
+    batch1 = docs([(10, near), (11, novel)])
+    batch1.write.mode("append").parquet(d + "/in")
+    stream_dedup_against(
+        spark, d + "/in", corpus, d + "/out", d + "/ckpt",
+        verify_threshold=0.5,
+    ).awaitTermination(120)
+
+    batch2 = docs([(12, known), (13, novel + " plus a novel twist here")])
+    batch2.write.mode("append").parquet(d + "/in")
+    stream_dedup_against(
+        spark, d + "/in", corpus, d + "/out", d + "/ckpt",
+        verify_threshold=0.5,
+    ).awaitTermination(120)
+
+    got = sorted(r.doc_id for r in read_deduped(spark, d + "/out").collect())
+    expect = sorted(
+        r.doc_id
+        for r in dedup_against(
+            batch1.unionByName(batch2), corpus, verify_threshold=0.5
+        ).collect()
+    )
+    assert got == expect == [11, 13]
+    assert "__epoch_id" not in read_deduped(spark, d + "/out").columns
