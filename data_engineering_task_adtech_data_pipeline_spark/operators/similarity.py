@@ -805,6 +805,297 @@ def semantic_dedup(
     )
 
 
+# --- product quantization (Jégou/Douze/Schmid 2011, the FAISS IVF-PQ path) --
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    train_fraction: float | None = None,
+    train_salt: int = 42,
+    train_hash_method: str = "xxhash64",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the ``dim`` dimensions
+    into ``m`` contiguous subspaces and run the SAME deterministic Lloyd
+    training as :func:`kmeans_fit` independently in each (init = the
+    ``n_codes`` smallest train-set ids' subvectors, fixed rounds, 6-dp
+    rounding) — so the whole trained model is engine-reproducible, which
+    is what lets q72 oracle-check a *trained* PQ index end to end.
+
+    Returns ``codebooks[s][c]`` = centroid ``c`` of subspace ``s``
+    (each of length dim/m). Memory story at 100 TB: a dim=768 float64
+    vector is 6 KB; its PQ code is ``m`` small ints — with m=16,
+    n_codes=256 that is 16 bytes, a 384x compression of the candidate-
+    scan working set, at the cost of approximate distances (re-rank the
+    top candidates against true embeddings to recover exactness).
+    """
+    if dim is None:
+        probe = corpus.select(emb_col).first()
+        dim = len(probe[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
+    return [
+        kmeans_fit(
+            d.select(
+                id_col,
+                F.slice(F.col(emb_col), s * sub + 1, sub).alias(emb_col),
+            ),
+            n_cells=n_codes,
+            n_iter=n_iter,
+            id_col=id_col,
+            emb_col=emb_col,
+            dim=sub,
+            train_fraction=train_fraction,
+            train_salt=train_salt,
+            train_hash_method=train_hash_method,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Encode each embedding as its ``m`` per-subspace nearest-codebook
+    indices (squared L2, first-wins ties — the :func:`_nearest_cell`
+    rule). Output: (id_col, codes array<int>). Pure codegen per row, no
+    shuffle; the codebook literals are small by construction
+    (m * n_codes * dim/m = dim * n_codes values)."""
+    sub = len(codebooks[0][0])
+    emb = F.col(emb_col)
+    codes = F.array(
+        *[
+            _nearest_cell(F.slice(emb, s * sub + 1, sub), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    return with_double_embedding(df, emb_col).select(
+        F.col(id_col), codes.alias(codes_col)
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: for each query, precompute the
+    m x n_codes lookup table of squared L2 distances from its subvectors
+    to every codebook centroid (6-dp rounded — engine-portable), then
+    score every encoded corpus row as ``sum_s LUT[s][codes[s]]`` — one
+    array lookup-and-add chain per row, NO embedding arithmetic against
+    the corpus at all. Returns (query_id, corpus_id, approx_dist, rank),
+    rank by distance ascending / id tie-break, self-matches excluded.
+
+    Scale shape: the LUT rides the (tiny, broadcast) query side; the
+    corpus side scans only the ``m``-int code column — the point of PQ:
+    the candidate scan touches ``m`` bytes per vector, not the raw
+    embedding, and stays whole-stage codegen. Compose with the IVF cell
+    routing (``_with_cell`` / probed cells) for IVF-PQ, and re-rank the
+    top candidates against true embeddings when exactness matters.
+    """
+    sub = len(codebooks[0][0])
+    q = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    qe = F.col("__q_emb")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sq_dist(
+                            F.slice(qe, s * sub + 1, sub),
+                            F.lit([float(x) for x in c]),
+                        ),
+                        6,
+                    )
+                    for c in cb
+                ]
+            )
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    q_lut = q.select("query_id", lut.alias("__lut"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("__lut"),
+            lambda c, l: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(q_lut))
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("corpus_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_dist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    train_fraction: float | None = None,
+    train_salt: int = 42,
+    train_hash_method: str = "xxhash64",
+    rerank: int | None = None,
+    literal_max: int = LITERAL_CELL_MAX,
+) -> DataFrame:
+    """IVF-PQ (the FAISS default at billion scale): coarse k-means cells
+    route each query to ``n_probe`` cells, then candidates inside those
+    cells are scored by PQ asymmetric distance — the probed scan touches
+    only the ``m``-int code column, never raw embeddings. With ``rerank``
+    set, the top ``rerank`` ADC candidates per query are re-scored by
+    exact cosine against true embeddings (joined back BY ID — the
+    standard recall-recovery step) and the top ``k`` of those returned
+    as (query_id, corpus_id, cosine_sim, rank); without it, returns ADC
+    results directly as (query_id, corpus_id, approx_dist, rank).
+
+    Both trainings ride :func:`kmeans_fit`'s deterministic sampled
+    contract. Scale shape: cells prune the candidate set (corpus/n_cells
+    x n_probe rows per query), PQ prunes the candidate WIDTH (m ints vs
+    dim doubles), and the re-rank joins embeddings for only
+    queries x rerank rows — the three-level funnel that serves
+    billion-vector corpora from RAM.
+    """
+    centroids = kmeans_fit(
+        corpus, n_cells, n_iter, id_col, emb_col, dim,
+        train_fraction, train_salt, train_hash_method, literal_max,
+    )
+    codebooks = pq_fit(
+        corpus, m, n_codes, pq_n_iter, id_col, emb_col, dim,
+        train_fraction, train_salt, train_hash_method,
+    )
+    d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
+    sub = len(codebooks[0][0])
+    emb = F.col(emb_col)
+    coded = _with_cell(d, emb_col, centroids, literal_max).select(
+        F.col(id_col),
+        "cell",
+        F.array(
+            *[
+                _nearest_cell(F.slice(emb, s * sub + 1, sub), cb)
+                for s, cb in enumerate(codebooks)
+            ]
+        ).alias("codes"),
+    )
+    q = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    qe = F.col("__q_emb")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sq_dist(
+                            F.slice(qe, s * sub + 1, sub),
+                            F.lit([float(x) for x in c]),
+                        ),
+                        6,
+                    )
+                    for c in cb
+                ]
+            )
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+    probed = _with_probed_cells(
+        q.select("query_id", "__q_emb"), "__q_emb", centroids, n_probe,
+        literal_max,
+    ).select("query_id", "cell", lut.alias("__lut"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, l: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probed.join(coded, "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("corpus_id"),
+            dist.alias("approx_dist"),
+        )
+    )
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("corpus_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w_adc))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "approx_dist", "rank")
+        )
+    shortlist = (
+        scored.withColumn("__adc_rank", F.row_number().over(w_adc))
+        .where(F.col("__adc_rank") <= rerank)
+        .select("query_id", "corpus_id")
+    )
+    emb_c = d.select(
+        F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
+    )
+    exact = (
+        shortlist.join(q, "query_id")
+        .join(emb_c, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", "rank")
+    )
+
+
 # --- persisted IVF index (offline build / streaming ingest / pruned search) --
 #
 # Layout under one root (base + delta, the standard serving split):

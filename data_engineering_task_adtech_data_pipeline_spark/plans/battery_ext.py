@@ -2026,3 +2026,122 @@ def q71_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# ===========================================================================
+# q72 — product quantization ADC top-k (trained codebooks unrolled)
+# ===========================================================================
+
+def _pq_iter_ctes(i: int, s: int, sub: int) -> str:
+    """One Lloyd round for PQ subspace ``s`` — the q50 iteration CTEs with
+    per-subspace names (t{s}/a{i}_{s}/m{i}_{s}/c{i}_{s})."""
+    prev = f"c{i - 1}_{s}"
+    dist = _IVF_DIST.format(e=f"t{s}.e", c=f"{prev}.c")
+    return f"""
+    a{i}_{s} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT t{s}.vec_id, t{s}.e, {prev}.cell,
+               ROW_NUMBER() OVER (PARTITION BY t{s}.vec_id ORDER BY
+                 {dist} ASC, {prev}.cell ASC) AS rn
+        FROM t{s}, {prev}
+      ) WHERE rn = 1
+    ),
+    m{i}_{s} AS (
+      SELECT cell, i, round(avg(e[i]), 6) AS m
+      FROM a{i}_{s}, generate_series(1, {sub}) t(i) GROUP BY cell, i
+    ),
+    c{i}_{s} AS (
+      SELECT {prev}.cell, COALESCE(n.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN (
+        SELECT cell, list(m ORDER BY i) AS c FROM m{i}_{s} GROUP BY cell
+      ) n USING (cell)
+    )"""
+
+
+def _pq_oracle(
+    m: int, n_codes: int, n_iter: int, k: int, dim: int, n_queries: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
+) -> str:
+    """Full PQ-ADC oracle: per-subspace sampled Lloyd training (bit-
+    identical to similarity.pq_fit), corpus encoding, per-query 6-dp LUTs,
+    and the left-to-right LUT-sum distance — everything value-checked."""
+    sub = dim // m
+    final = {s: f"c{n_iter}_{s}" for s in range(m)}
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        its = ",".join(_pq_iter_ctes(i, s, sub) for i in range(1, n_iter + 1))
+        corpus_dist = _IVF_DIST.format(e=f"vs{s}.e", c=f"{final[s]}.c")
+        query_dist = _IVF_DIST.format(e=f"qs{s}.e", c=f"{final[s]}.c")
+        parts.append(f"""
+    t{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM t),
+    vs{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v),
+    qs{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v
+              WHERE vec_id < {n_queries}),
+    c0_{s} AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM t{s} ORDER BY vec_id LIMIT {n_codes})
+    ),{its},
+    cc{s} AS (
+      SELECT vec_id, cell AS code FROM (
+        SELECT vs{s}.vec_id, {final[s]}.cell,
+               ROW_NUMBER() OVER (PARTITION BY vs{s}.vec_id ORDER BY
+                 {corpus_dist} ASC, {final[s]}.cell ASC) AS rn
+        FROM vs{s}, {final[s]}
+      ) WHERE rn = 1
+    ),
+    lut{s} AS (
+      SELECT qs{s}.vec_id AS query_id, {final[s]}.cell AS code,
+             round({query_dist}, 6) AS d
+      FROM qs{s}, {final[s]}
+    )""")
+    cc_joins = "cc0 " + " ".join(
+        f"JOIN cc{s} USING (vec_id)" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.code = cc{s}.code"
+        + ("" if s == 0 else " AND l0.query_id = l" + str(s) + ".query_id")
+        for s in range(m)
+    )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(m))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {train},{",".join(parts)},
+    scored AS (
+      SELECT l0.query_id, cc0.vec_id AS corpus_id,
+             {dist_sum} AS approx_dist
+      FROM {cc_joins}
+      {lut_joins}
+      WHERE l0.query_id <> cc0.vec_id
+    )
+    SELECT query_id, corpus_id, approx_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "q72_pq_adc_topk",
+    oracle=_pq_oracle(m=2, n_codes=8, n_iter=2, k=5, dim=64, n_queries=3),
+    doc="Product quantization (Jegou et al. 2011) ADC top-5: two 32-dim "
+    "subspaces, 8 codes each, trained by the same sampled deterministic "
+    "Lloyd rounds as q50 per subspace; corpus rows score as the sum of "
+    "per-subspace 6-dp LUT lookups — codebook training, encoding, LUTs "
+    "and ranking all value-checked (operators.similarity.pq_fit/"
+    "pq_encode/pq_topk).",
+)
+def q72_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    cb = similarity.pq_fit(
+        emb, m=2, n_codes=8, n_iter=2, dim=64,
+        train_fraction=0.5, train_hash_method="md5",
+    )
+    codes = similarity.pq_encode(emb, cb)
+    out = similarity.pq_topk(
+        codes, emb.where(F.col("vec_id") < 3), cb, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -433,3 +433,72 @@ def test_compact_refuses_schema_gap_delta(spark, tmp_path):
         similarity.ivf_index_compact(spark, root)
     assert fs.is_dir(spark, root + "/stream_index")  # delta left intact
     assert similarity.index_generation(spark, root) == 0  # no bump
+
+
+def test_pq_encode_deterministic_and_fit_validates(spark):
+    """PQ codes are a pure function of the data (partition-invariant);
+    pq_fit rejects a dim not divisible by m."""
+    import pytest
+
+    from conftest import SF_ORACLE
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity as S
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    cb = S.pq_fit(emb, m=2, n_codes=8, n_iter=1, dim=64,
+                  train_fraction=0.5, train_hash_method="md5")
+    assert len(cb) == 2 and len(cb[0]) == 8 and len(cb[0][0]) == 32
+    c1 = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, cb).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in
+          S.pq_encode(emb.repartition(11), cb).collect()}
+    assert c1 == c2
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit(emb, m=7, dim=64)
+
+
+def test_pq_adc_recall_and_ivf_pq_rerank(spark):
+    """ADC top-k recall vs exact L2 (the metric PQ approximates) must
+    clear an aggregate floor on the near-uniform testdata — PQ's WORST
+    case (no cluster structure to quantize; same distribution bound
+    SCALING.md documents for IVF) — and ivf_pq_topk with rerank must
+    return EXACT cosine for its shortlist, identical to brute force on
+    overlapping pairs."""
+    import numpy as np
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity as S
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    exact_l2 = {}
+    for q in range(5):
+        d = ((X - X[q]) ** 2).sum(1)
+        d[q] = np.inf
+        exact_l2[q] = set(ids[np.argsort(d)[:10]].tolist())
+    cb = S.pq_fit(emb, m=8, n_codes=16, n_iter=2, dim=64)
+    codes = S.pq_encode(emb, cb)
+    adc = S.pq_topk(codes, queries, cb, k=10).collect()
+    by_q: dict[int, set] = {}
+    for r in adc:
+        by_q.setdefault(r.query_id, set()).add(r.corpus_id)
+    total_hits = sum(len(by_q[q] & exact_l2[q]) for q in range(5))
+    assert total_hits >= 10, total_hits  # measured ~15/50 on this corpus
+    exact_cos = {
+        (r.query_id, r.corpus_id): r.cosine_sim
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    out = S.ivf_pq_topk(
+        emb, queries, k=5, n_cells=4, n_probe=4, m=8, n_codes=16,
+        dim=64, rerank=50,
+    ).collect()
+    assert {r.query_id for r in out} == set(range(5))
+    assert all(1 <= r.rank <= 5 for r in out)
+    for r in out:
+        key = (r.query_id, r.corpus_id)
+        if key in exact_cos:  # re-ranked scores are EXACT cosine
+            assert abs(r.cosine_sim - exact_cos[key]) < 1e-12
