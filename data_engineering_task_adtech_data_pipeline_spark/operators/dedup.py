@@ -247,6 +247,40 @@ def minhash_signatures(
     )
 
 
+def pairs_from_sorted_ids(
+    buckets: DataFrame,
+    ids_col: str = "ids",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Bucket-local (i<j) candidate pairs from a sorted (capped) id-array
+    column — the shared pair-generation kernel of every LSH-family
+    candidate generator (minhash buckets, embedding sign-bands, SemDeDup
+    cells). One explode over per-bucket arrays; never an all-pairs join.
+    Callers deduplicate across buckets themselves (an id pair can surface
+    from several bands, but at most once per bucket)."""
+    ids = F.col(ids_col)
+    return (
+        buckets.where(F.size(ids) > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ids) - 2),
+                        lambda i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda j: F.struct(
+                                ids[i].alias("a"), j.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.a").alias(id_a), F.col("__p.b").alias(id_b))
+    )
+
+
 def _sig_band_rows(
     signatures: DataFrame,
     id_col: str,
@@ -328,22 +362,7 @@ def minhash_lsh_candidates(
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias("ids")
     )
-    pairs = buckets.where(F.size("ids") > 1).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda j: F.struct(
-                            F.col("ids")[i].alias("id_a"), j.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    return pairs_from_sorted_ids(buckets).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -676,30 +676,13 @@ def embedding_dup_pairs(
             "sig"
         ),
     )
+    from .dedup import pairs_from_sorted_ids
+
     banded = _band_rows(d, "sig", planes, bands)
     buckets = banded.groupBy("band_idx", "band_val").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_bucket).alias("ids")
     )
-    pairs = (
-        buckets.where(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ids") - 2),
-                        lambda i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda j: F.struct(
-                                F.col("ids")[i].alias("id_a"), j.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = pairs_from_sorted_ids(buckets).dropDuplicates(["id_a", "id_b"])
     emb_a = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("__emb_a")
     )
@@ -762,29 +745,14 @@ def semantic_dedup(
     d = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("__emb")
     )
+    from .dedup import pairs_from_sorted_ids
+
     assigned = _with_cell(d, "__emb", centroids, literal_max)
     cells = assigned.groupBy("cell").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_cell).alias("ids")
     )
-    pairs = (
-        cells.where(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ids") - 2),
-                        lambda i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda j: F.struct(
-                                F.col("ids")[i].alias("id_a"), j.alias("id_b")
-                            ),
-                        ),
-                    )
-                ).alias("p")
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-    )
+    # no cross-bucket dedup needed: each id lives in exactly one cell
+    pairs = pairs_from_sorted_ids(cells)
     emb_a = d.select(F.col("id").alias("id_a"), F.col("__emb").alias("__emb_a"))
     emb_b = d.select(F.col("id").alias("id_b"), F.col("__emb").alias("__emb_b"))
     dups = (

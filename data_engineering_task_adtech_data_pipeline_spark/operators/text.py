@@ -579,3 +579,62 @@ def bm25_scores(
         .where(F.col("rnk") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rnk")
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source",),
+    short_words: int = 50,
+) -> DataFrame:
+    """Corpus data card: the per-slice census that accompanies a released
+    training set (datasheet/data-statement practice) — one row per
+    (``group_cols``..., predicted language) with document counts, exact-
+    duplicate content counts, and size/quality aggregates.
+
+    Columns: n_docs, n_distinct_content (distinct normalized-content md5
+    — n_docs minus this = exact-dup volume in the slice), total_chars,
+    total_words, mean_doc_words, pct_short (share under ``short_words``
+    words). Every aggregate is an exact integer sum or a single division
+    of exact integers, so the card is bit-reproducible across engines and
+    partitionings.
+
+    Scale shape (100 TB): ONE scan — lang-ID marker counts, word counts
+    and the content hash are per-row codegen — then one partial-agg
+    shuffle on the (few thousand) slice keys. COUNT(DISTINCT hash) is the
+    only holistic aggregate (Spark plans it as a two-phase distinct
+    agg); swap in the HLL sketch (`operators.sketch`) when an estimate
+    suffices.
+    """
+    from .dedup import normalize_text
+
+    feats = quality_features(lang_id(df, text_col), text_col)
+    base = feats.select(
+        *group_cols,
+        "lang_pred",
+        "n_words",
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        F.md5(normalize_text(text_col)).alias("__content"),
+    )
+    agg = base.groupBy(*group_cols, "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__content").alias("n_distinct_content"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(
+            F.when(F.col("n_words") < short_words, 1).otherwise(0)
+        ).alias("__n_short"),
+    )
+    return agg.select(
+        *group_cols,
+        "lang_pred",
+        "n_docs",
+        "n_distinct_content",
+        "total_chars",
+        "total_words",
+        (F.col("total_words").cast("double") / F.col("n_docs"))
+        .alias("mean_doc_words"),
+        (F.col("__n_short").cast("double") / F.col("n_docs"))
+        .alias("pct_short"),
+    )

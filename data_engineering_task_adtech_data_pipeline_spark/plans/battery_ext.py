@@ -561,6 +561,18 @@ def _marker_sql(col_words: str, markers: list[str]) -> str:
     )
 
 
+# argmax of marker hits with text.lang_id's exact tie-break (reverse-sorted
+# langs chained via when(): later when() wins ties -> 'de' beats 'en' etc.)
+_LANGPRED_CASE = """CASE
+        WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+        WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+        WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+        WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+        WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+        ELSE 'zh'
+      END"""
+
+
 @query(
     "q17_text_features",
     oracle=f"""
@@ -2145,3 +2157,102 @@ def q72_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, emb.where(F.col("vec_id") < 3), cb, k=5
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q73 — skew-safe salted aggregation (== plain GROUP BY semantics)
+# ===========================================================================
+
+@query(
+    "q73_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation (functions.skew.salted_agg): "
+    "count/sum/max split into per-salt partials then merged — the hot-key "
+    "groupBy pattern. The salt is partition-dependent but the RESULT is a "
+    "pure function of the data for algebraic aggregates, so a plain "
+    "GROUP BY oracle value-checks the decomposition end to end (sums ride "
+    "DECIMAL so summation order can never show through).",
+)
+def q73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    events = Testdata(spark, sf_dir).events
+    return salted_agg(
+        events,
+        ["event_type"],
+        partials={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,6)")),
+            "max_ts": F.max("ts"),
+        },
+        merges={
+            "n_events": F.sum("n_events"),
+            "total_value": F.sum("total_value"),
+            "max_ts": F.max("max_ts"),
+        },
+        salt_buckets=16,
+    ).select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_ts",
+    )
+
+
+# ===========================================================================
+# q74 — corpus data card (per-slice census)
+# ===========================================================================
+
+@query(
+    "q74_corpus_datacard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             string_split({_NORM.format(c='text')}, ' ') AS wa
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source, text,
+        len(list_filter(wa, x -> x <> '')) AS n_words,
+        {_marker_sql('wa', text.LANG_MARKERS['en'])} AS h_en,
+        {_marker_sql('wa', text.LANG_MARKERS['es'])} AS h_es,
+        {_marker_sql('wa', text.LANG_MARKERS['fr'])} AS h_fr,
+        {_marker_sql('wa', text.LANG_MARKERS['de'])} AS h_de,
+        {_marker_sql('wa', text.LANG_MARKERS['zh'])} AS h_zh
+      FROM base
+    ),
+    rows_ AS (
+      SELECT source,
+             {_LANGPRED_CASE} AS lang_pred,
+             n_words,
+             CAST(length(text) AS BIGINT) AS chars,
+             md5({_NORM.format(c='text')}) AS content
+      FROM hits
+    )
+    SELECT source, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT content) AS BIGINT) AS n_distinct_content,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_doc_words,
+           CAST(SUM(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS pct_short
+    FROM rows_
+    GROUP BY 1, 2
+    """,
+    doc="Corpus data card (datasheet practice): per (source, predicted "
+    "language) census — doc counts, distinct normalized-content md5 "
+    "(exact-dup volume), char/word totals, mean doc length, short-doc "
+    "share; all exact-integer aggregates, one scan + one slice-key "
+    "shuffle (operators.text.corpus_datacard).",
+)
+def q74_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.corpus_datacard(docs)

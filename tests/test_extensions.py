@@ -1127,3 +1127,28 @@ def test_bm25_hand_example(spark):
     ranked = {(r.query_id, r.rnk): r.doc_id for r in
               bm25_scores(docs, q, k=1).collect()}
     assert ranked == {(1, 1): 1, (2, 1): 1}
+
+
+def test_corpus_datacard_hand_example(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        corpus_datacard,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house is that so", "a"),
+            (2, "the cat and the dog in the house is that so", "a"),  # exact dup
+            (3, "x y z", "a"),
+            (4, "el la de que los las una por si no", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source, r.lang_pred): r for r in
+           corpus_datacard(docs, short_words=5).collect()}
+    en = out[("a", "en")]
+    assert en.n_docs == 2 and en.n_distinct_content == 1  # dup collapsed
+    assert en.total_words == 22 and en.mean_doc_words == 11.0
+    assert en.pct_short == 0.0
+    assert out[("a", "und")].n_docs == 1
+    assert out[("a", "und")].pct_short == 1.0  # 3 words < 5
+    assert ("b", "es") in out
