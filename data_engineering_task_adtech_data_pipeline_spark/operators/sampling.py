@@ -372,3 +372,73 @@ def mixture_sample(
     if rate_col is None:
         return picked.drop("rate")
     return picked.withColumnRenamed("rate", rate_col)
+
+
+def budget_select(
+    df: DataFrame,
+    token_col: str,
+    score_col: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    cum_col: str = "cum_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget subset selection: keep the best documents by
+    ``score_col`` (descending, ``id_col`` tie-break) whose cumulative
+    ``token_col`` stays within ``budget_tokens`` — "fill a 50B-token
+    training budget with the highest-quality data first". Take-while
+    semantics: the cumulative sum is monotone, so the first overflowing
+    document truncates the selection (deterministic, and exactly a SQL
+    cumulative-window oracle). Output keeps ``cum_col``, each kept row's
+    inclusive cumulative token count.
+
+    Scale shape: the same two-pass distributed prefix sum as
+    ``chunking.pack_documents`` — range-repartition on the (score, id)
+    order, per-partition running sums under a partition-local window,
+    partition offsets via a triangular broadcast join over the tiny
+    per-partition totals frame. No corpus-sized data ever crosses a
+    single-partition exchange, unlike the naive global ORDER BY window.
+    """
+    from pyspark.sql import Window as W
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    num_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parts = df.repartitionByRange(num_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parts.withColumn(
+        "__local_end", F.sum(F.col(token_col)).over(w).cast("long")
+    )
+    totals = parts.groupBy("__pid").agg(
+        F.sum(F.col(token_col)).cast("long").alias("__ptotal")
+    )
+    lower = totals.select(
+        F.col("__pid").alias("__pid_lo"), F.col("__ptotal").alias("__ptotal_lo")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(lower), F.col("__pid_lo") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__ptotal_lo"), F.lit(0))
+            .cast("long")
+            .alias("__offset")
+        )
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        cum_col, (F.col("__offset") + F.col("__local_end")).cast("long")
+    )
+    return (
+        out.where(F.col(cum_col) <= budget_tokens)
+        .drop("__pid", "__local_end", "__offset")
+    )

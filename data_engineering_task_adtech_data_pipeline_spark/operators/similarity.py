@@ -54,6 +54,22 @@ def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def normalize_embeddings(
+    df: DataFrame, emb_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize the embedding column (unit vectors, double precision).
+    On the unit sphere squared L2 distance is ``2 - 2*cosine``, so
+    L2-based structures (k-means cells, PQ ADC) rank exactly like cosine
+    — normalize first when cosine is the retrieval metric (the standard
+    FAISS practice); zero vectors pass through unchanged."""
+    e = F.col(emb_col).cast("array<double>")
+    n = _norm(e)
+    return df.withColumn(
+        emb_col,
+        F.when(n > 0.0, F.transform(e, lambda x: x / n)).otherwise(e),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -773,6 +789,61 @@ def semantic_dedup(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 3,
+    k_pos: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining for retrieval/embedding models:
+    for each anchor, the ``k_neg`` most-similar corpus rows with a
+    DIFFERENT label (hard negatives — near misses that teach the margin)
+    and the ``k_pos`` most-similar with the SAME label (hard positives).
+    Output: (anchor_id, pair_id, cosine_sim, pair_type 'pos'|'neg', rank)
+    — rank is per (anchor, pair_type), ties broken by pair id.
+
+    Scale shape: anchors broadcast against the corpus scan (the
+    :func:`brute_force_topk` shape — exact mining for bounded anchor
+    sets); swap the scorer for :func:`ivf_topk`/:func:`ivf_pq_topk`
+    candidates when the anchor set itself is corpus-sized. One window per
+    (anchor, pair_type) partition ranks the candidates.
+    """
+    c = with_double_embedding(corpus, emb_col).select(
+        F.col(id_col).alias("pair_id"),
+        F.col(label_col).alias("__c_label"),
+        F.col(emb_col).alias("__c_emb"),
+    )
+    a = with_double_embedding(anchors, emb_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__a_label"),
+        F.col(emb_col).alias("__a_emb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("anchor_id") != F.col("pair_id"))
+        .select(
+            "anchor_id",
+            "pair_id",
+            cosine(F.col("__a_emb"), F.col("__c_emb")).alias("cosine_sim"),
+            F.when(F.col("__a_label") == F.col("__c_label"), "pos")
+            .otherwise("neg")
+            .alias("pair_type"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "pair_type").orderBy(
+        F.col("cosine_sim").desc(), F.col("pair_id").asc()
+    )
+    keep = F.when(F.col("pair_type") == "pos", k_pos).otherwise(k_neg)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= keep)
+        .select("anchor_id", "pair_id", "cosine_sim", "pair_type", "rank")
+    )
+
+
 # --- product quantization (Jégou/Douze/Schmid 2011, the FAISS IVF-PQ path) --
 
 
@@ -1133,6 +1204,7 @@ def ivf_index_write(
     sig_seed: int = 42,
     sig_hash_method: str = "xxhash64",
     dim: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Build the persisted index: assign every corpus row its nearest cell
     (one pass, no shuffle — assignment is a projection) and write
@@ -1146,7 +1218,12 @@ def ivf_index_write(
     serves the hybrid two-level plan — cell routing + stored-sketch
     hamming prune — without recomputing corpus signatures at query time.
     The sketch parameters are caller-managed: pass the same
-    (planes, sig_seed, sig_hash_method, dim) to the search."""
+    (planes, sig_seed, sig_hash_method, dim) to the search.
+
+    With ``codebooks`` set (from :func:`pq_fit`), each row also stores
+    its PQ code array in a ``codes`` column; ``ivf_index_search`` with
+    the same ``codebooks`` then serves the IVF-PQ plan — the probed
+    partitions' scan reads m ints per row instead of the embedding."""
     spark = corpus.sparkSession
     ivf_model_write(spark, centroids, fs.join(root, "model"))
     fs.write_text(spark, fs.join(root, GENERATION_MARKER), "0")
@@ -1156,6 +1233,19 @@ def ivf_index_write(
             "sig",
             hyperplane_signature(
                 F.col(emb_col), planes, sig_seed, sig_hash_method, dim
+            ),
+        )
+    if codebooks is not None:
+        sub = len(codebooks[0][0])
+        work = work.withColumn(
+            "codes",
+            F.array(
+                *[
+                    _nearest_cell(
+                        F.slice(F.col(emb_col), s * sub + 1, sub), cb
+                    )
+                    for s, cb in enumerate(codebooks)
+                ]
             ),
         )
     assigned = _with_cell(work, emb_col, centroids, literal_max)
@@ -1280,6 +1370,8 @@ def ivf_index_search(
     sig_seed: int = 42,
     sig_hash_method: str = "xxhash64",
     dim: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
@@ -1326,6 +1418,87 @@ def ivf_index_search(
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
+
+    if codebooks is not None:
+        # IVF-PQ serving: the probed partitions' scan reads (id, cell,
+        # codes) — m ints per row, never the stored embedding; with
+        # ``rerank``, true embeddings are joined back BY ID for the ADC
+        # shortlist only. Same output schema as ivf_pq_topk: ADC rows
+        # (approx_dist) without rerank, cosine rows with. The index must
+        # have been written with the same ``codebooks``.
+        sub = len(codebooks[0][0])
+        qe = F.col("__q_emb")
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        F.round(
+                            _sq_dist(
+                                F.slice(qe, s * sub + 1, sub),
+                                F.lit([float(x) for x in c]),
+                            ),
+                            6,
+                        )
+                        for c in cb
+                    ]
+                )
+                for s, cb in enumerate(codebooks)
+            ]
+        )
+        probed = _with_probed_cells(
+            q, "__q_emb", centroids, n_probe, literal_max
+        ).select("query_id", "cell", lut.alias("__lut"))
+        c_codes = read_index([corpus_id, F.col("cell"), F.col("codes")])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__lut"),
+                lambda cc, l: F.element_at(l, cc + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adc = (
+            F.broadcast(probed)
+            .join(c_codes, "cell")
+            .where(F.col("query_id") != F.col("corpus_id"))
+            .select(
+                "query_id", "corpus_id", dist.alias("approx_dist")
+            )
+        )
+        w_adc = W.partitionBy("query_id").orderBy(
+            F.col("approx_dist").asc(), F.col("corpus_id").asc()
+        )
+        if rerank is None:
+            return (
+                adc.withColumn("rank", F.row_number().over(w_adc))
+                .where(F.col("rank") <= k)
+                .select("query_id", "corpus_id", "approx_dist", "rank")
+            )
+        shortlist = (
+            adc.withColumn("__adc_rank", F.row_number().over(w_adc))
+            .where(F.col("__adc_rank") <= rerank)
+            .select("query_id", "corpus_id")
+        )
+        scored = (
+            shortlist.join(read_index(c_emb_cols), "corpus_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                cosine(F.col("__q_emb"), F.col("__c_emb")).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "cosine_sim", "rank")
+        )
 
     if max_hamming is not None:
         q_sig = q.withColumn(

@@ -252,29 +252,15 @@ def winnow_candidates(
     fingerprint buckets are sorted and truncated at ``max_bucket`` so a
     boilerplate fingerprint cannot go quadratic; rank pairs by
     ``shared_fps`` desc for triage."""
+    from .dedup import pairs_from_sorted_ids
+
     fps = winnow_fingerprints(df, text_col, id_col, k, window, hash_method)
-    buckets = (
-        fps.groupBy("fingerprint")
-        .agg(F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda j: F.struct(
-                            F.col("ids")[i].alias("id_a"), j.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    buckets = fps.groupBy("fingerprint").agg(
+        F.slice(F.array_sort(F.collect_set(id_col)), 1, max_bucket).alias("ids")
     )
     return (
-        pairs.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        pairs_from_sorted_ids(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
 

@@ -626,24 +626,11 @@ def q17_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_token_features",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split({_NORM.format(c='text')}, ' '),
-                    x -> x <> '')) AS tok
-      FROM documents
-    ),
-    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-    rep AS (
-      SELECT doc_id,
-             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share,
-             CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-               AS distinct_token_ratio
-      FROM tc GROUP BY doc_id
-    ),
-    wwords AS (
+def _winnow_fp_ctes() -> str:
+    """CTE chain from ``documents`` to ``wfp`` (distinct per-doc winnowing
+    fingerprints, k=5 / window=4, md5 family) — shared by q19 (per-doc
+    counts/checksums) and q75 (match pairs)."""
+    return f"""wwords AS (
       SELECT doc_id,
              list_filter(string_split({_NORM.format(c='text')}, ' '),
                          x -> x <> '') AS w
@@ -664,7 +651,27 @@ def q17_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfp AS (
       SELECT DISTINCT doc_id, fp FROM wsel
       WHERE pos <= greatest(n_grams - 4, 0)
+    )"""
+
+
+@query(
+    "q19_token_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_NORM.format(c='text')}, ' '),
+                    x -> x <> '')) AS tok
+      FROM documents
     ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share,
+             CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS distinct_token_ratio
+      FROM tc GROUP BY doc_id
+    ),
+    {_winnow_fp_ctes()},
     winnow AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_winnow_fps,
              bit_xor(fp) AS winnow_xor
@@ -2256,3 +2263,121 @@ def q73_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     return text.corpus_datacard(docs)
+
+
+# ===========================================================================
+# q75 — winnowing match pairs (the MOSS matching step)
+# ===========================================================================
+
+@query(
+    "q75_winnow_match_pairs",
+    oracle=f"""
+    WITH {_winnow_fp_ctes()},
+    buckets AS (
+      SELECT fp, (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM wfp GROUP BY fp
+    ),
+    mem AS (
+      SELECT fp, generate_subscripts(ids, 1) AS p, unnest(ids) AS id
+      FROM buckets WHERE len(ids) > 1
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM mem a JOIN mem b ON a.fp = b.fp AND a.p < b.p
+    GROUP BY 1, 2
+    """,
+    doc="MOSS match pairs from shared winnowing fingerprints (k=5, "
+    "window=4, md5 family): fingerprint buckets sorted + capped at 64, "
+    "bucket-local (i<j) pairs, shared-fingerprint counts — the matching "
+    "step over q19's fingerprint selection, now value-checked end to end "
+    "(operators.text.winnow_candidates).",
+)
+def q75_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.winnow_candidates(docs, k=5, window=4, hash_method="md5")
+
+
+# ===========================================================================
+# q76 — hard-negative mining (contrastive training pairs)
+# ===========================================================================
+
+@query(
+    "q76_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    a AS (SELECT * FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, v.vec_id AS pair_id,
+             {_COSINE_SQL.format(a="a.e", b="v.e")} AS cosine_sim,
+             CASE WHEN a.label = v.label THEN 'pos' ELSE 'neg' END
+               AS pair_type
+      FROM v, a WHERE a.vec_id <> v.vec_id
+    )
+    SELECT anchor_id, pair_id, cosine_sim, pair_type, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY anchor_id, pair_type
+        ORDER BY cosine_sim DESC, pair_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= CASE WHEN pair_type = 'pos' THEN 2 ELSE 3 END
+    """,
+    doc="Contrastive pair mining for retrieval-model training: per anchor "
+    "(vec_id<8), the 3 most-similar different-label rows (hard negatives) "
+    "and 2 most-similar same-label rows (hard positives), exact cosine, "
+    "deterministic tie-breaks (operators.similarity.mine_hard_negatives).",
+)
+def q76_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.mine_hard_negatives(
+        emb, emb.where(F.col("vec_id") < 8), k_neg=3, k_pos=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q77 — token-budget subset selection (best-first fill)
+# ===========================================================================
+
+@query(
+    "q77_budget_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             len(list_filter(string_split({_NORM.format(c='text')}, ' '),
+                 x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_chars, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_chars, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 20000
+    """,
+    doc="Token-budget subset selection: fill a 20k-token budget with the "
+    "highest-scoring docs first (n_chars as the quality score), take-"
+    "while cutoff on the cumulative token count — runs through the "
+    "distributed two-pass prefix sum (no global-window sort), checked "
+    "against a SQL cumulative window (operators.sampling.budget_select).",
+)
+def q77_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import budget_select
+    from ..operators.text import _word_array
+
+    docs = Testdata(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.filter(_word_array("text"), lambda w: w != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    return budget_select(
+        toks, "n_tokens", "n_chars", budget_tokens=20000
+    ).select("doc_id", "source", "n_chars", "n_tokens", "cum_tokens")

@@ -426,6 +426,7 @@ def stream_ivf_ingest(
     sig_hash_method: str = "xxhash64",
     dim: int | None = None,
     index_root: "str | None" = None,
+    codebooks: "list | None" = None,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -439,7 +440,9 @@ def stream_ivf_ingest(
     Growing a HYBRID index (``similarity.ivf_index_write`` with
     ``planes``): pass the SAME (planes, sig_seed, sig_hash_method, dim) so
     delta rows carry the stored ``sig`` sketch — ``ivf_index_search``
-    fails loudly if a hybrid search finds delta rows without it.
+    fails loudly if a hybrid search finds delta rows without it. Growing
+    an IVF-PQ index likewise: pass the SAME ``codebooks`` so delta rows
+    carry stored ``codes``.
 
     ``schema`` overrides the default ``EMBEDDING_SCHEMA`` when the landing
     files carry different column names (streaming file sources require an
@@ -507,6 +510,21 @@ def stream_ivf_ingest(
             "sig",
             hyperplane_signature(
                 F.col(emb_col), planes, sig_seed, sig_hash_method, dim
+            ),
+        )
+    if codebooks is not None:
+        from ..operators.similarity import _nearest_cell
+
+        sub = len(codebooks[0][0])
+        work = work.withColumn(
+            "codes",
+            F.array(
+                *[
+                    _nearest_cell(
+                        F.slice(F.col(emb_col), s * sub + 1, sub), cb
+                    )
+                    for s, cb in enumerate(codebooks)
+                ]
             ),
         )
     assigned = _with_cell(work, emb_col, centroids)

@@ -203,3 +203,38 @@ def test_mixture_sample_validates_inputs(spark):
         mixture_rates(docs, {"src0": 1.0}, 0)
     with pytest.raises(ValueError, match="sum to a positive"):
         mixture_rates(docs, {"src0": 0.0}, 10)
+
+
+def test_budget_select_take_while_and_partition_invariance(spark):
+    """Best-first fill: docs ranked by score desc are kept while the
+    cumulative token count fits the budget; the first overflow truncates
+    (take-while). The distributed prefix sum must be partition-invariant."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        budget_select,
+    )
+
+    rows = [(i, (i * 37) % 90 + 10, (i * 53) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score long")
+    out = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in budget_select(df, "n_tokens", "score", 3000).collect()
+    )
+    # python oracle: sort by (-score, id), take-while cum <= 3000
+    cum, expect = 0, []
+    for i, tok, _s in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += tok
+        if cum > 3000:
+            break
+        expect.append((i, cum))
+    assert out == sorted(expect) and 0 < len(out) < 200
+    out2 = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in budget_select(
+            df.repartition(13), "n_tokens", "score", 3000, num_partitions=5
+        ).collect()
+    )
+    assert out2 == out
+    with pytest.raises(ValueError, match="budget_tokens"):
+        budget_select(df, "n_tokens", "score", 0)

@@ -502,3 +502,89 @@ def test_pq_adc_recall_and_ivf_pq_rerank(spark):
         key = (r.query_id, r.corpus_id)
         if key in exact_cos:  # re-ranked scores are EXACT cosine
             assert abs(r.cosine_sim - exact_cos[key]) < 1e-12
+
+
+def test_mine_hard_negatives_hand_example(spark):
+    """Hard negatives are the most-similar DIFFERENT-label rows; hard
+    positives the most-similar same-label rows; self excluded."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),    # same-label near 1 -> hard positive
+        (3, [0.8, 0.2], 1),    # diff-label near 1 -> hardest negative
+        (4, [0.0, 1.0], 1),    # diff-label far    -> weaker negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {(r.anchor_id, r.pair_type, r.rank): r.pair_id for r in
+           mine_hard_negatives(df, df.where("vec_id = 1"),
+                               k_neg=2, k_pos=1).collect()}
+    assert out[(1, "pos", 1)] == 2
+    assert out[(1, "neg", 1)] == 3 and out[(1, "neg", 2)] == 4
+    assert len(out) == 3  # k_pos=1 caps positives even if more exist
+
+
+def test_ivf_pq_persisted_index_matches_inline(spark, tmp_path):
+    """The persisted IVF-PQ serving path (stored codes, no query-time
+    training/encoding) must rank identically to ivf_pq_topk trained with
+    the same deterministic parameters — both the raw ADC arm and the
+    exact-rerank arm."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity as S
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 5)
+    root = str(tmp_path / "ivfpq")
+    kw = dict(n_cells=4, n_iter=2, m=4, n_codes=8, pq_n_iter=2, dim=64)
+    cents = S.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    cb = S.pq_fit(emb, m=4, n_codes=8, n_iter=2, dim=64)
+    S.ivf_index_write(emb, cents, root, codebooks=cb)
+
+    for rr in (None, 30):
+        got = sorted(map(tuple, S.ivf_index_search(
+            spark, root, q, k=5, n_probe=2, codebooks=cb, rerank=rr
+        ).collect()))
+        want = sorted(map(tuple, S.ivf_pq_topk(
+            emb, q, k=5, n_probe=2, rerank=rr, **kw
+        ).collect()))
+        assert got == want, rr
+
+
+def test_ivf_pq_index_with_streamed_delta(spark, tmp_path):
+    """An IVF-PQ index grown via stream_ivf_ingest(codebooks=...) serves
+    ivf_index_search(codebooks=...) over base + delta, identical to the
+    inline operator on the union corpus."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity as S
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    q = emb.where(F.col("vec_id") < 5)
+    d = str(tmp_path)
+    root = d + "/ivfpq"
+    cents = S.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    cb = S.pq_fit(emb, m=4, n_codes=8, n_iter=2, dim=64)
+    S.ivf_index_write(old, cents, root, codebooks=cb)
+    new.write.mode("append").parquet(d + "/landing")
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, root + "/stream_index",
+        d + "/ckpt", codebooks=cb,
+    ).awaitTermination(120)
+    got = sorted(map(tuple, S.ivf_index_search(
+        spark, root, q, k=5, n_probe=2, codebooks=cb, rerank=30
+    ).collect()))
+    want = sorted(map(tuple, S.ivf_pq_topk(
+        emb, q, k=5, n_cells=4, n_iter=2, n_probe=2, m=4, n_codes=8,
+        pq_n_iter=2, dim=64, rerank=30,
+    ).collect()))
+    assert got == want

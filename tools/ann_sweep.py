@@ -121,6 +121,23 @@ def main() -> None:
                 planes=16, max_hamming=h, dim=64,
             ),
         )
+    # IVF-PQ funnel: ADC shortlist re-ranked by exact cosine — recall here
+    # measures the whole funnel against the cosine ground truth. ADC is an
+    # L2 structure, so the corpus is L2-NORMALIZED first (unit sphere:
+    # squared L2 = 2 - 2*cosine, making ADC rank like cosine — the
+    # standard FAISS practice; cosine itself is scale-invariant, so the
+    # re-ranked scores and the ground truth are unchanged).
+    emb_n = similarity.normalize_embeddings(emb)
+    for n_probe, rr in [(2, 50), (4, 50), (4, 200)]:
+        row(
+            "ivf_pq_topk",
+            f"cells={hyb_cells} probe={n_probe} m=8 codes=16 rerank={rr} (L2-normalized)",
+            lambda p=n_probe, r=rr: similarity.ivf_pq_topk(
+                emb_n, similarity.normalize_embeddings(queries),
+                k=k, n_cells=hyb_cells, n_probe=p,
+                m=8, n_codes=16, dim=64, rerank=r,
+            ),
+        )
 
 
 if __name__ == "__main__":
