@@ -899,6 +899,89 @@ def pq_fit(
     ]
 
 
+def _pq_res_slice(
+    emb: Column, s: int, sub: int, centroid_arr: Column | None
+) -> Column:
+    """Subspace ``s``'s slice of the (residual-)vector. Residual encoding
+    subtracts the coarse centroid SLICE-WISE — each element is touched
+    once across all subspaces, so residual mode costs the same O(dim)
+    arithmetic as raw mode (never a full-dim residual recomputed per
+    subspace)."""
+    sl = F.slice(emb, s * sub + 1, sub)
+    if centroid_arr is not None:
+        sl = F.zip_with(
+            sl,
+            F.slice(centroid_arr, s * sub + 1, sub),
+            lambda x, y: x - y,
+        )
+    return sl
+
+
+def _pq_codes_expr(
+    emb: Column,
+    codebooks: list[list[list[float]]],
+    centroid_arr: Column | None = None,
+) -> Column:
+    """codes array<int> for one row; ``centroid_arr`` (the row's coarse
+    centroid as an array column) switches on residual encoding."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _nearest_cell(_pq_res_slice(emb, s, sub, centroid_arr), cb)
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def _pq_lut_expr(
+    emb: Column,
+    codebooks: list[list[list[float]]],
+    centroid_arr: Column | None = None,
+) -> Column:
+    """m x n_codes LUT of 6-dp squared L2 distances from a (residual-)
+    query vector to every codebook centroid."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _sq_dist(
+                            _pq_res_slice(emb, s, sub, centroid_arr),
+                            F.lit([float(x) for x in c]),
+                        ),
+                        6,
+                    )
+                    for c in cb
+                ]
+            )
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def _centroid_arr(centroids: list[list[float]], cell: Column) -> Column:
+    """The row's coarse centroid as an array column (literal model table,
+    O(1) element_at by cell id)."""
+    return F.element_at(
+        F.lit([[float(x) for x in c] for c in centroids]), cell + 1
+    )
+
+
+def _pq_adc_dist() -> Column:
+    """ADC distance: left-to-right sum of per-subspace LUT lookups over
+    the row's ``codes`` against the query's ``__lut``."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, l: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -999,6 +1082,60 @@ def pq_topk(
     )
 
 
+def ivf_pq_fit(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    train_fraction: float | None = None,
+    train_salt: int = 42,
+    train_hash_method: str = "xxhash64",
+    residual: bool = True,
+    literal_max: int = LITERAL_CELL_MAX,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks for an IVF-PQ index over trained coarse
+    ``centroids``: residual mode (default) fits :func:`pq_fit` on
+    ``x - centroid[cell]`` so the codes spend their bits on within-cell
+    structure. Use this to build the model for
+    ``ivf_index_write(codebooks=...)`` — it is exactly the training
+    ``ivf_pq_topk`` runs inline.
+
+    With ``train_fraction`` set, the hash-sample is applied BEFORE the
+    residual assignment (the sample predicate is a pure function of the
+    id, so sampling before or after yields the same membership — and
+    ``pq_fit``'s inner re-sample is a no-op on an already-sampled frame),
+    which keeps the training path from assigning cells to the full
+    corpus just to throw most of it away: at 100 TB the cell-assignment
+    pass runs over the training sample only."""
+    d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
+    if train_fraction is not None and train_fraction < 1.0:
+        from .sampling import deterministic_sample
+
+        d = deterministic_sample(
+            d, train_fraction, keys=[id_col], salt=train_salt,
+            method=train_hash_method,
+        )
+    if residual:
+        assigned = _with_cell(d, emb_col, centroids, literal_max)
+        cent_arr = _centroid_arr(centroids, F.col("cell"))
+        src = assigned.select(
+            id_col,
+            F.zip_with(F.col(emb_col), cent_arr, lambda x, y: x - y).alias(
+                emb_col
+            ),
+        )
+    else:
+        src = d
+    return pq_fit(
+        src, m, n_codes, n_iter, id_col, emb_col, dim,
+        train_fraction, train_salt, train_hash_method,
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1016,87 +1153,78 @@ def ivf_pq_topk(
     train_salt: int = 42,
     train_hash_method: str = "xxhash64",
     rerank: int | None = None,
+    residual: bool = True,
     literal_max: int = LITERAL_CELL_MAX,
 ) -> DataFrame:
     """IVF-PQ (the FAISS default at billion scale): coarse k-means cells
     route each query to ``n_probe`` cells, then candidates inside those
     cells are scored by PQ asymmetric distance — the probed scan touches
-    only the ``m``-int code column, never raw embeddings. With ``rerank``
-    set, the top ``rerank`` ADC candidates per query are re-scored by
-    exact cosine against true embeddings (joined back BY ID — the
-    standard recall-recovery step) and the top ``k`` of those returned
-    as (query_id, corpus_id, cosine_sim, rank); without it, returns ADC
-    results directly as (query_id, corpus_id, approx_dist, rank).
+    only the ``m``-int code column, never raw embeddings.
+
+    ``residual=True`` (default, FAISS's ``encode_residual``): codebooks
+    train on and codes encode ``x - centroid[cell]``, so the PQ bits
+    spend entirely on WITHIN-cell structure instead of re-encoding the
+    coarse position the cell id already carries — the sweep measured
+    this as the difference between ~0.2 and usable recall on clustered
+    corpora (SCALING.md). Residual arithmetic is slice-wise (see
+    ``_pq_res_slice``), so it costs the same O(dim) per row as raw mode.
+    Queries compute one LUT per probed cell (vs one per query raw) —
+    n_probe x m x n_codes tiny.
+
+    With ``rerank`` set, the top ``rerank`` ADC candidates per query are
+    re-scored by exact cosine against true embeddings (joined back BY ID
+    — the standard recall-recovery step) and the top ``k`` of those
+    returned as (query_id, corpus_id, cosine_sim, rank); without it,
+    returns ADC results directly as (query_id, corpus_id, approx_dist,
+    rank).
 
     Both trainings ride :func:`kmeans_fit`'s deterministic sampled
-    contract. Scale shape: cells prune the candidate set (corpus/n_cells
-    x n_probe rows per query), PQ prunes the candidate WIDTH (m ints vs
-    dim doubles), and the re-rank joins embeddings for only
-    queries x rerank rows — the three-level funnel that serves
+    contract. Scale shape: cells prune the candidate COUNT
+    (corpus/n_cells x n_probe rows per query), PQ prunes the candidate
+    WIDTH (m ints vs dim doubles), and the re-rank joins embeddings for
+    only queries x rerank rows — the three-level funnel that serves
     billion-vector corpora from RAM.
     """
     centroids = kmeans_fit(
         corpus, n_cells, n_iter, id_col, emb_col, dim,
         train_fraction, train_salt, train_hash_method, literal_max,
     )
-    codebooks = pq_fit(
-        corpus, m, n_codes, pq_n_iter, id_col, emb_col, dim,
-        train_fraction, train_salt, train_hash_method,
-    )
     d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
-    sub = len(codebooks[0][0])
-    emb = F.col(emb_col)
-    coded = _with_cell(d, emb_col, centroids, literal_max).select(
+    assigned = _with_cell(d, emb_col, centroids, literal_max)
+    cent_arr = (
+        _centroid_arr(centroids, F.col("cell")) if residual else None
+    )
+    codebooks = ivf_pq_fit(
+        corpus, centroids, m, n_codes, pq_n_iter, id_col, emb_col, dim,
+        train_fraction, train_salt, train_hash_method, residual,
+        literal_max,
+    )
+    coded = assigned.select(
         F.col(id_col),
         "cell",
-        F.array(
-            *[
-                _nearest_cell(F.slice(emb, s * sub + 1, sub), cb)
-                for s, cb in enumerate(codebooks)
-            ]
-        ).alias("codes"),
+        _pq_codes_expr(F.col(emb_col), codebooks, cent_arr).alias("codes"),
     )
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
-    qe = F.col("__q_emb")
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sq_dist(
-                            F.slice(qe, s * sub + 1, sub),
-                            F.lit([float(x) for x in c]),
-                        ),
-                        6,
-                    )
-                    for c in cb
-                ]
-            )
-            for s, cb in enumerate(codebooks)
-        ]
+    q_cent = (
+        _centroid_arr(centroids, F.col("cell")) if residual else None
     )
     probed = _with_probed_cells(
-        q.select("query_id", "__q_emb"), "__q_emb", centroids, n_probe,
-        literal_max,
-    ).select("query_id", "cell", lut.alias("__lut"))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("__lut"),
-            lambda c, l: F.element_at(l, c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        q, "__q_emb", centroids, n_probe, literal_max
+    ).select(
+        "query_id",
+        "cell",
+        _pq_lut_expr(F.col("__q_emb"), codebooks, q_cent).alias("__lut"),
     )
     scored = (
-        probed.join(coded, "cell")
+        F.broadcast(probed)
+        .join(coded, "cell")
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("corpus_id"),
-            dist.alias("approx_dist"),
+            _pq_adc_dist().alias("approx_dist"),
         )
     )
     w_adc = W.partitionBy("query_id").orderBy(
@@ -1117,8 +1245,8 @@ def ivf_pq_topk(
         F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
     )
     exact = (
-        shortlist.join(q, "query_id")
-        .join(emb_c, "corpus_id")
+        shortlist.join(emb_c, "corpus_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "corpus_id",
@@ -1205,6 +1333,7 @@ def ivf_index_write(
     sig_hash_method: str = "xxhash64",
     dim: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    pq_residual: bool = True,
 ) -> None:
     """Build the persisted index: assign every corpus row its nearest cell
     (one pass, no shuffle — assignment is a projection) and write
@@ -1223,7 +1352,11 @@ def ivf_index_write(
     With ``codebooks`` set (from :func:`pq_fit`), each row also stores
     its PQ code array in a ``codes`` column; ``ivf_index_search`` with
     the same ``codebooks`` then serves the IVF-PQ plan — the probed
-    partitions' scan reads m ints per row instead of the embedding."""
+    partitions' scan reads m ints per row instead of the embedding.
+    ``pq_residual`` (default, the FAISS design) encodes
+    ``x - centroid[cell]``; like the sketch parameters it is caller-
+    managed — pass the same value to the search (and the codebooks must
+    have been trained on residuals, as ``ivf_pq_topk`` does)."""
     spark = corpus.sparkSession
     ivf_model_write(spark, centroids, fs.join(root, "model"))
     fs.write_text(spark, fs.join(root, GENERATION_MARKER), "0")
@@ -1235,20 +1368,14 @@ def ivf_index_write(
                 F.col(emb_col), planes, sig_seed, sig_hash_method, dim
             ),
         )
-    if codebooks is not None:
-        sub = len(codebooks[0][0])
-        work = work.withColumn(
-            "codes",
-            F.array(
-                *[
-                    _nearest_cell(
-                        F.slice(F.col(emb_col), s * sub + 1, sub), cb
-                    )
-                    for s, cb in enumerate(codebooks)
-                ]
-            ),
-        )
     assigned = _with_cell(work, emb_col, centroids, literal_max)
+    if codebooks is not None:
+        cent_arr = (
+            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
+        )
+        assigned = assigned.withColumn(
+            "codes", _pq_codes_expr(F.col(emb_col), codebooks, cent_arr)
+        )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         fs.join(root, "index")
     )
@@ -1372,6 +1499,7 @@ def ivf_index_search(
     dim: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     rerank: int | None = None,
+    pq_residual: bool = True,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
@@ -1425,45 +1553,25 @@ def ivf_index_search(
         # ``rerank``, true embeddings are joined back BY ID for the ADC
         # shortlist only. Same output schema as ivf_pq_topk: ADC rows
         # (approx_dist) without rerank, cosine rows with. The index must
-        # have been written with the same ``codebooks``.
-        sub = len(codebooks[0][0])
-        qe = F.col("__q_emb")
-        lut = F.array(
-            *[
-                F.array(
-                    *[
-                        F.round(
-                            _sq_dist(
-                                F.slice(qe, s * sub + 1, sub),
-                                F.lit([float(x) for x in c]),
-                            ),
-                            6,
-                        )
-                        for c in cb
-                    ]
-                )
-                for s, cb in enumerate(codebooks)
-            ]
+        # have been written with the same ``codebooks`` and
+        # ``pq_residual``.
+        q_cent = (
+            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
         )
         probed = _with_probed_cells(
             q, "__q_emb", centroids, n_probe, literal_max
-        ).select("query_id", "cell", lut.alias("__lut"))
-        c_codes = read_index([corpus_id, F.col("cell"), F.col("codes")])
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("__lut"),
-                lambda cc, l: F.element_at(l, cc + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        ).select(
+            "query_id",
+            "cell",
+            _pq_lut_expr(F.col("__q_emb"), codebooks, q_cent).alias("__lut"),
         )
+        c_codes = read_index([corpus_id, F.col("cell"), F.col("codes")])
         adc = (
             F.broadcast(probed)
             .join(c_codes, "cell")
             .where(F.col("query_id") != F.col("corpus_id"))
             .select(
-                "query_id", "corpus_id", dist.alias("approx_dist")
+                "query_id", "corpus_id", _pq_adc_dist().alias("approx_dist")
             )
         )
         w_adc = W.partitionBy("query_id").orderBy(

@@ -2381,3 +2381,143 @@ def q77_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(
         toks, "n_tokens", "n_chars", budget_tokens=20000
     ).select("doc_id", "source", "n_chars", "n_tokens", "cum_tokens")
+
+
+# ===========================================================================
+# q78 — trained residual IVF-PQ, end-to-end oracle
+# ===========================================================================
+
+def _ivf_pq_oracle(
+    n_cells: int, n_iter: int, n_probe: int, m: int, n_codes: int,
+    pq_n_iter: int, k: int, dim: int, n_queries: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
+) -> str:
+    """The full IVF-PQ unroll: coarse sampled Lloyd training (q50's CTEs),
+    per-row residuals against the trained coarse centroid, per-subspace
+    sampled Lloyd PQ training ON THE RESIDUALS, residual encoding, one
+    6-dp LUT per (query, probed cell), and the left-to-right LUT-sum ADC
+    distance — every stage of similarity.ivf_pq_topk(residual=True)
+    value-checked."""
+    final = f"c{n_iter}"
+    coarse_its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
+    corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
+    query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        its = ",".join(
+            _pq_iter_ctes(i, s, sub) for i in range(1, pq_n_iter + 1)
+        )
+        pqf = f"c{pq_n_iter}_{s}"
+        code_dist = _IVF_DIST.format(e=f"rs{s}.r", c=f"{pqf}.c")
+        lut_dist = _IVF_DIST.format(e=f"qr{s}.qr", c=f"{pqf}.c")
+        parts.append(f"""
+    t{s} AS (SELECT vec_id, r[{lo}:{hi}] AS e FROM pt),
+    rs{s} AS (SELECT vec_id, cell, r[{lo}:{hi}] AS r FROM res),
+    c0_{s} AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM t{s} ORDER BY vec_id LIMIT {n_codes})
+    ),{its},
+    cc{s} AS (
+      SELECT vec_id, cell, code FROM (
+        SELECT rs{s}.vec_id, rs{s}.cell, {pqf}.cell AS code,
+               ROW_NUMBER() OVER (PARTITION BY rs{s}.vec_id ORDER BY
+                 {code_dist} ASC, {pqf}.cell ASC) AS rn
+        FROM rs{s}, {pqf}
+      ) WHERE rn = 1
+    ),
+    qr{s} AS (
+      SELECT p.query_id, p.cell,
+             list_transform(list_zip(p.qe[{lo}:{hi}], f.c[{lo}:{hi}]),
+                            t -> t[1] - t[2]) AS qr
+      FROM probe p JOIN {final} f ON f.cell = p.cell
+    ),
+    lut{s} AS (
+      SELECT qr{s}.query_id, qr{s}.cell, {pqf}.cell AS code,
+             round({lut_dist}, 6) AS d
+      FROM qr{s}, {pqf}
+    )""")
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = cc{s}.cell"
+        f" AND l{s}.code = cc{s}.code"
+        + ("" if s == 0 else f" AND l{s}.query_id = l0.query_id")
+        for s in range(m)
+    )
+    cc_joins = "cc0 " + " ".join(
+        f"JOIN cc{s} USING (vec_id, cell)" for s in range(1, m)
+    )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    {train},
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
+    ),{coarse_its},
+    corpus_cells AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, {final}.cell ASC) AS rn
+        FROM v, {final}
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT cc.vec_id, cc.cell,
+             list_transform(list_zip(cc.e, f.c), t -> t[1] - t[2]) AS r
+      FROM corpus_cells cc JOIN {final} f USING (cell)
+    ),
+    pt AS (
+      SELECT * FROM res
+      WHERE ('0x' || substr(md5(concat_ws(chr(31), vec_id, {train_salt})),
+             1, 15))::BIGINT % 1000000 < {train_cutoff}
+    ),
+    probe AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {query_dist} ASC, {final}.cell ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < {n_queries}) q, {final}
+      ) WHERE rn <= {n_probe}
+    ),{",".join(parts)},
+    scored AS (
+      SELECT l0.query_id, cc0.vec_id AS corpus_id,
+             {dist_sum} AS approx_dist
+      FROM {cc_joins}
+      {lut_joins}
+      WHERE l0.query_id <> cc0.vec_id
+    )
+    SELECT query_id, corpus_id, approx_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "q78_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(
+        n_cells=8, n_iter=3, n_probe=2, m=2, n_codes=8, pq_n_iter=2,
+        k=5, dim=64, n_queries=3,
+    ),
+    doc="Trained residual IVF-PQ ADC top-5 (FAISS encode_residual "
+    "design): 8 sampled-Lloyd coarse cells route 2 probes per query; PQ "
+    "codebooks (2 subspaces x 8 codes) train on x - centroid[cell] "
+    "residuals; codes, per-(query, cell) 6-dp LUTs and the ADC ranking "
+    "are all unrolled in the oracle — the deepest trained-state value "
+    "check in the battery (operators.similarity.ivf_pq_topk).",
+)
+def q78_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5,
+        n_cells=8, n_iter=3, n_probe=2, m=2, n_codes=8, pq_n_iter=2,
+        dim=64, train_fraction=0.5, train_hash_method="md5",
+        residual=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

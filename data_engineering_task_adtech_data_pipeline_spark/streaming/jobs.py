@@ -427,6 +427,7 @@ def stream_ivf_ingest(
     dim: int | None = None,
     index_root: "str | None" = None,
     codebooks: "list | None" = None,
+    pq_residual: bool = True,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -441,8 +442,8 @@ def stream_ivf_ingest(
     ``planes``): pass the SAME (planes, sig_seed, sig_hash_method, dim) so
     delta rows carry the stored ``sig`` sketch — ``ivf_index_search``
     fails loudly if a hybrid search finds delta rows without it. Growing
-    an IVF-PQ index likewise: pass the SAME ``codebooks`` so delta rows
-    carry stored ``codes``.
+    an IVF-PQ index likewise: pass the SAME ``codebooks`` (and
+    ``pq_residual``) so delta rows carry stored ``codes``.
 
     ``schema`` overrides the default ``EMBEDDING_SCHEMA`` when the landing
     files carry different column names (streaming file sources require an
@@ -512,22 +513,16 @@ def stream_ivf_ingest(
                 F.col(emb_col), planes, sig_seed, sig_hash_method, dim
             ),
         )
-    if codebooks is not None:
-        from ..operators.similarity import _nearest_cell
-
-        sub = len(codebooks[0][0])
-        work = work.withColumn(
-            "codes",
-            F.array(
-                *[
-                    _nearest_cell(
-                        F.slice(F.col(emb_col), s * sub + 1, sub), cb
-                    )
-                    for s, cb in enumerate(codebooks)
-                ]
-            ),
-        )
     assigned = _with_cell(work, emb_col, centroids)
+    if codebooks is not None:
+        from ..operators.similarity import _centroid_arr, _pq_codes_expr
+
+        cent_arr = (
+            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
+        )
+        assigned = assigned.withColumn(
+            "codes", _pq_codes_expr(F.col(emb_col), codebooks, cent_arr)
+        )
     writer = (
         assigned.writeStream.outputMode("append")
         .format("parquet")

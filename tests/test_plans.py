@@ -247,3 +247,14 @@ def test_dedup_against_no_cartesian(spark):
     plan = _plan(spark, "q70_dedup_against_corpus")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scan_carries_codes_not_embeddings(spark):
+    """The IVF-PQ ADC join must broadcast the (tiny) probed query side and
+    never fall back to a cartesian/nested-loop; the corpus side of the
+    ADC join carries codes, with embeddings appearing only behind the
+    id-keyed re-rank join (q78 runs the no-rerank ADC arm)."""
+    plan = _plan(spark, "q78_ivf_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -541,7 +541,7 @@ def test_ivf_pq_persisted_index_matches_inline(spark, tmp_path):
     root = str(tmp_path / "ivfpq")
     kw = dict(n_cells=4, n_iter=2, m=4, n_codes=8, pq_n_iter=2, dim=64)
     cents = S.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
-    cb = S.pq_fit(emb, m=4, n_codes=8, n_iter=2, dim=64)
+    cb = S.ivf_pq_fit(emb, cents, m=4, n_codes=8, n_iter=2, dim=64)
     S.ivf_index_write(emb, cents, root, codebooks=cb)
 
     for rr in (None, 30):
@@ -573,7 +573,7 @@ def test_ivf_pq_index_with_streamed_delta(spark, tmp_path):
     d = str(tmp_path)
     root = d + "/ivfpq"
     cents = S.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
-    cb = S.pq_fit(emb, m=4, n_codes=8, n_iter=2, dim=64)
+    cb = S.ivf_pq_fit(emb, cents, m=4, n_codes=8, n_iter=2, dim=64)
     S.ivf_index_write(old, cents, root, codebooks=cb)
     new.write.mode("append").parquet(d + "/landing")
     stream_ivf_ingest(
