@@ -1130,10 +1130,17 @@ def ivf_pq_fit(
         )
     else:
         src = d
-    return pq_fit(
-        src, m, n_codes, n_iter, id_col, emb_col, dim,
-        train_fraction, train_salt, train_hash_method,
-    )
+    # persist the (sampled) training frame across the m sub-trainings:
+    # each kmeans_fit call materializes its sliced projection, and without
+    # this the assignment + residual arithmetic would recompute m times
+    src = src.persist()
+    try:
+        return pq_fit(
+            src, m, n_codes, n_iter, id_col, emb_col, dim,
+            train_fraction, train_salt, train_hash_method,
+        )
+    finally:
+        src.unpersist()
 
 
 def ivf_pq_topk(

@@ -624,3 +624,47 @@ def corpus_datacard(
         (F.col("__n_short").cast("double") / F.col("n_docs"))
         .alias("pct_short"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Byte-pair-encoding statistics (Sennrich et al. 2016): corpus-wide
+    adjacent-symbol pair counts weighted by word frequency — the
+    aggregation that picks each BPE merge. Output: (left_sym, right_sym,
+    pair_count), the exact first-iteration merge table; full tokenizer
+    training iterates merge → re-count on the (vocabulary-sized) word
+    frequency table, a driver loop over THIS operator's shape, never over
+    the corpus.
+
+    Scale shape (100 TB): the corpus collapses to the word-frequency
+    table first (one explode + one partial-agg shuffle — the same
+    dictionary-sized frame every subsequent BPE iteration reuses), then
+    pair explode + count run over the VOCABULARY, not the corpus: pair
+    counting is O(distinct words x word length) regardless of corpus
+    size. ``min_count`` prunes noise pairs.
+    """
+    words = df.select(
+        F.explode(_word_array(text_col)).alias("word")
+    ).where(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    w = F.col("word")
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.struct(
+                w.substr(i, F.lit(1)).alias("l"),
+                w.substr(i + 1, F.lit(1)).alias("r"),
+            ),
+        )
+    )
+    pairs = wf.where(F.length(w) >= 2).select(pair.alias("p"), "c")
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("c").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )

@@ -1991,9 +1991,10 @@ _BM25_QUERIES = [
 ]
 
 
-@query(
-    "q71_bm25_topk",
-    oracle=f"""
+def _bm25_oracle(k: int) -> str:
+    """Full BM25 top-k SQL over ``documents`` for the _BM25_QUERIES set —
+    q71's oracle, reused as q80's results CTE."""
+    return f"""
     WITH q(query_id, term) AS (VALUES
       {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
     ),
@@ -2025,8 +2026,13 @@ _BM25_QUERIES = [
       SELECT *, CAST(ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
       ) AS INTEGER) AS rnk FROM scored
-    ) WHERE rnk <= 5
-    """,
+    ) WHERE rnk <= {k}
+    """
+
+
+@query(
+    "q71_bm25_topk",
+    oracle=_bm25_oracle(5),
     doc="Okapi BM25 top-5 retrieval (k1=1.2, b=0.75, Lucene idf) for three "
     "multi-term queries — per-term contributions rounded to 6 dp and "
     "summed as DECIMAL so float order can never flip ranks across "
@@ -2521,3 +2527,130 @@ def q78_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual=True,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q79 — BPE merge statistics (adjacent-symbol pair counts)
+# ===========================================================================
+
+@query(
+    "q79_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 1) AS left_sym,
+             substr(w, CAST(i AS INTEGER) + 1, 1) AS right_sym, c
+      FROM wf, UNNEST(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT left_sym, right_sym, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2 HAVING SUM(c) >= 5
+    """,
+    doc="BPE tokenizer-training statistics (Sennrich 2016): corpus-wide "
+    "adjacent-character pair counts weighted by word frequency — pair "
+    "counting runs over the vocabulary table, not the corpus, so each "
+    "merge iteration is dictionary-sized at any corpus scale "
+    "(operators.text.bpe_pair_counts).",
+)
+def q79_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.bpe_pair_counts(docs, min_count=5)
+
+
+# ===========================================================================
+# q80 — retrieval evaluation: BM25 vs containment relevance
+# ===========================================================================
+
+@query(
+    "q80_rank_metrics",
+    oracle=f"""
+    WITH results AS (SELECT * FROM ({_bm25_oracle(5)})),
+    q(query_id, term) AS (VALUES
+      {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS c FROM words
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    nq AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+    truth AS (
+      SELECT j.query_id, j.doc_id
+      FROM (
+        SELECT q.query_id, tfc.doc_id, count(DISTINCT q.term) AS m
+        FROM q JOIN tfc ON tfc.term = q.term AND tfc.c >= 3 GROUP BY 1, 2
+      ) j JOIN nq USING (query_id) WHERE j.m = nq.n_terms
+    ),
+    hits AS (
+      SELECT r.query_id, count(*) AS hits, min(r.rnk) AS first_rnk,
+             SUM(CAST(round(1.0 / log2(r.rnk + 1.0), 6)
+                 AS DECIMAL(18,6))) AS dcg
+      FROM results r
+      JOIN truth t ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+      WHERE r.rnk <= 5 GROUP BY 1
+    ),
+    perq AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+    idcg AS (
+      SELECT query_id,
+             SUM(CAST(round(1.0 / log2(i + 1.0), 6)
+                 AS DECIMAL(18,6))) AS idcg
+      FROM perq, UNNEST(range(1, least(5, n_rel) + 1)) t(i)
+      GROUP BY query_id
+    )
+    SELECT p.query_id,
+           CAST(p.n_rel AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / p.n_rel AS recall_at_k,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS precision_at_k,
+           COALESCE(1.0 / h.first_rnk, 0.0) AS mrr,
+           COALESCE(CAST(h.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 0.0)
+             AS ndcg
+    FROM perq p
+    LEFT JOIN hits h USING (query_id)
+    JOIN idcg i USING (query_id)
+    """,
+    doc="Retrieval evaluation: BM25 top-5 (q71's exact pipeline) scored "
+    "against every-query-term-at-least-3-times binary relevance (one "
+    "query saturates, one records zero hits — both metric branches) — per-query "
+    "recall@5 / precision@5 / MRR / NDCG, with DCG contributions 6-dp "
+    "decimal-summed so the metric math is engine-exact "
+    "(operators.evaluation.rank_metrics).",
+)
+def q80_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import rank_metrics
+    from ..operators.text import _word_array, bm25_scores
+
+    docs = Testdata(spark, sf_dir).documents
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    results = bm25_scores(docs, qdf, k=5)
+    tfc = (
+        docs.select(
+            "doc_id", F.explode(_word_array("text")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    nq = qdf.groupBy("query_id").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    truth = (
+        tfc.join(qdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .join(nq, "query_id")
+        .where(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    return rank_metrics(
+        results, truth, k=5, doc_col="doc_id", rank_col="rnk"
+    )

@@ -1152,3 +1152,52 @@ def test_corpus_datacard_hand_example(spark):
     assert out[("a", "und")].n_docs == 1
     assert out[("a", "und")].pct_short == 1.0  # 3 words < 5
     assert ("b", "es") in out
+
+
+def test_rank_metrics_hand_example(spark):
+    """Known-answer IR metrics: hits/recall/precision/MRR/NDCG on a tiny
+    ranked list, including the zero-hit and missing-query branches."""
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.evaluation import (
+        rank_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (3, 30, 1)],
+        "query_id int, corpus_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        # q1: relevant {11, 12, 99} -> hits at ranks 2,3; q2: none of the
+        # results relevant; q4: truth but NO results at all
+        [(1, 11), (1, 12), (1, 99), (2, 21), (4, 40)],
+        "query_id int, corpus_id long",
+    )
+    out = {r.query_id: r for r in rank_metrics(results, truth, k=3).collect()}
+    assert set(out) == {1, 2, 4}  # q3 has results but no truth -> dropped
+    r1 = out[1]
+    assert (r1.n_rel, r1.hits) == (3, 2)
+    assert abs(r1.recall_at_k - 2 / 3) < 1e-12
+    assert r1.precision_at_k == 2 / 3 and r1.mrr == 0.5
+    dcg = round(1 / math.log2(3), 6) + round(1 / math.log2(4), 6)
+    idcg = round(1 / math.log2(2), 6) + round(1 / math.log2(3), 6) + round(
+        1 / math.log2(4), 6
+    )
+    assert abs(r1.ndcg - dcg / idcg) < 1e-9
+    assert (out[2].hits, out[2].mrr, out[2].ndcg) == (0, 0.0, 0.0)
+    assert (out[4].hits, out[4].recall_at_k) == (0, 0.0)
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba x")], "doc_id long, text string"
+    )
+    out = {(r.left_sym, r.right_sym): r.pair_count for r in
+           bpe_pair_counts(docs).collect()}
+    # 'aba' (freq 2) contributes one (a,b) and one (b,a) pair per word;
+    # 'ab' (freq 1) one (a,b); 'x' is single-char -> no pairs
+    assert out == {("a", "b"): 3, ("b", "a"): 2}
