@@ -2421,13 +2421,13 @@ def _ivf_pq_oracle(
         lut_dist = _IVF_DIST.format(e=f"qr{s}.qr", c=f"{pqf}.c")
         parts.append(f"""
     t{s} AS (SELECT vec_id, r[{lo}:{hi}] AS e FROM pt),
-    rs{s} AS (SELECT vec_id, cell, r[{lo}:{hi}] AS r FROM res),
+    rs{s} AS MATERIALIZED (SELECT vec_id, cell, r[{lo}:{hi}] AS r FROM res),
     c0_{s} AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              list_transform(e, x -> round(x, 6)) AS c
       FROM (SELECT * FROM t{s} ORDER BY vec_id LIMIT {n_codes})
     ),{its},
-    cc{s} AS (
+    cc{s} AS MATERIALIZED (
       SELECT vec_id, cell, code FROM (
         SELECT rs{s}.vec_id, rs{s}.cell, {pqf}.cell AS code,
                ROW_NUMBER() OVER (PARTITION BY rs{s}.vec_id ORDER BY
@@ -2441,7 +2441,7 @@ def _ivf_pq_oracle(
                             t -> t[1] - t[2]) AS qr
       FROM probe p JOIN {final} f ON f.cell = p.cell
     ),
-    lut{s} AS (
+    lut{s} AS MATERIALIZED (
       SELECT qr{s}.query_id, qr{s}.cell, {pqf}.cell AS code,
              round({lut_dist}, 6) AS d
       FROM qr{s}, {pqf}
@@ -2464,7 +2464,7 @@ def _ivf_pq_oracle(
              list_transform(e, x -> round(x, 6)) AS c
       FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
     ),{coarse_its},
-    corpus_cells AS (
+    corpus_cells AS MATERIALIZED (
       SELECT vec_id, e, cell FROM (
         SELECT v.vec_id, v.e, {final}.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -2472,17 +2472,17 @@ def _ivf_pq_oracle(
         FROM v, {final}
       ) WHERE rn = 1
     ),
-    res AS (
+    res AS MATERIALIZED (
       SELECT cc.vec_id, cc.cell,
              list_transform(list_zip(cc.e, f.c), t -> t[1] - t[2]) AS r
       FROM corpus_cells cc JOIN {final} f USING (cell)
     ),
-    pt AS (
+    pt AS MATERIALIZED (
       SELECT * FROM res
       WHERE ('0x' || substr(md5(concat_ws(chr(31), vec_id, {train_salt})),
              1, 15))::BIGINT % 1000000 < {train_cutoff}
     ),
-    probe AS (
+    probe AS MATERIALIZED (
       SELECT query_id, qe, cell FROM (
         SELECT q.vec_id AS query_id, q.e AS qe, {final}.cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY

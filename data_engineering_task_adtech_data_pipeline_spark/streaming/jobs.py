@@ -691,3 +691,122 @@ def read_deduped(spark: SparkSession, output_path: str) -> DataFrame:
     """Public reader for ``stream_dedup_against`` output: strips the
     physical ``__epoch_id`` idempotence-partition column."""
     return spark.read.parquet(output_path).drop("__epoch_id")
+
+
+def stream_datacard(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    group_cols: "list[str] | None" = None,
+    short_words: int = 50,
+    p: int = 10,
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming corpus census: document files land → each micro-batch
+    appends its PARTIAL data-card aggregates — per (group, predicted
+    language) doc/char/word/short counts plus HyperLogLog registers of
+    the normalized-content hash — and :func:`read_datacard` folds the
+    append log into the cumulative card. The ingest-time companion of
+    ``operators.text.corpus_datacard``: counts are additive and HLL
+    registers merge by max, so batch-local partials need no keyed
+    streaming state at all (stateless per-batch aggregation; the "state"
+    IS the mergeable append log, the same contract as
+    :func:`stream_hll_monitor`).
+
+    The exact COUNT(DISTINCT content) of the batch operator necessarily
+    becomes an HLL ESTIMATE here (~2% at p=10) — an unbounded stream
+    cannot hold every content hash; `n_distinct_content_est` is named to
+    make that visible.
+    """
+    from ..operators.sketch import hll_registers
+    from ..operators.text import _word_array, lang_id
+    from ..operators.dedup import normalize_text
+
+    groups = list(group_cols or ["source"])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = lang_id(batch_df, text_col).select(
+            *groups,
+            "lang_pred",
+            F.size(
+                F.filter(_word_array(text_col), lambda w: w != "")
+            ).alias("__nw"),
+            F.length(F.col(text_col)).cast("long").alias("__chars"),
+            F.md5(normalize_text(text_col)).alias("__content"),
+        )
+        counts = base.groupBy(*groups, "lang_pred").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__nw").cast("long").alias("total_words"),
+            F.sum(
+                F.when(F.col("__nw") < short_words, 1).otherwise(0)
+            ).alias("n_short"),
+        )
+        regs = hll_registers(
+            base, "__content", [*groups, "lang_pred"], p=p
+        )
+        counts.write.mode("append").parquet(output_path + "/counts")
+        regs.write.mode("append").parquet(output_path + "/registers")
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_datacard(
+    spark: SparkSession,
+    output_path: str,
+    group_cols: "list[str] | None" = None,
+    p: int = 10,
+) -> DataFrame:
+    """Fold the streamed partials into the cumulative data card: counts
+    SUM, HLL registers merge by max then estimate. Columns mirror
+    ``operators.text.corpus_datacard`` with ``n_distinct_content_est``
+    (sketch estimate) in place of the exact distinct count."""
+    from ..operators.sketch import hll_estimate
+
+    groups = list(group_cols or ["source"]) + ["lang_pred"]
+    counts = (
+        spark.read.parquet(output_path + "/counts")
+        .groupBy(*groups)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+            F.sum("total_words").cast("long").alias("total_words"),
+            F.sum("n_short").cast("long").alias("__n_short"),
+        )
+    )
+    regs = (
+        spark.read.parquet(output_path + "/registers")
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(regs, groups, p=p).withColumnRenamed(
+        "est_distinct", "n_distinct_content_est"
+    )
+    return counts.join(est, groups).select(
+        *groups,
+        "n_docs",
+        "n_distinct_content_est",
+        "total_chars",
+        "total_words",
+        (F.col("total_words").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_words"
+        ),
+        (F.col("__n_short").cast("double") / F.col("n_docs")).alias(
+            "pct_short"
+        ),
+    )

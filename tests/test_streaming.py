@@ -489,3 +489,56 @@ def test_stream_dedup_against_matches_batch(spark, tmp_path):
     )
     assert got == expect == [11, 13]
     assert "__epoch_id" not in read_deduped(spark, d + "/out").columns
+
+
+def test_stream_datacard_matches_batch_census(spark, tmp_path):
+    """The streamed data card over two file batches equals the batch
+    corpus_datacard on the union for every additive column, and the HLL
+    distinct-content estimate is exact at tiny cardinalities (every
+    distinct hash lands in its own bucket)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        corpus_datacard,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        read_datacard,
+        stream_datacard,
+    )
+
+    d = str(tmp_path)
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in rows], schema=DOC_SCHEMA
+        )
+
+    b1 = docs([
+        (1, "the cat and the dog in the house is that so", "a"),
+        (2, "the cat and the dog in the house is that so", "a"),  # dup
+        (3, "el la de que los las una por si no", "b"),
+    ])
+    b2 = docs([
+        (4, "the bird and the fish in the pond is that so", "a"),
+        (5, "the cat and the dog in the house is that so", "a"),  # dup again
+    ])
+    b1.write.mode("append").parquet(d + "/in")
+    stream_datacard(spark, d + "/in", d + "/card", d + "/ckpt",
+                    short_words=5).awaitTermination(120)
+    b2.write.mode("append").parquet(d + "/in")
+    stream_datacard(spark, d + "/in", d + "/card", d + "/ckpt",
+                    short_words=5).awaitTermination(120)
+
+    got = {(r.source, r.lang_pred): r for r in
+           read_datacard(spark, d + "/card").collect()}
+    want = {(r.source, r.lang_pred): r for r in
+            corpus_datacard(b1.unionByName(b2), short_words=5).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_docs, g.total_chars, g.total_words) == (
+            w.n_docs, w.total_chars, w.total_words
+        ), k
+        assert g.mean_doc_words == w.mean_doc_words
+        assert g.pct_short == w.pct_short
+        # tiny cardinality: sketch estimate == exact distinct count
+        assert round(g.n_distinct_content_est) == w.n_distinct_content, k
