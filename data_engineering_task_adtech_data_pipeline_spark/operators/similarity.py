@@ -1557,6 +1557,7 @@ def ivf_index_search(
     codebooks: list[list[list[float]]] | None = None,
     rerank: int | None = None,
     pq_residual: bool = True,
+    predicate: "Column | str | None" = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
@@ -1572,14 +1573,31 @@ def ivf_index_search(
     wide embeddings are joined back BY ID for the survivors only — the
     sketch parameters must match the ones given at write time.
 
+    ``predicate`` (a Column or SQL string over the index's stored corpus
+    columns, e.g. ``"label = 3"``) serves FILTERED ANN: it lands on the
+    raw index read, reaching the parquet scan as a pushed filter
+    alongside the probed-cell partition pruning, and top-k fills from
+    allowed rows only — post-filtering top-k results would instead
+    return fewer than k.
+
     The streamed-delta probe goes through the Hadoop FileSystem API, so a
     delta under an hdfs:// or s3a:// root is found exactly like a local
     one — an ``os.path`` probe would return False for any URI and serve
     the base index only, silently dropping every streamed row."""
     centroids = ivf_model_read(spark, fs.join(root, "model"))
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     def read_index(cols) -> DataFrame:
-        c = spark.read.parquet(fs.join(root, "index")).select(*cols)
+        base = spark.read.parquet(fs.join(root, "index"))
+        if pred is not None:
+            # filtered (metadata-constrained) search: the predicate sits on
+            # the RAW index read, so it reaches the parquet scan as a
+            # pushed filter alongside the cells' partition pruning — the
+            # persisted-index analog of pre-filtering the corpus before
+            # ivf_topk (which callers of the inline operators do
+            # themselves). Applies to base and delta alike.
+            base = base.where(pred)
+        c = base.select(*cols)
         delta_path = fs.join(root, "stream_index")
         if fs.is_dir(spark, delta_path):
             # the sink may have committed only empty epochs: the directory
@@ -1595,6 +1613,8 @@ def ivf_index_search(
                 raw = spark.read.parquet(delta_path)
             except AnalysisException:
                 return c
+            if pred is not None:
+                raw = raw.where(pred)
             c = c.unionByName(raw.select(*cols))
         return c
 

@@ -542,8 +542,12 @@ def bm25_scores(
         ),
         6,
     ).cast("decimal(18,6)")
+    # a query is a SET of terms under this formula (no query-side tf
+    # weighting): dedupe defensively so a repeated term cannot silently
+    # double its contribution
+    q_terms = queries.select("query_id", "term").distinct()
     scored = (
-        tf.join(F.broadcast(queries), "term")
+        tf.join(F.broadcast(q_terms), "term")
         .join(dft, "term")
         .join(dl, "id")
         .join(F.broadcast(n))

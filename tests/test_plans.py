@@ -258,3 +258,23 @@ def test_pq_adc_scan_carries_codes_not_embeddings(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_select_has_no_single_partition_exchange(spark):
+    """budget_select's reason to exist: the cumulative sum must never
+    funnel the corpus through a single-partition exchange (the naive
+    global ORDER BY window would show 'Exchange SinglePartition' over the
+    row data)."""
+    plan = _plan(spark, "q77_budget_select")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_datacard_and_bpe_single_scan_shapes(spark):
+    """q74's census reads documents ONCE (no self-joins), and q79's pair
+    counting never re-joins the corpus — both plans are scan → aggregate
+    chains with no join of two corpus scans."""
+    for q in ("q74_corpus_datacard", "q79_bpe_pair_counts"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" not in plan, q

@@ -588,3 +588,35 @@ def test_ivf_pq_index_with_streamed_delta(spark, tmp_path):
         pq_n_iter=2, dim=64, rerank=30,
     ).collect()))
     assert got == want
+
+
+def test_ivf_index_search_filtered(spark, tmp_path):
+    """Filtered ANN on the persisted index: with every cell probed, a
+    label predicate must reproduce brute force over the pre-filtered
+    corpus exactly (top-k fills from allowed rows, not post-filtered),
+    and the predicate must reach the parquet scan as a pushed filter."""
+    from conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity as S
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import Testdata
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 5)
+    root = str(tmp_path / "ivf")
+    cents = S.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    S.ivf_index_write(emb, cents, root)
+    got = sorted(map(tuple, S.ivf_index_search(
+        spark, root, q, k=5, n_probe=4, predicate="label = 3"
+    ).collect()))
+    want = sorted(map(tuple, S.brute_force_topk(
+        emb.where(F.col("label") == 3), q, k=5
+    ).collect()))
+    assert got == want and len(got) > 0
+    plan = (
+        S.ivf_index_search(spark, root, q, k=5, n_probe=2,
+                           predicate="label = 3")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = [seg[:120] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("label" in seg for seg in pushed), pushed
