@@ -672,3 +672,75 @@ def bpe_pair_counts(
         .agg(F.sum("c").alias("pair_count"))
         .where(F.col("pair_count") >= min_count)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Zipf-law diagnostics: least-squares fit of ln(freq) against
+    ln(rank) over the ``top_n`` most frequent terms — natural corpora
+    follow freq ∝ rank^(-s) with s ≈ 1, so the fitted slope (and its r²)
+    is a one-row corpus health check that flags template/boilerplate
+    corpora (slope far from -1, low r²) before training.
+
+    Output per group: n_terms, slope, intercept, r2. Engine-portable
+    regression: each point's ln values are rounded to 6 dp, the five
+    regression sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL (so
+    float summation order cannot move them), and the closed-form
+    slope/intercept/r² are a handful of IEEE ops on those exact sums.
+
+    Scale shape: term frequencies are one explode + one vocabulary-sized
+    aggregation; the ranking window runs over top-n-bounded rows per
+    group; the regression is a single tiny aggregation. Nothing is
+    corpus-sized after the first shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    groups = list(group_cols)
+    words = df.select(
+        *groups, F.explode(_word_array(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    freq = words.groupBy(*groups, "term").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = W.partitionBy(*groups).orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    ) if groups else W.partitionBy(F.lit(1)).orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6)
+    y = F.round(F.log(F.col("freq").cast("double")), 6)
+
+    def dec(c):
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    sums = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(dec(x)).alias("__sx"),
+        F.sum(dec(y)).alias("__sy"),
+        F.sum(dec(x * y)).alias("__sxy"),
+        F.sum(dec(x * x)).alias("__sxx"),
+        F.sum(dec(y * y)).alias("__syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return sums.select(
+        *groups,
+        "n_terms",
+        (cov / varx).alias("slope"),
+        ((sy - (cov / varx) * sx) / n).alias("intercept"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )

@@ -2654,3 +2654,61 @@ def q80_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(
         results, truth, k=5, doc_col="doc_id", rank_col="rnk"
     )
+
+
+# ===========================================================================
+# q81 — Zipf-law corpus diagnostics (least-squares fit)
+# ===========================================================================
+
+@query(
+    "q81_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS freq FROM words WHERE term <> ''
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+      FROM freq QUALIFY rank <= 200
+    ),
+    pts AS (
+      SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 6) AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy,
+             SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sxx,
+             SUM(CAST(round(y * y, 6) AS DECIMAL(18,6))) AS syy
+      FROM pts
+    )
+    SELECT n_terms,
+      (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        AS slope,
+      (CAST(sy AS DOUBLE)
+        - (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / n_terms AS intercept,
+      (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (n_terms * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS r2
+    FROM sums
+    """,
+    doc="Zipf-law corpus diagnostics: least-squares ln(freq)-vs-ln(rank) "
+    "fit over the top-200 terms (slope ≈ -1 for natural text) — the "
+    "regression sums ride 6-dp DECIMALs so the fitted slope/intercept/r² "
+    "are bit-identical across engines (operators.text.zipf_fit).",
+)
+def q81_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    return text.zipf_fit(docs, top_n=200)

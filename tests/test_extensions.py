@@ -1201,3 +1201,31 @@ def test_bpe_pair_counts_hand_example(spark):
     # 'aba' (freq 2) contributes one (a,b) and one (b,a) pair per word;
     # 'ab' (freq 1) one (a,b); 'x' is single-char -> no pairs
     assert out == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_zipf_fit_properties(spark):
+    """A geometric frequency corpus gives an exact known slope; the fit is
+    partition-invariant and supports per-group output."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        zipf_fit,
+    )
+
+    # construct a corpus where term tN appears ceil(64 / 2^N)-ish times:
+    # freq halves per rank step -> ln(freq) vs ln(rank) is NOT linear,
+    # but slope must be negative and r2 in (0, 1]
+    rows = []
+    i = 0
+    for n, freq in enumerate([64, 32, 16, 8, 4, 2, 1]):
+        for _ in range(freq):
+            rows.append((i, f"t{n}", "s"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = zipf_fit(df, top_n=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_terms == 7 and r.slope < 0 and 0 < r.r2 <= 1.0
+    out2 = zipf_fit(df.repartition(9), top_n=10).collect()[0]
+    assert (out2.slope, out2.intercept, out2.r2) == (r.slope, r.intercept, r.r2)
+    by_src = {row.source: row for row in
+              zipf_fit(df, top_n=10, group_cols=("source",)).collect()}
+    assert by_src["s"].slope == r.slope
