@@ -62,6 +62,69 @@ def chunk_documents(
     )
 
 
+def distributed_prefix_sum(
+    df: "DataFrame",
+    order: "list",
+    token_col: str,
+    out_col: str = "__cum",
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """INCLUSIVE global prefix sum of ``token_col`` over the total order
+    given by ``order`` (a list of sort Columns), with NO single-partition
+    exchange — the two-pass shape shared by :func:`pack_documents`,
+    ``sampling.budget_select`` and ``sampling.curriculum_stages``:
+
+    1. range-repartition on the order, so each partition holds a
+       contiguous key range; a per-partition running sum runs under a
+       window PARTITIONED by ``spark_partition_id`` (never global);
+    2. per-partition totals (one row per partition — thousands at most,
+       at any corpus size) become cumulative offsets via a triangular
+       broadcast self-join, broadcast-joined back.
+
+    Returns df + ``out_col`` (long, inclusive cumulative sum). The order
+    must be total (include a unique id as the last key) for the result
+    to be deterministic.
+    """
+    num_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parts = df.repartitionByRange(num_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parts.withColumn(
+        "__local_end", F.sum(F.col(token_col)).over(w).cast("long")
+    )
+    totals = parts.groupBy("__pid").agg(
+        F.sum(F.col(token_col)).cast("long").alias("__ptotal")
+    )
+    lower = totals.select(
+        F.col("__pid").alias("__pid_lo"), F.col("__ptotal").alias("__ptotal_lo")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(lower), F.col("__pid_lo") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__ptotal_lo"), F.lit(0))
+            .cast("long")
+            .alias("__offset")
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col, (F.col("__offset") + F.col("__local_end")).cast("long")
+        )
+        .drop("__pid", "__local_end", "__offset")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     bin_tokens: int = 2048,
@@ -91,49 +154,18 @@ def pack_documents(
     corpus-sized data never passes through a single-partition exchange.
     """
     order_name = order_col or id_col
-    num_parts = (
-        num_partitions
-        or df.sparkSession.sparkContext.defaultParallelism
+    cum = distributed_prefix_sum(
+        df, [F.col(order_name).asc()], token_col, "__cum", num_partitions
     )
-    parts = df.repartitionByRange(num_parts, F.col(order_name).asc()).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = (
-        W.partitionBy("__pid")
-        .orderBy(F.col(order_name).asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = parts.withColumn(
-        "__local_end", F.sum(F.col(token_col)).over(w).cast("long")
-    )
-    # cumulative offset per partition: sum of totals of all lower pids.
-    # Triangular broadcast join over the tiny totals frame (P rows) — keeps
-    # the plan free of single-partition exchanges entirely.
-    totals = parts.groupBy("__pid").agg(
-        F.sum(F.col(token_col)).cast("long").alias("__ptotal")
-    )
-    lower = totals.select(
-        F.col("__pid").alias("__pid_lo"), F.col("__ptotal").alias("__ptotal_lo")
-    )
-    offsets = (
-        totals.join(
-            F.broadcast(lower), F.col("__pid_lo") < F.col("__pid"), "left"
-        )
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__ptotal_lo"), F.lit(0)).cast("long").alias("__offset"))
-    )
-    out = local.join(F.broadcast(offsets), "__pid")
-    stream_pos = (
-        F.col("__offset") + F.col("__local_end") - F.col(token_col)
-    ).cast("long")
+    stream_pos = (F.col("__cum") - F.col(token_col)).cast("long")
     return (
-        out.withColumn("stream_pos", stream_pos)
+        cum.withColumn("stream_pos", stream_pos)
         .withColumn("bin_id", F.floor(F.col("stream_pos") / bin_tokens).cast("long"))
         .withColumn(
             "bin_offset",
             (F.col("stream_pos") - F.col("bin_id") * bin_tokens).cast("long"),
         )
-        .drop("__pid", "__local_end", "__offset")
+        .drop("__cum")
     )
 
 

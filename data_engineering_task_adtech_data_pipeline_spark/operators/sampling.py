@@ -399,46 +399,56 @@ def budget_select(
     per-partition totals frame. No corpus-sized data ever crosses a
     single-partition exchange, unlike the naive global ORDER BY window.
     """
-    from pyspark.sql import Window as W
+    from .chunking import distributed_prefix_sum
 
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    num_parts = (
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    )
-    parts = df.repartitionByRange(num_parts, *order).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = (
-        W.partitionBy("__pid")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = parts.withColumn(
-        "__local_end", F.sum(F.col(token_col)).over(w).cast("long")
-    )
-    totals = parts.groupBy("__pid").agg(
-        F.sum(F.col(token_col)).cast("long").alias("__ptotal")
-    )
-    lower = totals.select(
-        F.col("__pid").alias("__pid_lo"), F.col("__ptotal").alias("__ptotal_lo")
-    )
-    offsets = (
-        totals.join(
-            F.broadcast(lower), F.col("__pid_lo") < F.col("__pid"), "left"
-        )
-        .groupBy("__pid")
-        .agg(
-            F.coalesce(F.sum("__ptotal_lo"), F.lit(0))
-            .cast("long")
-            .alias("__offset")
-        )
-    )
-    out = local.join(F.broadcast(offsets), "__pid").withColumn(
-        cum_col, (F.col("__offset") + F.col("__local_end")).cast("long")
-    )
+    cum = distributed_prefix_sum(df, order, token_col, cum_col, num_partitions)
+    return cum.where(F.col(cum_col) <= budget_tokens)
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int,
+    id_col: str = "doc_id",
+    stage_col: str = "stage",
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum-learning staging: order the corpus by ``score_col``
+    (ascending = easy-first by default) and assign each document its
+    equal-width stage ``floor(n_stages * (pos - 1) / n)`` in [0,
+    n_stages), where ``pos`` is the document's 1-based global position —
+    the "train on easy data first, schedule harder data later" split,
+    deterministic (id tie-break) so re-runs produce identical curricula.
+
+    Scale shape: the global position comes from
+    :func:`chunking.distributed_prefix_sum` with a unit token (two-pass,
+    no single-partition exchange) and the total count joins back as a
+    single-row broadcast — never a global ORDER BY window. Compose with
+    :func:`export_shards` within each stage to write stage-ordered
+    training shards.
+    """
+    if n_stages <= 0:
+        raise ValueError("n_stages must be positive")
+    from .chunking import distributed_prefix_sum
+
+    score = F.col(score_col)
+    order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
+    pos = distributed_prefix_sum(
+        df.withColumn("__one", F.lit(1)), order, "__one", "__pos",
+        num_partitions,
+    ).drop("__one")
+    n = df.select(F.count(F.lit(1)).alias("__n"))
     return (
-        out.where(F.col(cum_col) <= budget_tokens)
-        .drop("__pid", "__local_end", "__offset")
+        pos.join(F.broadcast(n))
+        .withColumn(
+            stage_col,
+            F.floor(
+                F.lit(n_stages) * (F.col("__pos") - 1) / F.col("__n")
+            ).cast("int"),
+        )
+        .drop("__n", "__pos")
     )

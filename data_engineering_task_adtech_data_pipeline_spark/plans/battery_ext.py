@@ -2712,3 +2712,35 @@ def q80_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     return text.zipf_fit(docs, top_n=200)
+
+
+# ===========================================================================
+# q82 — curriculum staging (easy-first equal-width stages)
+# ===========================================================================
+
+@query(
+    "q82_curriculum_stages",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS p,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(FLOOR(4 * (p - 1) / n) AS INTEGER) AS stage
+    FROM pos
+    """,
+    doc="Curriculum-learning staging: corpus ordered easy-first (n_chars "
+    "ascending as the difficulty score), split into 4 equal-width "
+    "stages from the deterministic global position — computed by the "
+    "distributed two-pass prefix sum, never a global ORDER BY window "
+    "(operators.sampling.curriculum_stages).",
+)
+def q82_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import curriculum_stages
+
+    docs = Testdata(spark, sf_dir).documents
+    return curriculum_stages(docs, "n_chars", 4).select(
+        "doc_id", "source", "n_chars", "stage"
+    )

