@@ -693,8 +693,13 @@ def zipf_fit(
     slope/intercept/r² are a handful of IEEE ops on those exact sums.
 
     Scale shape: term frequencies are one explode + one vocabulary-sized
-    aggregation; the ranking window runs over top-n-bounded rows per
-    group; the regression is a single tiny aggregation. Nothing is
+    aggregation. The ranking window must NOT run over the whole
+    vocabulary in one partition, so candidates are cut first by the
+    ``quantile_threshold`` trick: a cumulative count over DISTINCT
+    frequencies only (thousands of values, not vocabulary-sized) finds
+    the top_n-th frequency, the scan filters to ``freq >= that`` (at
+    most top_n + ties rows), and only those rows enter the ranking
+    window. The regression is a single tiny aggregation. Nothing is
     corpus-sized after the first shuffle.
     """
     from pyspark.sql import Window as W
@@ -706,12 +711,32 @@ def zipf_fit(
     freq = words.groupBy(*groups, "term").agg(
         F.count(F.lit(1)).alias("freq")
     )
-    w = W.partitionBy(*groups).orderBy(
-        F.col("freq").desc(), F.col("term").asc()
-    ) if groups else W.partitionBy(F.lit(1)).orderBy(
-        F.col("freq").desc(), F.col("term").asc()
+    # top_n-th frequency per group from distinct frequencies only
+    fcount = freq.groupBy(*groups, "freq").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    ranked = freq.withColumn("rank", F.row_number().over(w)).where(
+    cum_w = (
+        W.partitionBy(*groups) if groups else W.partitionBy(F.lit(1))
+    ).orderBy(F.col("freq").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = fcount.withColumn("__cum", F.sum("__c").over(cum_w))
+    thr = (
+        cum.groupBy(*groups)
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("__cum") >= top_n, F.col("freq"))),
+                F.min("freq"),
+            ).alias("__thr")
+        )
+    )
+    cand = (
+        freq.join(F.broadcast(thr), groups)
+        if groups
+        else freq.crossJoin(F.broadcast(thr))
+    ).where(F.col("freq") >= F.col("__thr"))
+    w = (
+        W.partitionBy(*groups) if groups else W.partitionBy(F.lit(1))
+    ).orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_n
     )
     x = F.round(F.log(F.col("rank").cast("double")), 6)
