@@ -2744,3 +2744,111 @@ def q82_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_stages(docs, "n_chars", 4).select(
         "doc_id", "source", "n_chars", "stage"
     )
+
+
+# ===========================================================================
+# q83 — declarative data-quality validation (one-pass rule evaluation)
+# ===========================================================================
+
+@query(
+    "q83_validate",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS doc_id_not_null,
+        CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1 OR n_chars > 100000)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_in_range,
+        CAST(SUM(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en', 'es', 'fr', 'de', 'zh')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS lang_accepted,
+        CAST(SUM(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS source_format,
+        CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_unique
+      FROM documents
+    )
+    SELECT 'doc_id_not_null' AS rule, doc_id_not_null AS violations FROM agg
+    UNION ALL
+    SELECT 'n_chars_in_range', n_chars_in_range FROM agg
+    UNION ALL
+    SELECT 'lang_accepted', lang_accepted FROM agg
+    UNION ALL
+    SELECT 'source_format', source_format FROM agg
+    UNION ALL
+    SELECT 'doc_id_unique', doc_id_unique FROM agg
+    """,
+    doc="Declarative data-quality gate (dbt-test shape): five rules — "
+    "not-null, range, accepted values, regex format, key uniqueness — "
+    "evaluated in ONE aggregation pass over the table, one row per rule "
+    "with its violation count (operators.validate).",
+)
+def q83_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validate as V
+
+    docs = Testdata(spark, sf_dir).documents
+    return V.validate(
+        docs,
+        rules={
+            "doc_id_not_null": V.not_null("doc_id"),
+            "n_chars_in_range": V.in_range("n_chars", 1, 100000),
+            "lang_accepted": V.accepted_values(
+                "lang", ["en", "es", "fr", "de", "zh"]
+            ),
+            "source_format": V.matches("source", r"^src[0-9]+$"),
+        },
+        unique={"doc_id_unique": ["doc_id"]},
+    )
+
+
+# ===========================================================================
+# q84 — dataset snapshot diff (added / removed / changed / unchanged)
+# ===========================================================================
+
+@query(
+    "q84_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+               AS h
+      FROM documents WHERE doc_id >= 100
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n USING (doc_id)
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM diff GROUP BY change
+    """,
+    doc="Dataset version diff: snapshots doc_id<400 vs doc_id>=100 (with "
+    "every 10th doc textually edited) classified added/removed/changed/"
+    "unchanged via (id, content-md5) full-outer join — content columns "
+    "never shuffle (operators.validate.snapshot_diff).",
+)
+def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import snapshot_diff
+
+    docs = Testdata(spark, sf_dir).documents
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -1229,3 +1229,52 @@ def test_zipf_fit_properties(spark):
     by_src = {row.source: row for row in
               zipf_fit(df, top_n=10, group_cols=("source",)).collect()}
     assert by_src["s"].slope == r.slope
+
+
+def test_validate_rules_and_uniqueness(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (1, "en", 20),        # duplicate id
+            (2, None, -5),        # null lang (passes accepted), range viol
+            (3, "xx", 10),        # bad lang
+            (None, "en", 10),     # null id
+        ],
+        "doc_id long, lang string, n int",
+    )
+    out = {r.rule: r.violations for r in V.validate(
+        df,
+        rules={
+            "id_not_null": V.not_null("doc_id"),
+            "n_in_range": V.in_range("n", 0, 100),
+            "lang_ok": V.accepted_values("lang", ["en", "es"]),
+        },
+        unique={"id_unique": ["doc_id"]},
+    ).collect()}
+    # id_unique = count(*) - count(DISTINCT id) = 5 - 3: the duplicate id
+    # AND the null id both count (NULL is never a unique key; both engines'
+    # COUNT(DISTINCT) ignore NULLs identically)
+    assert out == {
+        "id_not_null": 1, "n_in_range": 1, "lang_ok": 1, "id_unique": 2
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="no rules"):
+        V.validate(df, rules={})
+
+
+def test_snapshot_diff_classification(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.validate import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.change for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
