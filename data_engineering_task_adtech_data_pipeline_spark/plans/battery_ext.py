@@ -1808,27 +1808,27 @@ def q67_collapse_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q68 — SemDeDup: semantic dedup via k-means cells + within-cell cosine
 # ===========================================================================
 
-def _semantic_dedup_oracle(
+def _semantic_dedup_ctes(
     n_cells: int, n_iter: int, threshold: float, max_cell: int, dim: int,
     train_cutoff: int = 500000, train_salt: int = 42,
 ) -> str:
     """The q50 training unroll re-targeted at dedup: identical sampled
     k-means CTEs land on bit-identical centroids and cell assignments, then
     within-cell (sorted, capped) pairs + exact cosine mark smaller-id-wins
-    duplicates."""
+    duplicates. Returns the CTE chain (no WITH) ending at ``dups`` —
+    shared by q68 and the q85 composed pipeline."""
     final = f"c{n_iter}"
     its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
     train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
     corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     {train},
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
              list_transform(e, x -> round(x, 6)) AS c
       FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
     ),{its},
-    corpus_cells AS (
+    corpus_cells AS MATERIALIZED (
       SELECT vec_id, e, cell FROM (
         SELECT v.vec_id, v.e, {final}.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1848,13 +1848,23 @@ def _semantic_dedup_oracle(
       SELECT a.id AS id_a, b.id AS id_b
       FROM mem a JOIN mem b ON a.cell = b.cell AND a.p < b.p
     ),
-    dups AS (
+    dups AS MATERIALIZED (
       SELECT DISTINCT p.id_b AS id
       FROM pairs p
       JOIN v va ON va.vec_id = p.id_a
       JOIN v vb ON vb.vec_id = p.id_b
       WHERE {_COSINE_SQL.format(a="va.e", b="vb.e")} >= {threshold}
-    )
+    )"""
+
+
+def _semantic_dedup_oracle(
+    n_cells: int, n_iter: int, threshold: float, max_cell: int, dim: int,
+    train_cutoff: int = 500000, train_salt: int = 42,
+) -> str:
+    """Full q68 oracle: the CTE chain + the per-row (cell, is_dup) select."""
+    return f"""
+    WITH {_semantic_dedup_ctes(n_cells, n_iter, threshold, max_cell, dim,
+                               train_cutoff, train_salt)}
     SELECT cc.vec_id, cc.cell,
            (cc.vec_id IN (SELECT id FROM dups)) AS is_dup
     FROM corpus_cells cc
@@ -2851,4 +2861,65 @@ def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+# ===========================================================================
+# q85 — cross-modal curation capstone: exact dedup → quality → SemDeDup
+# ===========================================================================
+
+@query(
+    "q85_crossmodal_curation",
+    oracle=f"""
+    WITH {_semantic_dedup_ctes(n_cells=8, n_iter=3, threshold=0.35,
+                               max_cell=1024, dim=64)},
+    hashed AS (
+      SELECT doc_id, source,
+             md5({_NORM.format(c='text')}) AS content_hash,
+             len(list_filter(string_split({_NORM.format(c='text')}, ' '),
+                 x -> x <> '')) AS n_words
+      FROM documents
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY content_hash ORDER BY doc_id ASC
+        ) AS rn FROM hashed
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT e.doc_id, e.source, e.n_words
+      FROM exact e
+      WHERE e.n_words >= 10
+        AND e.doc_id NOT IN (SELECT id FROM dups)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM kept GROUP BY source
+    """,
+    doc="Cross-modal curation capstone: exact dedup (min-id per "
+    "normalized-content md5) → quality gate (>=10 words) → SEMANTIC "
+    "dedup over the docs' embeddings (doc_id = vec_id; the full q68 "
+    "trained SemDeDup decides is_dup) → per-source survivor census. "
+    "Three operator families composed in one value-checked pipeline.",
+)
+def q85_crossmodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    docs, emb = td.documents, td.embeddings
+    exact = dedup.exact_dedup(docs)
+    quality = text.quality_features(exact).where(F.col("n_words") >= 10)
+    sem = similarity.semantic_dedup(
+        emb, threshold=0.35, n_cells=8, n_iter=3, dim=64,
+        train_fraction=0.5, train_hash_method="md5", max_cell=1024,
+    )
+    kept = quality.join(
+        sem.where(~F.col("is_dup")).select(
+            F.col("vec_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
     )
