@@ -278,3 +278,21 @@ def test_datacard_and_bpe_single_scan_shapes(spark):
         plan = _plan(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "SortMergeJoin" not in plan, q
+
+
+def test_validate_is_single_scan_single_agg(spark):
+    """All five data-quality rules must share ONE scan and ONE aggregate
+    (no per-rule scans, no joins): exactly one parquet scan node in the
+    plan."""
+    plan = _plan(spark, "q83_validate")
+    # one scan node = one "Location: InMemoryFileIndex" detail block
+    assert plan.count("InMemoryFileIndex") == 1, plan.count("InMemoryFileIndex")
+    assert "Join" not in plan
+
+
+def test_crossmodal_capstone_no_cartesian(spark):
+    """The composed curation pipeline (exact dedup + quality + SemDeDup
+    join) must stay free of cartesian/nested-loop joins end to end."""
+    plan = _plan(spark, "q85_crossmodal_curation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
