@@ -17,8 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from data_engineering_task_adtech_data_pipeline_spark.plans import (  # noqa: E402
-    REGISTRY,
+    ordered_registry,
 )
+
+# Ordered so the driver's 50-entry correctness window covers the core
+# parity queries, the newest entries, and a rotating slice of the rest
+# (policy: plans/__init__.py DRIVER_WINDOW + COVERAGE.md).
+REGISTRY = ordered_registry()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q01_pricing_summary"

@@ -91,6 +91,19 @@ def distributed_prefix_sum(
     parts = df.repartitionByRange(num_parts, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # CORRECTNESS: `parts` feeds two subtrees (the per-partition window
+    # sums and the per-partition totals). Without persisting, column
+    # pruning makes the two range exchanges non-identical (no
+    # ReuseExchange), and RangePartitioner's boundary sampling is seeded
+    # per-RDD — so the two instantiations can assign boundary rows to
+    # DIFFERENT __pid, corrupting offsets. Persisting pins ONE exchange
+    # instance; even on cache eviction the recompute reuses the same
+    # shuffle boundaries (same RDD graph). MEMORY_AND_DISK: one extra
+    # materialization of a frame the exchange already shuffled in full —
+    # bounded, spillable, LRU-evicted after the job.
+    from pyspark import StorageLevel
+
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     w = (
         W.partitionBy("__pid")
         .orderBy(*order)

@@ -362,16 +362,24 @@ def mixture_sample(
     ``None`` drops it.
     """
     rates = mixture_rates(df, target_weights, budget_rows, group_col)
-    cutoff = F.floor(F.col("rate") * F.lit(float(_BUCKETS)) + F.lit(0.5)).cast(
-        "long"
-    )
+    # Sentinel name through the join: if the caller's df already carries a
+    # column named 'rate' (or named rate_col), joining the literal 'rate'
+    # from mixture_rates would make the reference ambiguous / clobber it.
+    cutoff = F.floor(
+        F.col("__mix_rate") * F.lit(float(_BUCKETS)) + F.lit(0.5)
+    ).cast("long")
     picked = (
-        df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        df.join(
+            F.broadcast(
+                rates.select(group_col, F.col("rate").alias("__mix_rate"))
+            ),
+            group_col,
+        )
         .where(_hash_bucket(keys, salt, method) < cutoff)
     )
     if rate_col is None:
-        return picked.drop("rate")
-    return picked.withColumnRenamed("rate", rate_col)
+        return picked.drop("__mix_rate")
+    return picked.withColumnRenamed("__mix_rate", rate_col)
 
 
 def budget_select(

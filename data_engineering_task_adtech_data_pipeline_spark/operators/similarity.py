@@ -885,6 +885,11 @@ def pq_fit(
     """
     if dim is None:
         probe = corpus.select(emb_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "pq_fit: empty corpus (or null embedding in first row) — "
+                "pass dim= explicitly to fit on a possibly-empty input"
+            )
         dim = len(probe[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")

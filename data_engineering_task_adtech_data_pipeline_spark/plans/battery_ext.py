@@ -2913,13 +2913,244 @@ def q85_crossmodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.35, n_cells=8, n_iter=3, dim=64,
         train_fraction=0.5, train_hash_method="md5", max_cell=1024,
     )
+    # Left join + treat a missing embedding row as NOT-dup: the oracle
+    # keeps any doc NOT IN dups, so a doc without an embedding must
+    # survive on this side too (an inner join would silently drop it —
+    # latent engine/oracle divergence if embedding coverage ever stops
+    # being 1:1 with documents).
     kept = quality.join(
-        sem.where(~F.col("is_dup")).select(
-            F.col("vec_id").alias("doc_id")
-        ),
+        sem.select(F.col("vec_id").alias("doc_id"), "is_dup"),
         "doc_id",
-    )
+        "left",
+    ).where(~F.coalesce(F.col("is_dup"), F.lit(False))).drop("is_dup")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+# ===========================================================================
+# q86 — IVF-PQ SERVING path: persisted index, ADC + exact re-rank, no
+# training in the timed path (r5 verdict item 3: q78 deliberately times
+# the full training pipeline for oracle depth; this entry shows the cost a
+# user actually pays per query batch against a built index — the
+# train/maintain-offline, serve-cheap split of the reference's
+# merge-at-read design, cf. reference
+# dags/initial_load_generate_postgres_data.py:97-98).
+# ===========================================================================
+
+_Q86 = dict(n_cells=8, m=2, n_codes=8, n_probe=2, k=5, rerank=20, dim=64,
+            n_queries=3)
+
+
+def _q86_root(sf_dir: str) -> str:
+    """Per-(sf_dir, embeddings fingerprint) local cache root for the
+    persisted q86 index: deterministic content, so any process may build
+    it and later processes (bench serve runs, driver correctness runs)
+    reuse it; the fingerprint makes a regenerated testdata vintage miss
+    the cache instead of serving stale rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_q86", key)
+
+
+_Q86_MODEL_CACHE: dict = {}
+
+
+def _q86_model(spark: SparkSession, sf_dir: str):
+    """Fixed deterministic model — init-only (n_iter=0) coarse centroids
+    (the n_cells smallest vec_ids' embeddings, 6-dp rounded) and init-only
+    residual PQ codebooks (the n_codes smallest vec_ids' residual slices,
+    6-dp rounded). No Lloyd rounds, so the SQL oracle needs no training
+    unroll; serving semantics (routing, residual ADC, re-rank) are
+    identical to a trained model's.
+
+    Because init-only fitting reads only the ``max(n_cells, n_codes)``
+    smallest ids, the fit frames are pre-filtered to those rows (a pushed
+    ``vec_id <`` predicate — identical results, corpus-size-independent
+    model derivation), and the tiny model is memoized per cache root so
+    repeated serving calls in one process pay zero fit jobs — what a real
+    query server does with its model state."""
+    emb = Testdata(spark, sf_dir).embeddings
+    p = _Q86
+    key = _q86_root(sf_dir)
+    if key in _Q86_MODEL_CACHE:
+        cents, cb = _Q86_MODEL_CACHE[key]
+        return emb, cents, cb
+    seed = emb.where(
+        F.col("vec_id") < max(p["n_cells"], p["n_codes"])
+    )
+    cents = similarity.kmeans_fit(
+        seed, n_cells=p["n_cells"], n_iter=0, dim=p["dim"]
+    )
+    cb = similarity.ivf_pq_fit(
+        seed, cents, m=p["m"], n_codes=p["n_codes"], n_iter=0,
+        dim=p["dim"], residual=True,
+    )
+    _Q86_MODEL_CACHE[key] = (cents, cb)
+    return emb, cents, cb
+
+
+def _q86_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Build the persisted index once per (sf_dir, data vintage); no-op
+    when the cache is warm. bench.py runs this untimed in warm-up."""
+    import os
+    from pathlib import Path
+
+    root = _q86_root(sf_dir)
+    marker = os.path.join(root, "_built_ok")
+    if os.path.exists(marker):
+        _q86_model(spark, sf_dir)  # warm the in-process model memo
+        return
+    emb, cents, cb = _q86_model(spark, sf_dir)
+    similarity.ivf_index_write(
+        emb, cents, root, dim=_Q86["dim"], codebooks=cb, pq_residual=True
+    )
+    Path(marker).write_text("ok")
+
+
+def _q86_oracle() -> str:
+    p = _Q86
+    sub = p["dim"] // p["m"]
+    dist = _IVF_DIST
+    cos = (
+        "list_sum(list_transform(list_zip(qv.e, cv.e), t -> t[1] * t[2]))"
+        " / (sqrt(list_sum(list_transform(qv.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cv.e, x -> x * x))))"
+    )
+    cb_parts, cc_parts, lut_parts = [], [], []
+    for s in range(p["m"]):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        code_dist = dist.format(e=f"res.r[{lo}:{hi}]", c=f"cb{s}.c")
+        lut_dist = dist.format(e=f"qr{s}.qr", c=f"cb{s}.c")
+        cb_parts.append(f"""
+    cb{s} AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+             list_transform(r[{lo}:{hi}], x -> round(x, 6)) AS c
+      FROM (SELECT * FROM res WHERE vec_id < {p["n_codes"]} ORDER BY vec_id)
+    )""")
+        cc_parts.append(f"""
+    cc{s} AS MATERIALIZED (
+      SELECT vec_id, cell, code FROM (
+        SELECT res.vec_id, res.cell, cb{s}.code,
+               ROW_NUMBER() OVER (PARTITION BY res.vec_id ORDER BY
+                 {code_dist} ASC, cb{s}.code ASC) AS rn
+        FROM res, cb{s}
+      ) WHERE rn = 1
+    )""")
+        lut_parts.append(f"""
+    qr{s} AS (
+      SELECT p.query_id, p.cell,
+             list_transform(list_zip(p.qe[{lo}:{hi}], f.c[{lo}:{hi}]),
+                            t -> t[1] - t[2]) AS qr
+      FROM probe p JOIN cents f ON f.cell = p.cell
+    ),
+    lut{s} AS MATERIALIZED (
+      SELECT qr{s}.query_id, qr{s}.cell, cb{s}.code,
+             round({lut_dist}, 6) AS d
+      FROM qr{s}, cb{s}
+    )""")
+    corpus_dist = dist.format(e="v.e", c="cents.c")
+    query_dist = dist.format(e="q.e", c="cents.c")
+    cc_joins = "cc0 " + " ".join(
+        f"JOIN cc{s} USING (vec_id, cell)" for s in range(1, p["m"])
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = cc{s}.cell"
+        f" AND l{s}.code = cc{s}.code"
+        + ("" if s == 0 else f" AND l{s}.query_id = l0.query_id")
+        for s in range(p["m"])
+    )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(p["m"]))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM v WHERE vec_id < {p["n_cells"]} ORDER BY vec_id)
+    ),
+    corpus_cells AS MATERIALIZED (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, cents.cell ASC) AS rn
+        FROM v, cents
+      ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+      SELECT cc.vec_id, cc.cell,
+             list_transform(list_zip(cc.e, f.c), t -> t[1] - t[2]) AS r
+      FROM corpus_cells cc JOIN cents f USING (cell)
+    ),{",".join(cb_parts)},{",".join(cc_parts)},
+    probe AS MATERIALIZED (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {query_dist} ASC, cents.cell ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < {p["n_queries"]}) q, cents
+      ) WHERE rn <= {p["n_probe"]}
+    ),{",".join(lut_parts)},
+    adc AS (
+      SELECT l0.query_id, cc0.vec_id AS corpus_id,
+             {dist_sum} AS approx_dist
+      FROM {cc_joins}
+      {lut_joins}
+      WHERE l0.query_id <> cc0.vec_id
+    ),
+    short AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_dist ASC, corpus_id ASC
+        ) AS rn FROM adc
+      ) WHERE rn <= {p["rerank"]}
+    ),
+    rer AS (
+      SELECT s.query_id, s.corpus_id, {cos} AS cosine_sim
+      FROM short s
+      JOIN v cv ON cv.vec_id = s.corpus_id
+      JOIN v qv ON qv.vec_id = s.query_id
+    )
+    SELECT query_id, corpus_id, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM rer
+    ) WHERE rank <= {p["k"]}
+    """
+
+
+@query(
+    "q86_ivf_pq_serve",
+    oracle=_q86_oracle(),
+    doc="IVF-PQ SERVING cost: search a PERSISTED cell-partitioned index "
+    "(built untimed by bench warm-up via Q.prepare; rebuilt on cache miss) "
+    "with a fixed init-only model — probed-cell partition pruning, "
+    "codes-not-embeddings ADC scan, top-20 shortlist, exact cosine "
+    "re-rank to top-5. The serving twin of q78 (which times the full "
+    "training pipeline): operators.similarity.ivf_index_search.",
+    prepare=_q86_prepare,
+)
+def q86_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _Q86
+    _q86_prepare(spark, sf_dir)  # no-op when the bench warm-up built it
+    # the model is tiny and deterministic; re-derive it (two bounded
+    # collects) rather than deserializing Python state from the cache
+    emb, cents, cb = _q86_model(spark, sf_dir)
+    out = similarity.ivf_index_search(
+        spark, _q86_root(sf_dir),
+        emb.where(F.col("vec_id") < p["n_queries"]),
+        k=p["k"], n_probe=p["n_probe"], dim=p["dim"],
+        codebooks=cb, rerank=p["rerank"], pq_residual=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -750,8 +750,27 @@ def stream_datacard(
         regs = hll_registers(
             base, "__content", [*groups, "lang_pred"], p=p
         )
-        counts.write.mode("append").parquet(output_path + "/counts")
-        regs.write.mode("append").parquet(output_path + "/registers")
+        # foreachBatch is at-least-once: a replayed epoch must not append
+        # its partials twice (HLL registers survive a double-append via
+        # max-merge, but counts SUM — a replay would permanently inflate
+        # n_docs/total_chars/total_words). Same idempotent-sink recipe as
+        # stream_dedup_against/stream_decontaminate: stamp the epoch,
+        # partition on it, dynamic-overwrite so a replay replaces its own
+        # partition only.
+        (
+            counts.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path + "/counts")
+        )
+        (
+            regs.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path + "/registers")
+        )
 
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     writer = (

@@ -542,3 +542,39 @@ def test_stream_datacard_matches_batch_census(spark, tmp_path):
         assert g.pct_short == w.pct_short
         # tiny cardinality: sketch estimate == exact distinct count
         assert round(g.n_distinct_content_est) == w.n_distinct_content, k
+
+
+def test_stream_datacard_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5: foreachBatch is at-least-once, and the datacard counts
+    SUM on read — an epoch appended twice would permanently double-count
+    n_docs/total_chars/total_words (HLL registers alone survive via
+    max-merge). The sink now stamps __epoch_id and dynamic-overwrites, so
+    a replayed epoch (checkpoint wiped, same input files) replaces its own
+    partition instead of appending."""
+    import shutil
+
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        read_datacard,
+        stream_datacard,
+    )
+
+    d = str(tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house is that so", "en", "a", 43),
+            (2, "el la de que los las una por si no", "es", "b", 34),
+        ],
+        schema=DOC_SCHEMA,
+    )
+    batch.write.mode("append").parquet(d + "/in")
+    stream_datacard(spark, d + "/in", d + "/card", d + "/ckpt",
+                    short_words=5).awaitTermination(120)
+    # replay the same epoch: lose the checkpoint, same input files
+    shutil.rmtree(d + "/ckpt")
+    stream_datacard(spark, d + "/in", d + "/card", d + "/ckpt",
+                    short_words=5).awaitTermination(120)
+
+    got = {r.source: r for r in read_datacard(spark, d + "/card").collect()}
+    assert got["a"].n_docs == 1 and got["b"].n_docs == 1
+    assert got["a"].total_words == 11 and got["b"].total_words == 10
