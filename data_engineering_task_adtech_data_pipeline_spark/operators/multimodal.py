@@ -12,11 +12,16 @@ Design (the part that matters at 100 TB and IS real here):
 - partitioning by (modality, size-bucket) keeps batches homogeneous so a
   batch's peak memory is bounded by ``batch_rows x max_payload``.
 
-The actual pixel/audio decoding is STUBBED (this container ships no
-image/audio libraries): ``decode_images`` raises ``NotImplementedError``
-unless ``fake=True``, which produces a deterministic fake feature vector
-from the payload bytes — the Spark-side plumbing (schemas, batching, UDF
-signatures) is real and tested either way.
+Decoding support (round 6): ``decode_images(fake=False)`` /
+``resize_images(fake=False)`` now REALLY decode two dependency-free
+formats — binary PPM (P6) and uncompressed 24-bit BMP — via hand-rolled
+numpy parsers inside the Arrow batch (``_decode_payload``), exactly where
+PIL/cv2 would plug in for the rest. Unsupported formats still raise
+``NotImplementedError`` inside the executor batch (no image libraries in
+this container); a corrupt payload of a supported format yields
+``decode_ok=False`` rather than failing the job. ``fake=True`` keeps the
+deterministic byte-histogram stub used by the oracle-checked battery
+entry (q40).
 """
 
 from __future__ import annotations
@@ -57,6 +62,124 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Dependency-free decoders (executor-side; numpy only). PPM P6 and
+# uncompressed 24-bit BMP cover the "real bytes in, real pixels out" path
+# offline; everything else needs PIL/cv2 (env-blocked, DEVIATIONS.md).
+# ---------------------------------------------------------------------------
+
+def _ppm_decode(payload: bytes):
+    """Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    whitespace/`#` comments, then raw RGB (1 byte/sample for maxval<256).
+    Returns (H, W, 3) uint8 ndarray, or None if the payload is corrupt."""
+    import numpy as np
+
+    try:
+        if payload[:2] != b"P6":
+            return None
+        pos, vals = 2, []
+        n = len(payload)
+        while len(vals) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # single whitespace byte after maxval
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not (0 < maxval < 256):
+            return None
+        raw = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        return raw.reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None
+
+
+def _ppm_encode(arr) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _bmp_decode(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or
+    top-down): rows padded to 4 bytes, BGR order. Returns (H, W, 3) uint8
+    RGB ndarray, or None if corrupt/unsupported sub-format."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        w, h_signed = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+            return None
+        h = abs(h_signed)
+        stride = (w * 3 + 3) & ~3
+        raw = np.frombuffer(payload, np.uint8, count=stride * h,
+                            offset=data_off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if h_signed > 0:  # bottom-up storage
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _bmp_encode(arr) -> bytes:
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                    2835, 2835, 0, 0)
+    return header + data
+
+
+def _decode_payload(payload: bytes):
+    """Sniff + decode a supported payload. Returns (pixels, fmt) where
+    pixels is (H, W, 3) uint8 (None if the supported-format payload is
+    corrupt); raises NotImplementedError for formats needing PIL/cv2."""
+    if payload[:2] == b"P6":
+        return _ppm_decode(payload), "ppm"
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload), "bmp"
+    raise NotImplementedError(
+        "only PPM(P6)/24-bit BMP decode offline; other formats need "
+        "PIL/cv2 — not available in this container (DEVIATIONS.md)"
+    )
+
+
+def _encode_payload(arr, fmt: str) -> bytes:
+    return _ppm_encode(arr) if fmt == "ppm" else _bmp_encode(arr)
+
+
+def _resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample via numpy index arrays (no interpolation
+    libs): output pixel (i, j) samples source (floor((i+.5)*H/h'), ...)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height), h - 1).astype(int)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width), w - 1).astype(int)
+    return arr[rows][:, cols]
+
+
 def attach_meta(df: DataFrame, payload_col: str = "payload",
                 modality: str = "image", mime: str | None = None) -> DataFrame:
     """Derive the metadata struct from a bare binary column (n_bytes is
@@ -90,11 +213,14 @@ def decode_images(
     """Decode image payloads to feature vectors via Arrow-batched
     ``mapInPandas``.
 
-    Real decoding requires an image library not present in this container —
-    call with ``fake=True`` for a deterministic payload-derived fake feature
-    (keeps every Spark-side contract testable); ``fake=False`` raises
-    NotImplementedError *inside the executor batch*, which is where a real
-    implementation would plug in (PIL/cv2 import at top of ``run``).
+    ``fake=False`` REALLY decodes PPM(P6)/24-bit BMP payloads via the
+    module's hand-rolled numpy parsers and emits
+    ``[width, height, mean R, mean G, mean B, std R, std G, std B]``
+    (truncated/zero-padded to ``feature_dim``); a corrupt supported-format
+    payload yields ``decode_ok=False``; other formats raise
+    NotImplementedError *inside the executor batch*, which is where
+    PIL/cv2 would plug in. ``fake=True`` produces the deterministic
+    payload-derived byte-histogram feature (oracle-expressible — q40).
 
     ``batch_rows`` sets the SESSION-level Arrow batch-size conf (Spark
     reads it at execution, not per plan): the last multimodal operator
@@ -110,26 +236,37 @@ def decode_images(
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode needs PIL/cv2 — not available in this "
-                    "container; run with fake=True for the deterministic stub"
-                )
             feats, oks = [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     oks.append(False)
                     continue
-                # deterministic fake "embedding": byte-histogram moments,
-                # vectorized (frombuffer+bincount) — the pattern a real
-                # decoder should follow: numpy over the buffer, never
-                # per-byte Python
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr % feature_dim, minlength=feature_dim)
-                feats.append(
-                    [float(arr.size), *hist[: feature_dim - 1].astype(float)]
-                )
+                if fake:
+                    # deterministic fake "embedding": byte-histogram
+                    # moments, vectorized (frombuffer+bincount) — numpy
+                    # over the buffer, never per-byte Python
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    hist = np.bincount(
+                        arr % feature_dim, minlength=feature_dim
+                    )
+                    feats.append(
+                        [float(arr.size),
+                         *hist[: feature_dim - 1].astype(float)]
+                    )
+                    oks.append(True)
+                    continue
+                pixels, _ = _decode_payload(bytes(payload))
+                if pixels is None:
+                    feats.append(None)
+                    oks.append(False)
+                    continue
+                px = pixels.reshape(-1, 3).astype(np.float64)
+                f = [
+                    float(pixels.shape[1]), float(pixels.shape[0]),
+                    *px.mean(axis=0).tolist(), *px.std(axis=0).tolist(),
+                ]
+                feats.append((f + [0.0] * feature_dim)[:feature_dim])
                 oks.append(True)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
@@ -150,11 +287,14 @@ def resize_images(
     (possibly re-encoded) payload plus a meta struct with the new
     dimensions filled in.
 
-    Real resizing needs PIL/cv2 (absent in this container): ``fake=True``
-    passes payload bytes through untouched and stamps width/height into the
-    metadata — exercising the full schema/batching path — while
-    ``fake=False`` raises NotImplementedError inside the executor batch,
-    exactly where `PIL.Image.open(BytesIO(payload)).resize(...)` plugs in.
+    ``fake=False`` REALLY resizes PPM(P6)/24-bit BMP payloads —
+    hand-rolled decode, numpy nearest-neighbor resample, re-encode in the
+    source format — with width/height stamped into the metadata; a corrupt
+    supported-format payload passes through with a NULL payload; other
+    formats raise NotImplementedError inside the executor batch, exactly
+    where `PIL.Image.open(BytesIO(payload)).resize(...)` plugs in.
+    ``fake=True`` passes payload bytes through untouched and stamps the
+    metadata only (the schema/batching path without pixel work).
 
     Scale shape: per-partition Arrow batches, no shuffle, payloads never
     visit the driver; pair with ``size_bucketed`` so one batch's memory is
@@ -176,20 +316,27 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize needs PIL/cv2 — not available in this "
-                    "container; run with fake=True for the pass-through stub"
-                )
-            metas = []
-            for m in pdf["meta"]:
+            metas, payloads = [], []
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
                 m = dict(m) if m is not None else {}
                 m["width"], m["height"] = width, height
                 metas.append(m)
+                if fake or payload is None:
+                    payloads.append(payload)
+                    continue
+                pixels, fmt = _decode_payload(bytes(payload))
+                if pixels is None:
+                    payloads.append(None)  # corrupt: no resized bytes
+                    continue
+                payloads.append(
+                    _encode_payload(
+                        _resize_nearest(pixels, width, height), fmt
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "meta": metas,
                 }
             )

@@ -348,22 +348,40 @@ def stream_events_daily(
     processing_time: str = "5 minutes",
     post_batch: Callable[[SparkSession, int], None] | None = None,
     prefix: str | None = None,
+    sink_format: str = "append",
+    merge_buckets: int = 64,
 ):
     """File-source streaming job: new event parquet files → day-grain
     versioned upserts into the silver daily table.
 
-    ``foreachBatch`` appends each micro-batch's updated groups with their
-    bumped ``rtm_delta``; readers apply the latest-version dedup view
-    (``operators.upsert.latest_version``). With ``prefix`` set (e.g.
-    'impressions') the output uses the batch silver DDL names
-    (``campaign_{prefix}_date``/``campaign_{prefix}_count_daily``), making
-    the streaming and batch ``track_deltas`` paths schema-interchangeable —
-    appending both into one silver path is then safe; with ``prefix=None``
-    the table keeps its own generic schema and should live at its own path.
-    ``post_batch`` (e.g. gold-report rebuild) runs after each append — the
-    analog of the reference's report tasks downstream of the delta tasks
+    ``sink_format`` picks the upsert layout, converging the streaming and
+    batch upsert stories on the same two designs as ``operators.upsert``:
+
+    - ``"append"`` (default): ``foreachBatch`` appends each micro-batch's
+      updated groups with their bumped ``rtm_delta``; readers apply the
+      latest-version dedup view (``operators.upsert.latest_version``) —
+      cheap writes, read amplification until compaction.
+    - ``"merge"``: each micro-batch routes through
+      ``operators.upsert.merge_upsert`` (q59's copy-on-write
+      bucket-partitioned MERGE layout, keys = (campaign, day), version =
+      ``rtm_delta``); readers use ``operators.upsert.read_merged`` — one
+      scan, no dedup window, nothing to compact. foreachBatch is
+      at-least-once, and a replayed epoch is safe because max-version-wins
+      MERGE is idempotent (same source rows → same merged table; see
+      merge_upsert's crash/replay contract).
+
+    With ``prefix`` set (e.g. 'impressions') the output uses the batch
+    silver DDL names (``campaign_{prefix}_date``/
+    ``campaign_{prefix}_count_daily``), making the streaming and batch
+    ``track_deltas`` paths schema-interchangeable — landing both in one
+    silver table is then safe; with ``prefix=None`` the table keeps its
+    own generic schema and should live at its own path. ``post_batch``
+    (e.g. gold-report rebuild) runs after each batch lands — the analog of
+    the reference's report tasks downstream of the delta tasks
     (``dags/track_delta.py:662-664``).
     """
+    if sink_format not in ("append", "merge"):
+        raise ValueError(f"unknown sink_format: {sink_format!r}")
     date_name = f"campaign_{prefix}_date" if prefix else "event_date"
     count_name = f"campaign_{prefix}_count_daily" if prefix else "event_count"
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
@@ -386,7 +404,17 @@ def stream_events_daily(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_append(batch_df, silver_path)
+        if sink_format == "merge":
+            from ..operators.upsert import merge_upsert
+
+            merge_upsert(
+                batch_df, silver_path,
+                keys=["rtm_campaign_id", date_name],
+                version="rtm_delta", tiebreak=[count_name],
+                num_buckets=merge_buckets,
+            )
+        else:
+            upsert_append(batch_df, silver_path)
         if post_batch is not None:
             post_batch(batch_df.sparkSession, epoch_id)
 

@@ -1278,3 +1278,92 @@ def test_snapshot_diff_classification(spark):
     )
     out = {r.doc_id: r.change for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def _ppm_bytes(w, h, rgb):
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:, :] = rgb
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def test_decode_images_real_ppm_and_bmp(spark):
+    """fake=False really decodes PPM(P6) and 24-bit BMP payloads with the
+    hand-rolled numpy parsers (r5 verdict #6): features carry true
+    (width, height, channel means/stds); corrupt supported-format payloads
+    yield decode_ok=False instead of failing the batch."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _bmp_encode,
+    )
+
+    ppm = _ppm_bytes(4, 2, (10, 200, 30))
+    arr = np.zeros((3, 5, 3), np.uint8)
+    arr[:, :] = (7, 8, 9)
+    bmp = _bmp_encode(arr)  # width 5 -> stride padding exercised
+    corrupt = b"P6\n4 2\n255\n\x00"  # truncated raster
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(corrupt))],
+        "media_id long, payload binary",
+    )
+    feats = {r.media_id: r for r in
+             multimodal.decode_images(media, fake=False).collect()}
+    assert feats[1].decode_ok
+    assert feats[1].feature[:5] == [4.0, 2.0, 10.0, 200.0, 30.0]
+    assert feats[1].feature[5:] == [0.0, 0.0, 0.0]  # uniform -> zero std
+    assert feats[2].decode_ok
+    assert feats[2].feature[:5] == [5.0, 3.0, 7.0, 8.0, 9.0]
+    assert not feats[3].decode_ok and feats[3].feature is None
+
+
+def test_resize_images_real_roundtrip(spark):
+    """fake=False resize: decode -> nearest-neighbor resample -> re-encode
+    in the source format; the output payload re-decodes at the new
+    dimensions with the original colors preserved."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _bmp_decode,
+        _bmp_encode,
+        _ppm_decode,
+    )
+
+    ppm = _ppm_bytes(8, 4, (50, 60, 70))
+    arr = np.zeros((4, 6, 3), np.uint8)
+    arr[:, :] = (1, 2, 3)
+    bmp = _bmp_encode(arr)
+    media = multimodal.attach_meta(
+        spark.createDataFrame(
+            [(1, bytearray(ppm)), (2, bytearray(bmp))],
+            "media_id long, payload binary",
+        ),
+        modality="image",
+    )
+    out = {r.media_id: r for r in
+           multimodal.resize_images(media, 3, 2, fake=False).collect()}
+    assert (out[1].meta.width, out[1].meta.height) == (3, 2)
+    dec1 = _ppm_decode(bytes(out[1].payload))
+    assert dec1.shape == (2, 3, 3) and (dec1 == (50, 60, 70)).all()
+    dec2 = _bmp_decode(bytes(out[2].payload))
+    assert dec2.shape == (2, 3, 3) and (dec2 == (1, 2, 3)).all()
+
+
+def test_bmp_codec_roundtrip_gradient():
+    """Pure-codec check: an asymmetric gradient survives BMP encode/decode
+    bit-for-bit (stride padding, bottom-up row order, BGR swap all
+    exercised); PPM likewise."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _bmp_decode,
+        _bmp_encode,
+        _ppm_decode,
+        _ppm_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (_bmp_decode(_bmp_encode(arr)) == arr).all()
+    assert (_ppm_decode(_ppm_encode(arr)) == arr).all()

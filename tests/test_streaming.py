@@ -578,3 +578,91 @@ def test_stream_datacard_replay_is_idempotent(spark, tmp_path):
     got = {r.source: r for r in read_datacard(spark, d + "/card").collect()}
     assert got["a"].n_docs == 1 and got["b"].n_docs == 1
     assert got["a"].total_words == 11 and got["b"].total_words == 10
+
+
+@pytest.mark.slow
+def test_stream_events_daily_merge_sink_matches_batch(spark, tmp_path):
+    """sink_format='merge': the streaming daily rollup lands through
+    merge_upsert (q59's copy-on-write layout), so a read needs NO dedup
+    window — read_merged over two file batches equals the batch recompute,
+    converging the streaming and batch upsert stories (r5 verdict #5)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        read_merged,
+    )
+
+    d = str(tmp_path)
+    gen_impressions(spark, GenConfig(impressions_per_campaign=300)).write.mode(
+        "append"
+    ).parquet(d + "/in")
+    stream_events_daily(
+        spark, d + "/in", d + "/silver", d + "/ckpt",
+        available_now=True, lateness="30 days", sink_format="merge",
+        merge_buckets=4,
+    ).awaitTermination(120)
+    gen_impressions(
+        spark, GenConfig(impressions_per_campaign=200, seed=7, id_offset=50)
+    ).write.mode("append").parquet(d + "/in")
+    stream_events_daily(
+        spark, d + "/in", d + "/silver", d + "/ckpt",
+        available_now=True, lateness="30 days", sink_format="merge",
+        merge_buckets=4,
+    ).awaitTermination(120)
+
+    got = read_merged(spark, d + "/silver").select(
+        *KEYS, "event_count", "rtm_delta"
+    )
+    expect = (
+        spark.read.parquet(d + "/in")
+        .groupBy(
+            F.col("campaign_id").alias("rtm_campaign_id"),
+            F.to_date("created_at").alias("event_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.max("created_at").alias("rtm_delta"),
+        )
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+@pytest.mark.slow
+def test_stream_events_daily_merge_sink_replay_after_crash(spark, tmp_path):
+    """A replayed epoch (crash between merge and checkpoint commit,
+    simulated by wiping the checkpoint) re-merges the same source —
+    max-version-wins MERGE is idempotent, so the merged table is unchanged
+    and still dedup-window-free. Composes the stream_decontaminate replay
+    recipe with merge_upsert's replay contract
+    (test_merge_upsert_replay_after_partial_swap)."""
+    import shutil
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        read_merged,
+    )
+
+    d = str(tmp_path)
+    gen_impressions(spark, GenConfig(impressions_per_campaign=100)).write.mode(
+        "append"
+    ).parquet(d + "/in")
+    stream_events_daily(
+        spark, d + "/in", d + "/silver", d + "/ckpt",
+        available_now=True, lateness="30 days", sink_format="merge",
+        merge_buckets=4,
+    ).awaitTermination(120)
+    before = sorted(
+        (r.rtm_campaign_id, str(r.event_date), r.event_count)
+        for r in read_merged(spark, d + "/silver").collect()
+    )
+    # replay the same epoch: lose the checkpoint, same input files
+    shutil.rmtree(d + "/ckpt")
+    stream_events_daily(
+        spark, d + "/in", d + "/silver", d + "/ckpt",
+        available_now=True, lateness="30 days", sink_format="merge",
+        merge_buckets=4,
+    ).awaitTermination(120)
+    after = sorted(
+        (r.rtm_campaign_id, str(r.event_date), r.event_count)
+        for r in read_merged(spark, d + "/silver").collect()
+    )
+    assert after == before
