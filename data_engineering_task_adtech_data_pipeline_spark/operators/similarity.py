@@ -1563,6 +1563,7 @@ def ivf_index_search(
     rerank: int | None = None,
     pq_residual: bool = True,
     predicate: "Column | str | None" = None,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
@@ -1588,8 +1589,14 @@ def ivf_index_search(
     The streamed-delta probe goes through the Hadoop FileSystem API, so a
     delta under an hdfs:// or s3a:// root is found exactly like a local
     one — an ``os.path`` probe would return False for any URI and serve
-    the base index only, silently dropping every streamed row."""
-    centroids = ivf_model_read(spark, fs.join(root, "model"))
+    the base index only, silently dropping every streamed row.
+
+    ``centroids``: pass the model (from ``ivf_model_read`` or the
+    training call) to skip the per-search model-table read — what a
+    resident query server does with its loaded model state; when None the
+    model is read from the index root (must match the index's)."""
+    if centroids is None:
+        centroids = ivf_model_read(spark, fs.join(root, "model"))
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     def read_index(cols) -> DataFrame:

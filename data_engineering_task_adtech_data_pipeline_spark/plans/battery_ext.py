@@ -3152,5 +3152,6 @@ def q86_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < p["n_queries"]),
         k=p["k"], n_probe=p["n_probe"], dim=p["dim"],
         codebooks=cb, rerank=p["rerank"], pq_residual=True,
+        centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
