@@ -1368,3 +1368,74 @@ def dedup_against(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate dedup (the CCNet / RefinedWeb line-dedup
+    pass): a line whose EXACT content appears in >= ``min_docs`` distinct
+    documents is boilerplate (headers, footers, nav bars, cookie
+    banners) and is dropped from every document; unique lines keep their
+    original order. Returns one row per input document:
+    ``id_col, n_lines, n_kept, clean_text`` (empty string when every
+    line was boilerplate).
+
+    Scale shape (100 TB): two shuffles, no windows, no cartesian —
+    (1) line doc-frequency is a groupBy on the line's md5 (the line TEXT
+    never shuffles in pass 2: after the frequency join, only the kept
+    line POSITIONS — ints — aggregate per doc), (2) the per-doc regroup
+    collects those ints and the text is rebuilt from the ORIGINAL
+    document by index, so shuffle rows stay a few bytes regardless of
+    line length. Exact-content matching only; near-dup lines are the
+    k-gram operators' job (duplicate_spans).
+
+    Reference analog: none (extension) — the reference dedups at event
+    grain only (``dags/track_delta.py``); this is the document-corpus
+    curation twin, cf. Penedo et al. 2023 (RefinedWeb) §3.3 line-wise
+    filtering.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "__pos", "__line"
+        ),
+    )
+    freq = (
+        lines.select(F.md5("__line").alias("__h"), id_col)
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+    )
+    kept_pos = (
+        lines.join(freq, F.md5(F.col("__line")) == F.col("__h"), "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("__pos")).alias("__keep"),
+        )
+    )
+    words = F.split(F.col(text_col), delimiter)
+    return (
+        df.select(id_col, text_col)
+        .join(kept_pos, id_col, "left")
+        .select(
+            id_col,
+            F.size(words).cast("long").alias("n_lines"),
+            F.coalesce(F.size("__keep"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.coalesce(
+                        F.col("__keep"), F.array().cast("array<int>")
+                    ),
+                    lambda p: F.element_at(words, p + 1),
+                ),
+            ).alias("clean_text"),
+        )
+    )

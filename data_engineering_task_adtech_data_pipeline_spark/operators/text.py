@@ -769,3 +769,129 @@ def zipf_fit(
         ((sy - (cov / varx) * sx) / n).alias("intercept"),
         (cov * cov / (varx * vary)).alias("r2"),
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """FULL BPE merge learning (Sennrich et al. 2016 algorithm 1): start
+    from the character segmentation of the corpus's word-frequency table,
+    then ``n_merges`` rounds of (count adjacent symbol pairs weighted by
+    word freq) → (merge the argmax pair — ties: count desc, left asc,
+    right asc — in every vocab word). Returns the learned merge table
+    ``(merge_rank, left_sym, right_sym, pair_count)``, the artifact a BPE
+    tokenizer ships. ``bpe_pair_counts`` is exactly round 0's counting
+    stage.
+
+    Scale shape (100 TB): the corpus collapses ONCE to the word-frequency
+    table (persisted); every merge round is then vocabulary-sized — one
+    pair-explode aggregation plus one literal `replace` projection — and
+    the only driver state is the single argmax pair per round (a bounded
+    1-row collect, the same model-state pattern as ``kmeans_fit``).
+    Merging is a literal string replace over the ``sep``-joined symbol
+    string: replace scans left-to-right over non-overlapping occurrences,
+    which IS the BPE merge convention for repeated symbols ("a a a" with
+    merge (a,a) → "aa a").
+    """
+    symbols = F.regexp_replace(
+        F.regexp_replace(F.col("word"), "(.)", "$1" + sep),
+        sep + "$",
+        "",
+    )
+    vocab = (
+        df.select(F.explode(_word_array(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(symbols.alias("s"), "freq")
+        .persist()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        cur = vocab
+        for rank in range(1, n_merges + 1):
+            arr = F.split(F.col("s"), sep)
+            n = F.size(arr)
+            pairs = (
+                cur.where(n >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1)
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(
+                    F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r")
+                )
+                .agg(F.sum("freq").cast("long").alias("c"))
+            )
+            best = pairs.orderBy(
+                F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+            ).first()
+            if best is None:
+                break
+            merges.append((rank, best.l, best.r, best.c))
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(best.l + sep + best.r),
+                    F.lit(best.l + best.r),
+                ),
+            )
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def unigram_nll_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram language-model quality score (the CCNet recipe:
+    score each document by LM negative log-likelihood and filter/bucket on
+    it — Wenzek et al. 2020 use a 5-gram KenLM; the unigram variant is the
+    same pipeline shape without external model state): p(w) = corpus
+    count / corpus total, doc score = mean over the doc's words of
+    -ln p(w). Lower = more typical text; very low = degenerate repetition
+    of frequent words; very high = out-of-vocabulary noise.
+
+    Engine-exact numerics: each word's -ln p is rounded to 6 dp and the
+    per-doc mean rides a DECIMAL(18,6) sum over exact counts, so the
+    score is bit-identical across engines/partitionings.
+
+    Scale shape (100 TB): the LM "training" is one word-count aggregation
+    (dictionary-sized result); scoring is an equi-join of the doc-word
+    explode against that table — no windows, and the join's build side is
+    the vocabulary, which Spark/AQE broadcasts when it fits.
+    """
+    words = df.select(
+        id_col, F.explode(_word_array(text_col)).alias("__w")
+    ).where(F.col("__w") != "")
+    wf = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = wf.agg(F.sum("__c").cast("long").alias("__n"))
+    nll = F.round(
+        -F.log(F.col("__c").cast("double") / F.col("__n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        words.join(wf, "__w")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            (
+                F.sum(nll).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll"),
+        )
+    )

@@ -26,6 +26,7 @@ DRIVER_WINDOW: list[str] = [
     "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
     "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
     "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
+    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
     # (c) relational battery — green in r4, out of window in r5
     "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
     "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
@@ -34,10 +35,10 @@ DRIVER_WINDOW: list[str] = [
     "q34_json_extract", "q37_exists_anti", "q39_order_count_distribution",
     "q44_string_functions", "q46_array_agg",
     # (d) headline LLM-pipeline operators (green r5; kept fresh)
-    "q11_dedup_exact", "q13_minhash_dedup", "q35_minhash_dedup_transitive",
-    "q58_greedy_pack_sharded", "q60_duplicate_spans", "q64_hll_distinct",
-    "q67_collapse_duplicates", "q68_semantic_dedup", "q70_dedup_against_corpus",
-    "q72_pq_adc_topk", "q73_salted_agg",
+    "q13_minhash_dedup", "q35_minhash_dedup_transitive",
+    "q58_greedy_pack_sharded", "q60_duplicate_spans",
+    "q67_collapse_duplicates", "q68_semantic_dedup",
+    "q70_dedup_against_corpus", "q72_pq_adc_topk",
 ]
 
 

@@ -3155,3 +3155,175 @@ def q86_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q87 — line-level boilerplate dedup (CCNet / RefinedWeb line-dedup pass)
+# ===========================================================================
+
+@query(
+    "q87_line_dedup",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM.format(c='text')} AS t FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             regexp_replace(t, '(\\S+ \\S+ \\S+ \\S+) ',
+                            '\\1' || chr(10), 'g') AS t
+      FROM norm
+    ),
+    parts AS (
+      SELECT doc_id, string_split(t, chr(10)) AS p FROM lined
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             p[CAST(i AS INTEGER)] AS line
+      FROM parts, UNNEST(range(1, len(p) + 1)) t(i)
+    ),
+    boiler AS (
+      SELECT md5(line) AS h FROM lines
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM lines
+      WHERE md5(line) NOT IN (SELECT h FROM boiler)
+      GROUP BY doc_id
+    )
+    SELECT li.doc_id,
+           CAST(len(string_split(li.t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(k.clean_text, '')) AS clean_hash
+    FROM lined li LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Line-level boilerplate dedup (CCNet / RefinedWeb §3.3): "
+    "normalized docs are split into 4-word lines (single regex pass — no "
+    "per-line lambda re-evaluation); any exact line present in >=2 "
+    "distinct docs is boilerplate and drops from every doc; survivors "
+    "keep document order. Value-checks operators.dedup.duplicate_lines "
+    "end-to-end: per-doc line totals, kept counts, and the md5 of the "
+    "rebuilt text.",
+)
+def q87_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            dedup.normalize_text("text"),
+            r"(\S+ \S+ \S+ \S+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    out = dedup.duplicate_lines(lined, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+# ===========================================================================
+# q88 — BPE merge learning: 5 unrolled merge rounds (Sennrich alg. 1)
+# ===========================================================================
+
+def _bpe_merge_oracle(n_merges: int) -> str:
+    """Unrolled BPE training: v0 = per-character segmentation of the word
+    frequency table (symbols joined by chr(31)); round i = pair counts on
+    v{i}, argmax b{i} (count desc / left asc / right asc — integer-exact,
+    engine-portable), v{i+1} = literal replace of the winning pair in
+    every word. Mirrors text.bpe_learn_merges exactly, including the
+    left-to-right non-overlapping replace convention."""
+    its = []
+    for i in range(n_merges):
+        its.append(f"""
+    p{i} AS (
+      SELECT a[CAST(j AS INTEGER)] AS l, a[CAST(j + 1 AS INTEGER)] AS r,
+             SUM(freq) AS c
+      FROM (SELECT string_split(s, chr(31)) AS a, freq FROM v{i}),
+           UNNEST(range(1, len(a))) t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT replace(s, (SELECT l || chr(31) || r FROM b{i}),
+                     (SELECT l || r FROM b{i})) AS s, freq
+      FROM v{i}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT regexp_replace(
+               regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+               chr(31) || '$', '') AS s,
+             freq
+      FROM words
+    ),{",".join(its)}
+    {finals}
+    """
+
+
+@query(
+    "q88_bpe_learn_merges",
+    oracle=_bpe_merge_oracle(5),
+    doc="FULL BPE tokenizer training, 5 merge rounds (Sennrich 2016 "
+    "alg. 1; q79 is round 0's counting stage): word-frequency table -> "
+    "character segmentation -> iterate count-pairs / merge-argmax, ties "
+    "count desc then lexicographic. Every round runs on the "
+    "vocabulary-sized table; the oracle unrolls all five rounds "
+    "(operators.text.bpe_learn_merges).",
+)
+def q88_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    norm = docs.select(dedup.normalize_text("text").alias("text"))
+    return text.bpe_learn_merges(norm, n_merges=5)
+
+
+# ===========================================================================
+# q89 — unigram-LM document quality score (CCNet shape)
+# ===========================================================================
+
+@query(
+    "q89_unigram_nll",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    wf AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wf)
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(round(-ln(CAST(wf.c AS DOUBLE)
+                                   / CAST(n.n AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_nll
+    FROM dw JOIN wf USING (w), n
+    GROUP BY dw.doc_id
+    """,
+    doc="Unigram-LM document quality scoring (CCNet / Wenzek 2020 shape): "
+    "corpus word frequencies are the model; each doc scores mean "
+    "-ln p(word), 6-dp rounded per word and DECIMAL-summed so the score "
+    "is engine-exact (operators.text.unigram_nll_score).",
+)
+def q89_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    norm = docs.select("doc_id", dedup.normalize_text("text").alias("text"))
+    return text.unigram_nll_score(norm)

@@ -1367,3 +1367,68 @@ def test_bmp_codec_roundtrip_gradient():
     arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
     assert (_bmp_decode(_bmp_encode(arr)) == arr).all()
     assert (_ppm_decode(_ppm_encode(arr)) == arr).all()
+
+
+def test_duplicate_lines_hand_example(spark):
+    """Boilerplate line 'footer text' appears in 3 docs -> dropped from
+    all; unique lines keep document order; a doc that is ALL boilerplate
+    ends empty; intra-doc repeats of a unique line survive (df counts
+    DISTINCT docs)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nfooter text\nbeta two"),
+            (2, "gamma three\nfooter text"),
+            (3, "footer text"),
+            (4, "delta four\ndelta four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_lines(docs, min_docs=2).collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[1].clean_text == "alpha one\nbeta two"
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert out[2].clean_text == "gamma three"
+    assert (out[3].n_lines, out[3].n_kept) == (1, 0)
+    assert out[3].clean_text == ""
+    # 'delta four' twice in ONE doc: df=1, both positions kept in order
+    assert (out[4].n_lines, out[4].n_kept) == (2, 2)
+    assert out[4].clean_text == "delta four\ndelta four"
+
+
+def test_bpe_learn_merges_hand_example(spark):
+    """'aaa' x2 gives pair (a,a) count 4 (2 adjacent pairs x freq 2);
+    'low' x3 + 'lower' gives (l,o) count 4 — the tie at 4 breaks
+    LEXICOGRAPHICALLY, so round 1 merges (a,a); the replace is
+    left-to-right non-overlapping ('aaa' -> 'aa'+'a', so round 2's (a,a)
+    count is 0 and (l,o) wins), then (lo,w)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "aaa aaa")], "doc_id long, text string"
+    )
+    got = {r.merge_rank: r for r in bpe_learn_merges(docs, n_merges=3).collect()}
+    assert (got[1].left_sym, got[1].right_sym, got[1].pair_count) == ("a", "a", 4)
+    assert (got[2].left_sym, got[2].right_sym, got[2].pair_count) == ("l", "o", 4)
+    assert (got[3].left_sym, got[3].right_sym, got[3].pair_count) == ("lo", "w", 4)
+
+
+def test_unigram_nll_hand_example(spark):
+    """p(common)=3/4, p(rare)=1/4: doc of all-common words scores
+    -ln(0.75), the mixed doc averages the two; values match the closed
+    form after 6-dp rounding."""
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        unigram_nll_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common common"), (2, "common rare")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_nll_score(docs).collect()}
+    c = round(-math.log(3 / 4), 6)
+    r = round(-math.log(1 / 4), 6)
+    assert out[1].n_words == 2 and abs(out[1].avg_nll - c) < 1e-9
+    assert out[2].n_words == 2 and abs(out[2].avg_nll - (c + r) / 2) < 1e-9
