@@ -1,0 +1,136 @@
+"""Graph algorithms over DataFrame edge lists.
+
+``dedup.connected_components`` / ``connected_components_star`` cover the
+closure family; this module holds the iterative-propagation family —
+weighted PageRank (Page et al. 1999), driver-controlled iterations over
+pure DataFrame joins (the Pregel-without-Pregel shape Spark executes
+well: each superstep is one join + one aggregation).
+
+Engine-exact numerics (the battery contract): every per-edge
+contribution is rounded to 12 dp and summed as DECIMAL(28,12), and each
+iteration's rank is re-rounded to 12 dp — float summation order can
+never leak into the result, so an external SQL oracle reproduces every
+iteration bit-for-bit.
+
+Reference analog: none (extension) — the reference has no graph
+operators; this generalizes its delta-propagation idea
+(``dags/track_delta.py``) to arbitrary edge lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank on a directed edge list; returns
+    ``(node, rank, out_weight)`` for every node appearing as source or
+    destination. Dangling nodes (no out-edges) redistribute their mass
+    uniformly, the standard correction — without it rank mass leaks and
+    the result depends on how many dangling nodes the corpus happens to
+    have.
+
+    Scale shape (100 TB of edges): nodes/out-weights are computed once
+    and persisted; each iteration is one equi-join of the current rank
+    onto the edge list (shuffle on src), one aggregation (shuffle on
+    dst), and a 1-row dangling-mass aggregate (broadcast back) — Spark's
+    canonical iterative-join plan with nothing driver-sized but the
+    dangling scalar. ``n_iter`` is driver-controlled; lineage is
+    re-rooted each round from small materialized rank tables, not an
+    ever-growing chain.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        w.alias("__w"),
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    out_w = e.groupBy(F.col("__src").alias("node")).agg(
+        F.sum("__w").alias("out_weight")
+    )
+    base = nodes.join(out_w, "node", "left").select(
+        "node", F.coalesce("out_weight", F.lit(0.0)).alias("out_weight")
+    )
+    base = base.persist()
+    e = e.persist()
+    try:
+        n = base.count()  # also materializes the persists
+        # each round ends in an EAGER localCheckpoint: the round's joins
+        # actually run against the persisted base/edges, and the next
+        # round's lineage re-roots at a materialized rank table instead
+        # of an ever-growing join chain (the canonical Spark iterative
+        # pattern; n_iter joins, not a 2^n_iter plan)
+        rank = base.select(
+            "node", F.lit(round(1.0 / n, 12)).alias("rank")
+        ).localCheckpoint()
+        for _ in range(n_iter):
+            r = rank.join(base, "node")
+            dangling = (
+                r.where(F.col("out_weight") == 0.0)
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
+                    ).alias("__dm")
+                )
+            )
+            contrib = (
+                r.where(F.col("out_weight") > 0.0)
+                .join(e, r["node"] == e["__src"])
+                .select(
+                    F.col("__dst").alias("node"),
+                    F.round(
+                        F.col("rank") * F.col("__w") / F.col("out_weight"),
+                        12,
+                    )
+                    .cast(_DEC)
+                    .alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+            rank = (
+                base.select("node")
+                .join(contrib, "node", "left")
+                .join(F.broadcast(dangling))
+                .select(
+                    "node",
+                    F.round(
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(
+                                F.col("__in").cast("double"), F.lit(0.0)
+                            )
+                            + F.col("__dm").cast("double") / F.lit(float(n))
+                        ),
+                        12,
+                    ).alias("rank"),
+                )
+            ).localCheckpoint()
+        return (
+            rank.join(base, "node")
+            .select("node", "rank", "out_weight")
+            .localCheckpoint()
+        )
+    finally:
+        base.unpersist()
+        e.unpersist()

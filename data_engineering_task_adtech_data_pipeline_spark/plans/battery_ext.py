@@ -3327,3 +3327,94 @@ def q89_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     norm = docs.select("doc_id", dedup.normalize_text("text").alias("text"))
     return text.unigram_nll_score(norm)
+
+
+# ===========================================================================
+# q90 — weighted PageRank over the word-adjacency graph (3 iterations)
+# ===========================================================================
+
+def _pagerank_oracle(n_iter: int, damping: float = 0.85) -> str:
+    """Unrolled PageRank mirroring operators.graph.pagerank exactly:
+    12-dp rounded per-edge contributions DECIMAL(28,12)-summed, uniform
+    dangling-mass redistribution, per-iteration 12-dp rank rounding —
+    float summation order can never differ between engines."""
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+    d{i} AS (
+      SELECT COALESCE(SUM(CAST(r.rank AS DECIMAL(28,12))),
+                      CAST(0 AS DECIMAL(28,12))) AS dm
+      FROM r{i} r JOIN base b USING (node) WHERE b.out_weight = 0.0
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(round(r.rank * e.wt / b.out_weight, 12)
+                 AS DECIMAL(28,12))) AS cin
+      FROM r{i} r JOIN base b USING (node) JOIN edges e ON e.src = r.node
+      WHERE b.out_weight > 0.0 GROUP BY 1
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT b.node,
+             round((1.0 - {damping}) / nn.n
+                   + {damping} * (COALESCE(CAST(c.cin AS DOUBLE), 0.0)
+                                  + CAST(d.dm AS DOUBLE)
+                                    / CAST(nn.n AS DOUBLE)), 12) AS rank
+      FROM base b LEFT JOIN c{i} c ON c.node = b.node, d{i} d, nn
+    )""")
+    return f"""
+    WITH dw AS (
+      SELECT list_filter(string_split({_NORM.format(c='text')}, ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    edges AS MATERIALIZED (
+      SELECT w[CAST(j AS INTEGER)] AS src, w[CAST(j + 1 AS INTEGER)] AS dst,
+             CAST(count(*) AS DOUBLE) AS wt
+      FROM dw, UNNEST(range(1, len(w))) t(j)
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    ow AS (SELECT src AS node, SUM(wt) AS out_weight FROM edges GROUP BY 1),
+    base AS MATERIALIZED (
+      SELECT n.node, COALESCE(ow.out_weight, 0.0) AS out_weight
+      FROM nodes n LEFT JOIN ow USING (node)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM base),
+    r0 AS MATERIALIZED (
+      SELECT node, round(1.0 / nn.n, 12) AS rank FROM base, nn
+    ),{",".join(its)}
+    SELECT r.node, r.rank, b.out_weight
+    FROM r{n_iter} r JOIN base b USING (node)
+    """
+
+
+@query(
+    "q90_pagerank",
+    oracle=_pagerank_oracle(3),
+    doc="Weighted PageRank (Page et al. 1999), 3 iterations at d=0.85, "
+    "over the corpus word-adjacency graph (edge = adjacent word pair, "
+    "weight = corpus count): the iterative-propagation pattern — one "
+    "equi-join + one aggregation per superstep, rank tables re-rooted "
+    "via eager localCheckpoint, dangling mass redistributed uniformly. "
+    "12-dp decimal contribution sums make every iteration engine-exact "
+    "(operators.graph.pagerank).",
+)
+def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = Testdata(spark, sf_dir).documents
+    wcol = F.filter(
+        F.split(dedup.normalize_text("text"), " "), lambda x: x != ""
+    )
+    n = F.size(wcol)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(F.slice(wcol, 1, n - 1), F.slice(wcol, 2, n - 1))
+        ).alias("p")
+    )
+    edges = pairs.groupBy(
+        F.col("p")["0"].alias("src"), F.col("p")["1"].alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("wt"))
+    return pagerank(edges, n_iter=3, weight_col="wt")

@@ -144,3 +144,28 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """ORC source (columnar sibling of parquet, Spark-native — same
+    vectorized reader, predicate pushdown and column pruning). Schema is
+    optional here because ORC files carry their types like parquet; pass
+    one to enforce a contract on untrusted files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native; zlib by default). Exists so a deployment
+    standardized on ORC gets the same typed round-trip contract as the
+    parquet path."""
+    df.write.mode(mode).orc(path)

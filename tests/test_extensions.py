@@ -1432,3 +1432,38 @@ def test_unigram_nll_hand_example(spark):
     r = round(-math.log(1 / 4), 6)
     assert out[1].n_words == 2 and abs(out[1].avg_nll - c) < 1e-9
     assert out[2].n_words == 2 and abs(out[2].avg_nll - (c + r) / 2) < 1e-9
+
+
+def test_pagerank_hand_example(spark):
+    """Star graph a->b, c->b, b->a (b is the hub; c is rank-source only;
+    no dangling nodes) + a dangling-node variant: ranks match the closed
+    form and always sum to ~1."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "b", 1.0), ("b", "a", 1.0)],
+        "src string, dst string, wt double",
+    )
+    got = {r.node: r for r in pagerank(edges, n_iter=2, weight_col="wt").collect()}
+    n = 3
+    base = (1 - 0.85) / n
+    # iteration 1 from uniform 1/3: b gets a+c contributions, a gets b's
+    r1 = {
+        "a": round(base + 0.85 * round(1 / 3, 12), 12),
+        "b": round(base + 0.85 * (round(1 / 3, 12) * 2), 12),
+        "c": round(base, 12),
+    }
+    r2b = round(base + 0.85 * (r1["a"] + r1["c"]), 12)
+    assert abs(got["b"].rank - r2b) < 1e-9
+    assert abs(sum(r.rank for r in got.values()) - 1.0) < 1e-6
+    assert got["c"].out_weight == 1.0
+
+    # dangling: b has no out-edges; its mass redistributes uniformly
+    dangle = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, wt double"
+    )
+    got2 = {r.node: r for r in pagerank(dangle, n_iter=3, weight_col="wt").collect()}
+    assert abs(sum(r.rank for r in got2.values()) - 1.0) < 1e-6
+    assert got2["b"].rank > got2["a"].rank  # b receives, a only donates

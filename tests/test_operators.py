@@ -327,3 +327,31 @@ def test_merge_upsert_refuses_config_mismatch(spark, tmp_path):
     merge_upsert(df, path, keys=["k"], version="ver", num_buckets=4)
     with pytest.raises(ValueError, match="config mismatch"):
         merge_upsert(df, path, keys=["k"], version="ver", num_buckets=8)
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC source/sink: typed round-trip preserves values and schema, and
+    a filter on the read reaches the ORC scan as a pushed predicate (same
+    contract the parquet path asserts)."""
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    # ORC stores everything nullable; names/types must round-trip exactly
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert back.count() == 100
+    got = read_orc(spark, path).where(F.col("k") >= 90)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,90" in plan
+    assert got.count() == 10
