@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -76,3 +77,56 @@ def select_changed(
     return full_extract.join(ck, on=[*keys, version], how="left_semi").select(
         *full_extract.columns
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Build an SCD Type-2 history from an event/observation log: per
+    key, consecutive observations with UNCHANGED ``attr_cols`` collapse
+    into one validity interval; each emitted row carries
+    ``valid_from`` (the first observation of the attribute state) and
+    ``valid_to`` (the next state's valid_from; NULL = current). The
+    classic warehouse dimension-versioning build, expressed as two window
+    passes — change detection via null-safe lag comparison, interval
+    close via lead.
+
+    The reference's delta tables keep only the LATEST version per key
+    (``dags/track_delta.py`` + ReplacingMergeTree, our q06/q59); SCD2 is
+    the full-history twin a warehouse needs for as-of joins
+    (``operators.joins.asof_join`` consumes exactly this shape).
+
+    Scale shape (100 TB): both windows partition by the dimension key —
+    never a global sort; the change filter drops unchanged observations
+    BEFORE the second window, so interval rows shuffle once at
+    change-cardinality, not observation-cardinality.
+    """
+    order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreak]
+    w = W.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attr_cols])
+    changed = df.withColumn(
+        "__chg",
+        ~state.eqNullSafe(F.lag(state).over(w))
+        | F.lag(state).over(w).isNull(),
+    )
+    # first row per key has lag NULL: eqNullSafe(NULL struct) is false,
+    # so ~false = true already — the explicit isNull arm documents intent
+    intervals = changed.where(F.col("__chg")).select(
+        *keys,
+        *attr_cols,
+        F.col(order_col).alias("valid_from"),
+        *tiebreak,
+    )
+    # the interval-close window must replay the SAME total order as the
+    # change detection (two changes can share a valid_from timestamp —
+    # without the tiebreak the lead() would be nondeterministic)
+    w2 = W.partitionBy(*keys).orderBy(
+        F.col("valid_from").asc(), *[F.col(t).asc() for t in tiebreak]
+    )
+    return intervals.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).drop(*[t for t in tiebreak if t not in attr_cols and t not in keys])

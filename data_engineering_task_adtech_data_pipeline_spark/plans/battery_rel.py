@@ -622,3 +622,107 @@ def q46_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q47_cube_events was merged into q27_grouping_sets (its CUBE(type, hour)
 # sets are members of that query's GROUPING SETS) so the battery fits the
 # driver's 50-entry correctness recording window.
+
+
+# ===========================================================================
+# q91 — full rank-function family in one pass
+# ===========================================================================
+
+@query(
+    "q91_window_ranks",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nation_id, o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT nation_id, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cd,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM j
+    WINDOW w AS (PARTITION BY nation_id
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc="The full rank-function family — rank / dense_rank / "
+    "percent_rank / cume_dist / ntile(4) — in ONE window pass per "
+    "nation (one shuffle + one sort serves all five; percent_rank and "
+    "cume_dist are exact integer ratios, so doubles match bit-for-bit). "
+    "Deterministic total order via the (price desc, orderkey) tiebreak.",
+)
+def q91_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    o, c = td.orders, td.customer
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation_id"), "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("nation_id").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "nation_id",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ===========================================================================
+# q92 — SCD Type-2 dimension history from an observation log
+# ===========================================================================
+
+@query(
+    "q92_scd2_history",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS ts,
+             o_orderstatus
+      FROM orders
+    ),
+    chg AS (
+      SELECT *, CASE WHEN lag(o_orderstatus) OVER w
+                          IS DISTINCT FROM o_orderstatus
+                     THEN 1 ELSE 0 END AS c
+      FROM src
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+    ),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, ts AS valid_from, o_orderkey
+      FROM chg WHERE c = 1
+    )
+    SELECT o_custkey, o_orderstatus AS status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, o_orderkey)
+             AS valid_to
+    FROM iv
+    """,
+    doc="SCD Type-2 dimension build (operators.delta.scd2_history): each "
+    "customer's order-status observation log collapses into validity "
+    "intervals — change rows via null-safe lag comparison, valid_to via "
+    "lead, NULL = current. The full-history twin of the reference's "
+    "latest-version-only delta tables (track_delta.py), and exactly the "
+    "shape operators.joins.asof_join consumes.",
+)
+def q92_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.delta import scd2_history
+
+    src = Testdata(spark, sf_dir).orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("ts"),
+        "o_orderstatus",
+    )
+    out = scd2_history(
+        src, keys=["o_custkey"], order_col="ts",
+        attr_cols=["o_orderstatus"], tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+    )

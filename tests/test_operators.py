@@ -355,3 +355,37 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,90" in plan
     assert got.count() == 10
+
+
+def test_scd2_history_hand_example(spark):
+    """Status log A,A,B,A per key collapses to 3 intervals with correct
+    valid_from/valid_to chaining (NULL = current); same-day changes stay
+    deterministic via the tiebreak; a second key is independent."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.delta import (
+        scd2_history,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, 101, "2024-01-01", "A"),
+            (1, 102, "2024-01-02", "A"),   # unchanged -> collapsed
+            (1, 103, "2024-01-03", "B"),
+            (1, 104, "2024-01-05", "A"),
+            (2, 201, "2024-02-01", "X"),
+        ],
+        "k long, oid long, ts string, status string",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    out = scd2_history(
+        src, keys=["k"], order_col="ts", attr_cols=["status"],
+        tiebreak=["oid"],
+    )
+    rows = sorted(
+        (r.k, r.status, str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "A", "2024-01-01", "2024-01-03"),
+        (1, "A", "2024-01-05", None),
+        (1, "B", "2024-01-03", "2024-01-05"),
+        (2, "X", "2024-02-01", None),
+    ]
