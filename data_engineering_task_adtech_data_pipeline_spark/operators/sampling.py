@@ -460,3 +460,44 @@ def curriculum_stages(
         )
         .drop("__n", "__pos")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    keys: Sequence[str],
+    salt: int = 42,
+    method: str = "xxhash64",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws u from a pure hash of
+    its ``keys`` and is ranked by u^(1/w) — the top ``k`` ranks are an
+    exact weighted sample without replacement. We rank by the MONOTONE
+    EQUIVALENT ln(u)/w (descending): same selection, but only ``ln``
+    touches libm (pow(u, 1/w) would stack two transcendental calls and
+    their rounding), keeping the key oracle-reproducible.
+
+    u = (bucket + 0.5) / 1e6 over :func:`_hash_bucket`'s 60-bit hash —
+    strictly inside (0, 1), so ln is finite; ``method="md5"`` makes the
+    draw engine-portable (same contract as ``deterministic_sample``).
+    Requires ``weight_col`` > 0.
+
+    Scale shape (100 TB): the sample key is a pure per-row projection
+    (no shuffle); global top-k by key is Spark's TakeOrderedAndProject —
+    per-partition heaps of k rows merged on the driver, never a global
+    sort. Membership is a pure function of the data: same rows win on
+    any cluster/partitioning/rerun.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (_hash_bucket(keys, salt, method).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.withColumn(key_col or "__es_key", es_key).orderBy(
+        F.col(key_col or "__es_key").desc(),
+        *[F.col(c).asc() for c in keys],
+    ).limit(k)
+    return out if key_col else out.drop("__es_key")

@@ -3418,3 +3418,42 @@ def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")["0"].alias("src"), F.col("p")["1"].alias("dst")
     ).agg(F.count(F.lit(1)).cast("double").alias("wt"))
     return pagerank(edges, n_iter=3, weight_col="wt")
+
+
+# ===========================================================================
+# q93 — weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ===========================================================================
+
+@query(
+    "q93_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(concat_ws(chr(31), doc_id, 42)), 1, 15))
+                 ::BIGINT % 1000000 + 0.5) / 1000000.0)
+             / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY es_key DESC, doc_id ASC
+      ) AS rn FROM keyed
+    ) WHERE rn <= 50
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis A-ES): 50 docs weighted by n_chars, ranked by the monotone-"
+    "equivalent ln(u)/w key over the md5 hash family — membership is a "
+    "pure function of the data; global top-k is TakeOrderedAndProject, "
+    "never a global sort (operators.sampling.weighted_sample).",
+)
+def q93_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = Testdata(spark, sf_dir).documents.where(F.col("n_chars") > 0)
+    out = weighted_sample(
+        docs, k=50, weight_col="n_chars", keys=["doc_id"], method="md5"
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -269,3 +269,31 @@ def test_curriculum_stages_equal_width_and_invariance(spark):
     assert hard[min(out, key=lambda k: rows[k][1])] != 0 or True
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "score", 0)
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    """A-ES weighted sample == plain-Python replication of the md5 draw +
+    ln(u)/w ranking; high-weight rows dominate the sample."""
+    import hashlib
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r.doc_id for r in
+           weighted_sample(df, k=10, weight_col="w", keys=["doc_id"],
+                           method="md5").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}\x1f42".encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        return math.log(u) / w
+
+    expect = [i for i, w in sorted(rows, key=lambda t: (-key(*t), t[0]))[:10]]
+    assert sorted(got) == sorted(expect)
+    # weight dominance: the 10 heavy rows (weight 1000) should win most
+    heavy = sum(1 for i in got if i % 10 == 0)
+    assert heavy >= 7
