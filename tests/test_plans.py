@@ -296,3 +296,57 @@ def test_crossmodal_capstone_no_cartesian(spark):
     plan = _plan(spark, "q85_crossmodal_curation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_regroup_shuffles_positions_not_text(spark):
+    """q87's second pass must aggregate kept line POSITIONS (ints), never
+    line text: the plan's collect_list runs over __pos, and the rebuilt
+    text comes from the original column via element_at — no shuffle row
+    carries a line string."""
+    plan = _plan(spark, "q87_line_dedup")
+    assert "collect_list(__pos" in plan, plan[:2000]
+    assert "collect_list(__line" not in plan
+
+
+def test_unigram_nll_broadcasts_vocabulary(spark):
+    """q89's scoring join builds on the dictionary-sized word-frequency
+    table: it must broadcast (no sort-merge join of the corpus explode
+    against itself)."""
+    plan = _plan(spark, "q89_unigram_nll")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_are_key_partitioned(spark):
+    """q92's two window passes both partition by the dimension key —
+    a global (empty-partition-spec) window would single-task the corpus."""
+    plan = _plan(spark, "q92_scd2_history")
+    assert "Window" in plan
+    # Spark renders a global window as 'Window [...], []' (no partition
+    # spec); both of ours must carry the o_custkey partitioning
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
+            assert "o_custkey" in ln, ln
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark):
+    """q93's global top-k must run as TakeOrderedAndProject (per-partition
+    heaps), never a full Sort + single-partition Exchange."""
+    plan = _plan(spark, "q93_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_pq_serve_scan_carries_codes_not_embeddings(spark):
+    """q86's ADC candidate scan reads (id, cell, codes) — m small ints —
+    from the persisted index; the stored embedding column is only joined
+    back BY ID for the rerank shortlist."""
+    from data_engineering_task_adtech_data_pipeline_spark.plans import battery_ext
+
+    plan = _plan(spark, "q86_ivf_pq_serve")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    idx_reads = [ln for ln in reads if "codes" in ln]
+    assert idx_reads, reads
+    for ln in idx_reads:
+        assert "embedding" not in ln, ln
