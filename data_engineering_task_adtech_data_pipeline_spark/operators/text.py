@@ -895,3 +895,58 @@ def unigram_nll_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def bpe_tokenize_counts(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Apply a learned BPE merge list (from :func:`bpe_learn_merges` —
+    driver-side model state, same contract as PQ codebooks) and return
+    per-document token statistics: ``id_col, n_words, n_tokens,
+    chars_per_token``. Each merge is a literal replace over the
+    ``sep``-joined character segmentation, applied in merge order —
+    exactly the BPE encoder's greedy procedure.
+
+    Scale shape (100 TB): merges apply on the VOCABULARY table (distinct
+    words), never the corpus — the corpus only joins its exploded words
+    to the vocabulary's per-word token counts (dictionary-sized build
+    side, broadcastable), so tokenization cost is O(distinct words ×
+    merges) plus one corpus join, independent of how often words repeat.
+    """
+    symbols = F.regexp_replace(
+        F.regexp_replace(F.col("__w"), "(.)", "$1" + sep),
+        sep + "$",
+        "",
+    )
+    words = df.select(
+        id_col, F.explode(_word_array(text_col)).alias("__w")
+    ).where(F.col("__w") != "")
+    vocab = words.select("__w").distinct().withColumn("__s", symbols)
+    for left, right in merges:
+        vocab = vocab.withColumn(
+            "__s",
+            F.replace(
+                F.col("__s"), F.lit(left + sep + right), F.lit(left + right)
+            ),
+        )
+    vocab = vocab.select(
+        "__w",
+        (F.size(F.split(F.col("__s"), sep))).cast("long").alias("__tok"),
+        F.length("__w").cast("long").alias("__chars"),
+    )
+    return (
+        words.join(vocab, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+            (
+                F.sum("__chars").cast("double")
+                / F.sum("__tok").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )

@@ -3229,13 +3229,16 @@ def q87_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q88 — BPE merge learning: 5 unrolled merge rounds (Sennrich alg. 1)
 # ===========================================================================
 
-def _bpe_merge_oracle(n_merges: int) -> str:
-    """Unrolled BPE training: v0 = per-character segmentation of the word
-    frequency table (symbols joined by chr(31)); round i = pair counts on
-    v{i}, argmax b{i} (count desc / left asc / right asc — integer-exact,
-    engine-portable), v{i+1} = literal replace of the winning pair in
-    every word. Mirrors text.bpe_learn_merges exactly, including the
-    left-to-right non-overlapping replace convention."""
+def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
+    """Unrolled BPE training CTE chain: v0 = per-character segmentation of
+    the word frequency table (symbols joined by chr(31)); round i = pair
+    counts on v{i}, argmax b{i} (count desc / left asc / right asc —
+    integer-exact, engine-portable), v{i+1} = literal replace of the
+    winning pair in every word. Mirrors text.bpe_learn_merges exactly,
+    including the left-to-right non-overlapping replace convention.
+    ``carry_word`` keeps the word itself through the chain so v{n} doubles
+    as the word → final-segmentation mapping (q94's encoder table)."""
+    wsel = "w, " if carry_word else ""
     its = []
     for i in range(n_merges):
         its.append(f"""
@@ -3250,29 +3253,33 @@ def _bpe_merge_oracle(n_merges: int) -> str:
       SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
     ),
     v{i + 1} AS MATERIALIZED (
-      SELECT replace(s, (SELECT l || chr(31) || r FROM b{i}),
+      SELECT {wsel}replace(s, (SELECT l || chr(31) || r FROM b{i}),
                      (SELECT l || r FROM b{i})) AS s, freq
       FROM v{i}
     )""")
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({i + 1} AS INTEGER) AS merge_rank, l AS left_sym,"
-        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b{i}"
-        for i in range(n_merges)
-    )
-    return f"""
-    WITH words AS (
+    return f"""words AS (
       SELECT w, count(*) AS freq FROM (
         SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
         FROM documents
       ) WHERE w <> '' GROUP BY w
     ),
     v0 AS MATERIALIZED (
-      SELECT regexp_replace(
+      SELECT {wsel}regexp_replace(
                regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
                chr(31) || '$', '') AS s,
              freq
       FROM words
-    ),{",".join(its)}
+    ),{",".join(its)}"""
+
+
+def _bpe_merge_oracle(n_merges: int) -> str:
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+    WITH {_bpe_chain_ctes(n_merges)}
     {finals}
     """
 
@@ -3457,3 +3464,48 @@ def q93_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# ===========================================================================
+# q94 — BPE tokenizer APPLICATION: encode the corpus with q88's merges
+# ===========================================================================
+
+@query(
+    "q94_bpe_tokenize",
+    oracle=f"""
+    WITH {_bpe_chain_ctes(5, carry_word=True)},
+    tok AS (
+      SELECT w, CAST(len(string_split(s, chr(31))) AS BIGINT) AS t,
+             CAST(len(w) AS BIGINT) AS ch
+      FROM v5
+    ),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split({_NORM.format(c='text')}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.t) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok.ch) AS DOUBLE) / CAST(SUM(tok.t) AS DOUBLE)
+             AS chars_per_token
+    FROM dw JOIN tok USING (w)
+    GROUP BY dw.doc_id
+    """,
+    doc="BPE tokenizer APPLICATION (the encode half of q88's training): "
+    "learn 5 merges, apply them on the VOCABULARY table (literal replace "
+    "chain in merge order — the corpus only joins word -> token-count), "
+    "and report per-doc n_words / n_tokens / chars_per_token "
+    "(operators.text.bpe_tokenize_counts).",
+)
+def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents
+    norm = docs.select(
+        "doc_id", dedup.normalize_text("text").alias("text")
+    )
+    learned = text.bpe_learn_merges(norm, n_merges=5).collect()
+    merges = [(r.left_sym, r.right_sym) for r in
+              sorted(learned, key=lambda r: r.merge_rank)]
+    return text.bpe_tokenize_counts(norm, merges)

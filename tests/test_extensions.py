@@ -1467,3 +1467,23 @@ def test_pagerank_hand_example(spark):
     got2 = {r.node: r for r in pagerank(dangle, n_iter=3, weight_col="wt").collect()}
     assert abs(sum(r.rank for r in got2.values()) - 1.0) < 1e-6
     assert got2["b"].rank > got2["a"].rank  # b receives, a only donates
+
+
+def test_bpe_tokenize_counts_hand_example(spark):
+    """After merging (l,o) then (lo,w): 'low' -> 2 tokens [lo w]... wait,
+    (lo,w) merges to [low] = 1 token; 'lower' -> [low,e,r] = 3 tokens;
+    unmerged 'cat' stays 3 char tokens. chars_per_token is exact."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_tokenize_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "cat")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           bpe_tokenize_counts(docs, [("l", "o"), ("lo", "w")]).collect()}
+    # 'low' -> l o w -> lo w -> low (1 token, 3 chars)
+    # 'lower' -> lo w e r -> low e r (3 tokens, 5 chars)
+    assert (out[1].n_words, out[1].n_tokens) == (2, 4)
+    assert abs(out[1].chars_per_token - 8 / 4) < 1e-12
+    assert (out[2].n_words, out[2].n_tokens) == (1, 3)
