@@ -1470,9 +1470,9 @@ def test_pagerank_hand_example(spark):
 
 
 def test_bpe_tokenize_counts_hand_example(spark):
-    """After merging (l,o) then (lo,w): 'low' -> 2 tokens [lo w]... wait,
-    (lo,w) merges to [low] = 1 token; 'lower' -> [low,e,r] = 3 tokens;
-    unmerged 'cat' stays 3 char tokens. chars_per_token is exact."""
+    """After merging (l,o) then (lo,w): 'low' encodes to the single token
+    [low]; 'lower' to [low, e, r] (3 tokens); unmerged 'cat' stays 3
+    character tokens. chars_per_token is an exact integer ratio."""
     from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
         bpe_tokenize_counts,
     )
