@@ -342,8 +342,6 @@ def test_ivf_pq_serve_scan_carries_codes_not_embeddings(spark):
     """q86's ADC candidate scan reads (id, cell, codes) — m small ints —
     from the persisted index; the stored embedding column is only joined
     back BY ID for the rerank shortlist."""
-    from data_engineering_task_adtech_data_pipeline_spark.plans import battery_ext
-
     plan = _plan(spark, "q86_ivf_pq_serve")
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     idx_reads = [ln for ln in reads if "codes" in ln]
