@@ -58,9 +58,15 @@ def main() -> None:
         ordered_registry,
     )
 
-    for q in ordered_registry().values():
+    prepare_errors: dict[str, str] = {}
+    for name, q in ordered_registry().items():
         if q.prepare is not None:
-            q.prepare(spark, sf_dir)
+            try:
+                q.prepare(spark, sf_dir)
+            except Exception as exc:  # a failing prepare must not kill the
+                # bench: the query itself still runs (self-building) and
+                # lands in `errors` if it cannot
+                prepare_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
@@ -81,14 +87,19 @@ def main() -> None:
     # per-query comparisons stay possible (stdout + headline totals use
     # the honest noop action only)
     legacy: dict[str, float] = {}
+    legacy_errors: dict[str, str] = {}
     for name, fn in queries.items():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             df.count()
             legacy[name] = round(time.time() - t0, 3)
-        except Exception:
+        except Exception as exc:
+            # record the failure EXPLICITLY — a time-to-exception stored
+            # as a normal timing would read as a speedup in cross-round
+            # comparisons, the dict's whole purpose
             legacy[name] = round(time.time() - t0, 3)
+            legacy_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -113,6 +124,10 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    if legacy_errors:
+        detail["legacy_count_action_errors"] = legacy_errors
+    if prepare_errors:
+        detail["prepare_errors"] = prepare_errors
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     core = [

@@ -103,3 +103,13 @@ def read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         inp.close()
+
+
+def list_names(spark: SparkSession, path: str) -> "list[str]":
+    """Child entry names of a directory (empty list if absent) — Hadoop
+    FileSystem listStatus, so hdfs:// and s3a:// roots behave like local
+    paths (same scheme-agnostic discipline as the other helpers)."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]

@@ -1399,9 +1399,14 @@ def duplicate_lines(
     curation twin, cf. Penedo et al. 2023 (RefinedWeb) §3.3 line-wise
     filtering.
     """
+    # \Q...\E: F.split's pattern is a Java REGEX but concat_ws emits the
+    # delimiter literally — quoting makes a metacharacter delimiter
+    # ('|', '.') split literally instead of silently per-character
+    # (round-6 review finding)
+    pattern = "\\Q" + delimiter + "\\E"
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+        F.posexplode(F.split(F.col(text_col), pattern)).alias(
             "__pos", "__line"
         ),
     )
@@ -1418,13 +1423,20 @@ def duplicate_lines(
             F.sort_array(F.collect_list("__pos")).alias("__keep"),
         )
     )
-    words = F.split(F.col(text_col), delimiter)
+    # Bind the split array BELOW the join: the rebuild lambda must
+    # capture a bound ATTRIBUTE (__parts), not the split expression tree
+    # — an expression capture re-evaluates the full-document split once
+    # per kept line (the measured 15-45x _grams pitfall; round-6 review
+    # finding). The join's exchange is the barrier that stops
+    # CollapseProject from inlining the binding projection back in.
+    bound = df.select(
+        id_col, F.split(F.col(text_col), pattern).alias("__parts")
+    )
     return (
-        df.select(id_col, text_col)
-        .join(kept_pos, id_col, "left")
+        bound.join(kept_pos, id_col, "left")
         .select(
             id_col,
-            F.size(words).cast("long").alias("n_lines"),
+            F.size("__parts").cast("long").alias("n_lines"),
             F.coalesce(F.size("__keep"), F.lit(0))
             .cast("long")
             .alias("n_kept"),
@@ -1434,7 +1446,7 @@ def duplicate_lines(
                     F.coalesce(
                         F.col("__keep"), F.array().cast("array<int>")
                     ),
-                    lambda p: F.element_at(words, p + 1),
+                    lambda p: F.element_at(F.col("__parts"), p + 1),
                 ),
             ).alias("clean_text"),
         )

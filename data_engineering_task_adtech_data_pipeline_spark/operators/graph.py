@@ -74,6 +74,12 @@ def pagerank(
     e = e.persist()
     try:
         n = base.count()  # also materializes the persists
+        if n == 0:
+            # empty edge list (e.g. every document is a single word):
+            # an empty typed frame, not a driver-side ZeroDivisionError
+            return base.select(
+                "node", F.lit(0.0).alias("rank"), "out_weight"
+            )
         # each round ends in an EAGER localCheckpoint: the round's joins
         # actually run against the persisted base/edges, and the next
         # round's lineage re-roots at a materialized rank table instead

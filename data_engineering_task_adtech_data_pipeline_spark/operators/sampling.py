@@ -495,7 +495,18 @@ def weighted_sample(
     u = (_hash_bucket(keys, salt, method).cast("double") + F.lit(0.5)) / F.lit(
         float(_BUCKETS)
     )
-    es_key = F.log(u) / F.col(weight_col).cast("double")
+    # fail LOUDLY on non-positive weights: ln(u)/w flips sign for w < 0,
+    # so a few bad rows would deterministically win the whole sample;
+    # w == 0 is a zero-probability row the caller must filter explicitly
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(w > 0, F.log(u) / w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight "),
+                w.cast("string"),
+            )
+        )
+    )
     out = df.withColumn(key_col or "__es_key", es_key).orderBy(
         F.col(key_col or "__es_key").desc(),
         *[F.col(c).asc() for c in keys],

@@ -771,6 +771,37 @@ def zipf_fit(
     )
 
 
+def _bpe_symbols(s: Column, sep: str) -> Column:
+    """Parse a leading-sep segmentation string (``sep+s1+sep+s2+...``)
+    into its symbol array (the leading empty fragment filtered out)."""
+    return F.filter(F.split(s, sep), lambda x: x != "")
+
+
+def _bpe_merge_fold(s: Column, left: str, right: str, sep: str) -> Column:
+    """Apply ONE BPE merge (left, right) to a leading-sep segmentation
+    string via a left fold: if the accumulator's last symbol equals
+    ``left`` and the current symbol equals ``right``, splice the merged
+    symbol over the tail, else append. The suffix test
+    ``endswith(acc, sep+left)`` is exact because symbols cannot contain
+    ``sep``. Greedy left-to-right non-overlapping — true BPE on runs
+    ("aaaa" + (a,a) -> "aa aa") and across adjacency ("lrlr" -> "lr lr"),
+    where anchored/unanchored string replaces both fail (see
+    bpe_learn_merges docstring). DuckDB reproduces the identical fold
+    with list_reduce (plans/battery_ext._bpe_chain_ctes)."""
+    merged_tail = F.lit(sep + left + right)
+    return F.aggregate(
+        _bpe_symbols(s, sep),
+        F.lit(""),
+        lambda acc, x: F.when(
+            F.endswith(acc, F.lit(sep + left)) & (x == F.lit(right)),
+            F.concat(
+                F.substr(acc, F.lit(1), F.length(acc) - F.lit(len(left) + 1)),
+                merged_tail,
+            ),
+        ).otherwise(F.concat(acc, F.lit(sep), x)),
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     n_merges: int = 5,
@@ -791,16 +822,21 @@ def bpe_learn_merges(
     pair-explode aggregation plus one literal `replace` projection — and
     the only driver state is the single argmax pair per round (a bounded
     1-row collect, the same model-state pattern as ``kmeans_fit``).
-    Merging is a literal string replace over the ``sep``-joined symbol
-    string: replace scans left-to-right over non-overlapping occurrences,
-    which IS the BPE merge convention for repeated symbols ("a a a" with
-    merge (a,a) → "aa a").
+
+    Merging is a LEFT FOLD over the symbol list (:func:`_bpe_merge_fold`):
+    "if the accumulator's last symbol is ``l`` and the current symbol is
+    ``r``, replace the tail with the merged symbol, else append" — which
+    is exactly greedy left-to-right non-overlapping BPE. A literal
+    string-replace of ``l+sep+r`` is NOT (round-6 review finding): it can
+    match a symbol SUFFIX across a boundary (after merging (a,b), a later
+    (b,c) merge would eat the 'b' inside symbol 'ab'), and any
+    boundary-anchored variant consumes the shared separator and then
+    misses adjacent occurrences ("a a a a" must become "aa aa", "l r l r"
+    must become "lr lr"). The fold cannot false-merge its own output:
+    the merged symbol ``l+r`` is strictly longer than ``l``, so it never
+    re-matches as ``l`` within the round.
     """
-    symbols = F.regexp_replace(
-        F.regexp_replace(F.col("word"), "(.)", "$1" + sep),
-        sep + "$",
-        "",
-    )
+    symbols = F.regexp_replace(F.col("word"), "(.)", sep + "$1")
     vocab = (
         df.select(F.explode(_word_array(text_col)).alias("word"))
         .where(F.col("word") != "")
@@ -814,7 +850,7 @@ def bpe_learn_merges(
     try:
         cur = vocab
         for rank in range(1, n_merges + 1):
-            arr = F.split(F.col("s"), sep)
+            arr = _bpe_symbols(F.col("s"), sep)
             n = F.size(arr)
             pairs = (
                 cur.where(n >= 2)
@@ -838,12 +874,7 @@ def bpe_learn_merges(
                 break
             merges.append((rank, best.l, best.r, best.c))
             cur = cur.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(best.l + sep + best.r),
-                    F.lit(best.l + best.r),
-                ),
+                "s", _bpe_merge_fold(F.col("s"), best.l, best.r, sep)
             )
     finally:
         vocab.unpersist()
@@ -907,9 +938,9 @@ def bpe_tokenize_counts(
     """Apply a learned BPE merge list (from :func:`bpe_learn_merges` —
     driver-side model state, same contract as PQ codebooks) and return
     per-document token statistics: ``id_col, n_words, n_tokens,
-    chars_per_token``. Each merge is a literal replace over the
-    ``sep``-joined character segmentation, applied in merge order —
-    exactly the BPE encoder's greedy procedure.
+    chars_per_token``. Each merge applies via :func:`_bpe_merge_fold`
+    (the greedy left-to-right fold — see bpe_learn_merges for why a
+    string replace is NOT the BPE procedure), in merge order.
 
     Scale shape (100 TB): merges apply on the VOCABULARY table (distinct
     words), never the corpus — the corpus only joins its exploded words
@@ -917,25 +948,18 @@ def bpe_tokenize_counts(
     side, broadcastable), so tokenization cost is O(distinct words ×
     merges) plus one corpus join, independent of how often words repeat.
     """
-    symbols = F.regexp_replace(
-        F.regexp_replace(F.col("__w"), "(.)", "$1" + sep),
-        sep + "$",
-        "",
-    )
+    symbols = F.regexp_replace(F.col("__w"), "(.)", sep + "$1")
     words = df.select(
         id_col, F.explode(_word_array(text_col)).alias("__w")
     ).where(F.col("__w") != "")
     vocab = words.select("__w").distinct().withColumn("__s", symbols)
     for left, right in merges:
         vocab = vocab.withColumn(
-            "__s",
-            F.replace(
-                F.col("__s"), F.lit(left + sep + right), F.lit(left + right)
-            ),
+            "__s", _bpe_merge_fold(F.col("__s"), left, right, sep)
         )
     vocab = vocab.select(
         "__w",
-        (F.size(F.split(F.col("__s"), sep))).cast("long").alias("__tok"),
+        F.size(_bpe_symbols(F.col("__s"), sep)).cast("long").alias("__tok"),
         F.length("__w").cast("long").alias("__chars"),
     )
     return (

@@ -3231,21 +3231,35 @@ def q87_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
     """Unrolled BPE training CTE chain: v0 = per-character segmentation of
-    the word frequency table (symbols joined by chr(31)); round i = pair
-    counts on v{i}, argmax b{i} (count desc / left asc / right asc —
-    integer-exact, engine-portable), v{i+1} = literal replace of the
-    winning pair in every word. Mirrors text.bpe_learn_merges exactly,
-    including the left-to-right non-overlapping replace convention.
-    ``carry_word`` keeps the word itself through the chain so v{n} doubles
-    as the word → final-segmentation mapping (q94's encoder table)."""
+    the word frequency table (leading-sep form ``chr(31)+c1+chr(31)+c2``);
+    round i = pair counts on v{i}'s parsed symbol lists, argmax b{i}
+    (count desc / left asc / right asc — integer-exact, engine-portable),
+    v{i+1} = the winning pair merged into every word via the SAME left
+    fold as ``text._bpe_merge_fold`` (list_reduce with '' prepended as
+    the init accumulator: last-symbol == l and current == r splices the
+    merged tail, else append). A string replace is NOT equivalent —
+    round-6 review finding: unanchored it merges across symbol
+    boundaries, anchored it misses adjacent/overlapping occurrences.
+    ``carry_word`` keeps the word itself through the chain so v{n}
+    doubles as the word → final-segmentation mapping (q94's encoder)."""
     wsel = "w, " if carry_word else ""
+    syms = "list_filter(string_split(s, chr(31)), x -> x <> '')"
     its = []
     for i in range(n_merges):
+        # the winner (l, r) joins in as columns — DuckDB lambdas cannot
+        # contain subqueries, but they CAN capture outer row columns
+        fold = f"""list_reduce(
+        list_prepend('', {syms}),
+        (acc, x) -> CASE
+          WHEN ends_with(acc, chr(31) || b{i}.l) AND x = b{i}.r
+          THEN left(acc, length(acc) - length(b{i}.l) - 1)
+               || chr(31) || b{i}.l || b{i}.r
+          ELSE acc || chr(31) || x END)"""
         its.append(f"""
     p{i} AS (
       SELECT a[CAST(j AS INTEGER)] AS l, a[CAST(j + 1 AS INTEGER)] AS r,
              SUM(freq) AS c
-      FROM (SELECT string_split(s, chr(31)) AS a, freq FROM v{i}),
+      FROM (SELECT {syms} AS a, freq FROM v{i}),
            UNNEST(range(1, len(a))) t(j)
       GROUP BY 1, 2
     ),
@@ -3253,9 +3267,8 @@ def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
       SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
     ),
     v{i + 1} AS MATERIALIZED (
-      SELECT {wsel}replace(s, (SELECT l || chr(31) || r FROM b{i}),
-                     (SELECT l || r FROM b{i})) AS s, freq
-      FROM v{i}
+      SELECT {wsel}{fold} AS s, freq
+      FROM v{i}, b{i}
     )""")
     return f"""words AS (
       SELECT w, count(*) AS freq FROM (
@@ -3264,9 +3277,7 @@ def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
       ) WHERE w <> '' GROUP BY w
     ),
     v0 AS MATERIALIZED (
-      SELECT {wsel}regexp_replace(
-               regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
-               chr(31) || '$', '') AS s,
+      SELECT {wsel}regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS s,
              freq
       FROM words
     ),{",".join(its)}"""
@@ -3475,7 +3486,9 @@ def q93_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_bpe_chain_ctes(5, carry_word=True)},
     tok AS (
-      SELECT w, CAST(len(string_split(s, chr(31))) AS BIGINT) AS t,
+      SELECT w,
+             CAST(len(list_filter(string_split(s, chr(31)), x -> x <> ''))
+                  AS BIGINT) AS t,
              CAST(len(w) AS BIGINT) AS ch
       FROM v5
     ),

@@ -749,9 +749,29 @@ def stream_datacard(
     cannot hold every content hash; `n_distinct_content_est` is named to
     make that visible.
     """
+    from .. import fs
     from ..operators.sketch import hll_registers
     from ..operators.text import _word_array, lang_id
     from ..operators.dedup import normalize_text
+
+    # Layout guard (round-6 review): the r5 sink appended FLAT parquet
+    # files; this sink writes __epoch_id=N/ partition dirs. Mixing both
+    # under one directory breaks partition discovery at read time
+    # ("Conflicting directory structures") — refuse up front with a
+    # migration hint instead of corrupting the card.
+    for sub in ("counts", "registers"):
+        d = output_path + "/" + sub
+        flat = [
+            n for n in fs.list_names(spark, d)
+            if n.endswith(".parquet") and not n.startswith("_")
+        ]
+        if flat:
+            raise ValueError(
+                f"stream_datacard: {d} holds flat parquet files from the "
+                "pre-epoch-partitioned sink; migrate by rewriting them "
+                "under an __epoch_id=-1/ partition (or point the stream "
+                "at a fresh output_path)"
+            )
 
     groups = list(group_cols or ["source"])
 

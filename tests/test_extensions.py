@@ -1487,3 +1487,26 @@ def test_bpe_tokenize_counts_hand_example(spark):
     assert (out[1].n_words, out[1].n_tokens) == (2, 4)
     assert abs(out[1].chars_per_token - 8 / 4) < 1e-12
     assert (out[2].n_words, out[2].n_tokens) == (1, 3)
+
+
+def test_bpe_merge_fold_boundary_and_adjacency(spark):
+    """Round-6 review regression: after merging (a,b), a later (b,c)
+    merge must NOT eat the 'b' inside symbol 'ab' (string replace did);
+    and adjacent/overlapping occurrences must all merge greedily
+    ('aaaa' + (a,a) -> [aa, aa]; 'lrlr' after (l,r) -> [lr, lr])."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_tokenize_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "aaaa"), (3, "lrlr")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_tokenize_counts(
+        docs, [("a", "b"), ("b", "c"), ("a", "a"), ("l", "r")]
+    ).collect()}
+    # 'abc': (a,b) -> [ab, c]; (b,c) must not match inside 'ab' -> stays 2
+    assert out[1].n_tokens == 2
+    # 'aaaa': (a,a) greedy left-to-right -> [aa, aa]
+    assert out[2].n_tokens == 2
+    # 'lrlr': (l,r) adjacent occurrences both merge -> [lr, lr]
+    assert out[3].n_tokens == 2
