@@ -877,3 +877,79 @@ def read_datacard(
             "pct_short"
         ),
     )
+
+
+def stream_cm_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    value_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_cols: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    method: str = "xxhash64",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming heavy-hitter frequency monitor: each micro-batch lands
+    its PARTIAL Count-Min counters (``operators.sketch.cm_sketch`` over
+    just the batch — stateless, no keyed streaming state: counters are
+    ADDITIVE, so the mergeable epoch log IS the state, the same contract
+    as :func:`stream_datacard`) and :func:`read_cm_sketch` folds the log
+    into the cumulative sketch with ``cm_merge``'s SUM.
+
+    Unlike :func:`stream_hll_monitor`'s registers (max-merge absorbs a
+    replayed epoch for free), summed counters double-count under
+    foreachBatch's at-least-once replay — so this sink uses the
+    __epoch_id dynamic-overwrite recipe: a replayed epoch replaces its
+    own partition. Scope of the guarantee (same as
+    :func:`stream_datacard`): re-execution of an EPOCH — the crash window
+    between its write and its checkpoint commit. Deleting a multi-epoch
+    checkpoint renumbers epochs and is NOT idempotent for any additive
+    sink; recover that case by clearing the sketch path too. Sketch-sized
+    writes per epoch (groups x d x <= w counters), unbounded stream,
+    bounded state.
+    """
+    from ..operators.sketch import cm_sketch
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = cm_sketch(batch_df, value_col, group_cols or [], d, w, method)
+        (
+            sk.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(sketch_path)
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_cm_sketch(
+    spark: SparkSession,
+    sketch_path: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Fold the streamed per-epoch partial sketches into the cumulative
+    Count-Min sketch (counters SUM across epochs — ``cm_merge``
+    semantics); feed to ``sketch.cm_estimate`` / heavy-hitter queries."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy(*(group_cols or []), "j", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -666,3 +666,80 @@ def test_stream_events_daily_merge_sink_replay_after_crash(spark, tmp_path):
         for r in read_merged(spark, d + "/silver").collect()
     )
     assert after == before
+
+
+@pytest.mark.slow
+def test_stream_cm_monitor_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Streamed Count-Min over two file batches == batch cm_sketch on the
+    union (counters are exactly additive), point estimates agree, and a
+    replayed epoch (checkpoint wiped) leaves the counters unchanged
+    (epoch-stamped dynamic overwrite — summed counters would otherwise
+    double-count, unlike HLL's max-merge registers)."""
+    import shutil
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        EVENT_SCHEMA,
+        read_cm_sketch,
+        stream_cm_monitor,
+    )
+
+    d = str(tmp_path)
+    b1 = gen_impressions(spark, GenConfig(impressions_per_campaign=100))
+    b1.write.mode("append").parquet(d + "/in")
+    stream_cm_monitor(
+        spark, d + "/in", EVENT_SCHEMA, "campaign_id", d + "/sk", d + "/ckpt"
+    ).awaitTermination(120)
+    b2 = gen_impressions(
+        spark, GenConfig(impressions_per_campaign=50, seed=5)
+    )
+    b2.write.mode("append").parquet(d + "/in")
+    stream_cm_monitor(
+        spark, d + "/in", EVENT_SCHEMA, "campaign_id", d + "/sk", d + "/ckpt"
+    ).awaitTermination(120)
+
+    streamed = {(r.j, r.col): r.cnt
+                for r in read_cm_sketch(spark, d + "/sk").collect()}
+    batch = {(r.j, r.col): r.cnt
+             for r in cm_sketch(
+                 spark.read.parquet(d + "/in"), "campaign_id"
+             ).collect()}
+    assert streamed == batch
+
+    # point estimates from the folded stream sketch match exact counts
+    # (tiny cardinality: no collisions at w=2048)
+    q = spark.read.parquet(d + "/in").select("campaign_id").distinct()
+    est = {r.campaign_id: r.est_cnt for r in cm_estimate(
+        read_cm_sketch(spark, d + "/sk"), q, "campaign_id"
+    ).collect()}
+    exact = {r.campaign_id: r.cnt for r in
+             spark.read.parquet(d + "/in")
+             .groupBy("campaign_id").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    assert est == exact
+
+    # replay: a re-executed EPOCH (crash between write and checkpoint
+    # commit, simulated by wiping the checkpoint while exactly one epoch
+    # exists) overwrites its own partition -> identical counters. NB: the
+    # guarantee is same-epoch replay (foreachBatch's at-least-once), not
+    # deleting a multi-epoch checkpoint (which renumbers epochs).
+    b1.write.mode("append").parquet(d + "/in2")
+    stream_cm_monitor(
+        spark, d + "/in2", EVENT_SCHEMA, "campaign_id", d + "/sk2",
+        d + "/ckpt2",
+    ).awaitTermination(120)
+    once = {(r.j, r.col): r.cnt
+            for r in read_cm_sketch(spark, d + "/sk2").collect()}
+    shutil.rmtree(d + "/ckpt2")
+    stream_cm_monitor(
+        spark, d + "/in2", EVENT_SCHEMA, "campaign_id", d + "/sk2",
+        d + "/ckpt2",
+    ).awaitTermination(120)
+    after = {(r.j, r.col): r.cnt
+             for r in read_cm_sketch(spark, d + "/sk2").collect()}
+    assert after == once
