@@ -29,6 +29,7 @@ DRIVER_WINDOW: list[str] = [
     "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
     "q90_pagerank", "q91_window_ranks", "q92_scd2_history",
     "q93_weighted_sample", "q94_bpe_tokenize",
+    "q95_small_quantity_revenue",
     # (c) relational battery — green in r4, out of window in r5
     "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
     "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
@@ -37,8 +38,7 @@ DRIVER_WINDOW: list[str] = [
     "q34_json_extract", "q37_exists_anti", "q39_order_count_distribution",
     "q44_string_functions", "q46_array_agg",
     # (d) headline LLM-pipeline operators (green r5; kept fresh)
-    "q13_minhash_dedup", "q35_minhash_dedup_transitive",
-    "q60_duplicate_spans",
+    "q13_minhash_dedup", "q60_duplicate_spans",
 ]
 
 

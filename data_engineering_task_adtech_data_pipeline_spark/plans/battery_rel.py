@@ -726,3 +726,56 @@ def q92_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
     )
+
+
+# ===========================================================================
+# q95 — correlated aggregate threshold (TPC-H Q17 shape)
+# ===========================================================================
+
+@query(
+    "q95_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity * 5 AS DECIMAL(18,2)) * pa.cnt < pa.sum_qty
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape — lineitems below 20% of their part's average "
+    "quantity, revenue per brand: the correlated scalar-aggregate "
+    "pattern in its decorrelated form (per-part aggregate joined back — "
+    "the exact plan Catalyst produces from the correlated SQL). The "
+    "threshold compares 5*qty*cnt < decimal-summed qty, so no "
+    "order-dependent double average can flip a row near the boundary.",
+)
+def q95_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    l, p = td.lineitem, td.part
+    pa = l.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    small = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(pa.withColumnRenamed("l_partkey", "__pk"),
+              l["l_partkey"] == F.col("__pk"))
+        .where(
+            _dec(F.col("l_quantity") * 5) * F.col("cnt") < F.col("sum_qty")
+        )
+    )
+    return small.groupBy("p_brand").agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+    )
