@@ -8,9 +8,9 @@ from . import battery_rel  # noqa: F401  (registers q22+ into REGISTRY)
 # The round driver value-checks only the FIRST 50 entries of
 # ``__spark_entry__.queries()``; the registry holds more. This list pins the
 # window to (a) the 10 reference-parity core queries, (b) the newest
-# never-driver-verified entries, (c) the relational battery last verified in
-# round 4, and (d) the headline dedup/ANN operators — rotating long-stable
-# round-5-verified entries past the window. All entries keep full coverage in
+# never-driver-verified entries (q75+), and (c) the relational battery last
+# verified in round 4 — rotating long-stable round-5-verified entries past
+# the window. All entries keep full coverage in
 # ``tools/oracle_check.py`` (which checks the ENTIRE registry) regardless of
 # position. Rotation policy + per-query last-driver-verified round:
 # COVERAGE.md §"Driver window rotation".
@@ -29,7 +29,8 @@ DRIVER_WINDOW: list[str] = [
     "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
     "q90_pagerank", "q91_window_ranks", "q92_scd2_history",
     "q93_weighted_sample", "q94_bpe_tokenize",
-    "q95_small_quantity_revenue",
+    "q95_small_quantity_revenue", "q96_retention_cohorts",
+    "q97_event_funnel",
     # (c) relational battery — green in r4, out of window in r5
     "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
     "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
@@ -37,8 +38,6 @@ DRIVER_WINDOW: list[str] = [
     "q31_sessionize", "q32_percentiles", "q33_profile",
     "q34_json_extract", "q37_exists_anti", "q39_order_count_distribution",
     "q44_string_functions", "q46_array_agg",
-    # (d) headline LLM-pipeline operators (green r5; kept fresh)
-    "q13_minhash_dedup", "q60_duplicate_spans",
 ]
 
 

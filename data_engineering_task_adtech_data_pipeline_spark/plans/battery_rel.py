@@ -779,3 +779,131 @@ def q95_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_small"),
     )
+
+
+# ===========================================================================
+# q96 — retention cohort table (first-order month x months-since activity)
+# ===========================================================================
+
+@query(
+    "q96_retention_cohorts",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+      FROM orders
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_month,
+           CAST((CAST(extract(year FROM a.m) AS INTEGER) * 12
+                 + CAST(extract(month FROM a.m) AS INTEGER))
+                - (CAST(extract(year FROM f.cohort) AS INTEGER) * 12
+                   + CAST(extract(month FROM f.cohort) AS INTEGER))
+                AS INTEGER) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM fo f JOIN act a USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort table — the classic warehouse activity matrix: "
+    "cohort = each customer's first-order month, one row per (cohort, "
+    "months-since) with active-customer counts. Month arithmetic runs as "
+    "exact year*12+month integers (no fractional months_between on "
+    "either engine). Two aggregations + one equi-join, keys-only rows.",
+)
+def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Testdata(spark, sf_dir).orders
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    act = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    return (
+        fo.join(act, "o_custkey")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            (mnum(F.col("m")) - mnum(F.col("cohort")))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+# ===========================================================================
+# q97 — strict-order event funnel (view -> click -> purchase per user)
+# ===========================================================================
+
+@query(
+    "q97_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS purchase_rate
+    """,
+    doc="Strict-order funnel analysis: per user, first view, then first "
+    "click AFTER that view, then first purchase AFTER that click — each "
+    "stage one conditional-min aggregation joined to the previous stage "
+    "(no window over the whole event log, no cross join); ratios derive "
+    "from exact counts.",
+)
+def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click")))
+        .join(p.agg(F.count(F.lit(1)).cast("long").alias("n_full_funnel")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_full_funnel",
+        (
+            F.col("n_view_click").cast("double")
+            / F.col("n_view").cast("double")
+        ).alias("click_rate"),
+        (
+            F.col("n_full_funnel").cast("double")
+            / F.col("n_view_click").cast("double")
+        ).alias("purchase_rate"),
+    )
