@@ -348,3 +348,31 @@ def test_ivf_pq_serve_scan_carries_codes_not_embeddings(spark):
     assert idx_reads, reads
     for ln in idx_reads:
         assert "embedding" not in ln, ln
+
+
+def test_q95_threshold_join_no_cartesian(spark):
+    """q95's per-part aggregate joins back as equi-joins — no cartesian
+    and no nested-loop join anywhere in the decorrelated plan."""
+    plan = _plan(spark, "q95_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q96_cohort_join_is_keys_only(spark):
+    """q96's cohort join moves only (custkey, month) rows: the scan reads
+    exactly the two columns it needs."""
+    plan = _plan(spark, "q96_retention_cohorts")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in reads:
+        assert "o_totalprice" not in ln and "o_orderstatus" not in ln, ln
+
+
+def test_q97_funnel_stage_joins_are_equi(spark):
+    """q97's stage chaining joins on user_id (hash joins); the only
+    nested-loop joins are the final single-row count combinations."""
+    plan = _plan(spark, "q97_event_funnel")
+    assert "CartesianProduct" not in plan
+    # stage joins must be hash joins; the ONLY nested-loop joins are the
+    # two final combinations of single-row count frames
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin Inner") <= 2
