@@ -95,10 +95,9 @@ def main() -> None:
             df.count()
             legacy[name] = round(time.time() - t0, 3)
         except Exception as exc:
-            # record the failure EXPLICITLY — a time-to-exception stored
-            # as a normal timing would read as a speedup in cross-round
-            # comparisons, the dict's whole purpose
-            legacy[name] = round(time.time() - t0, 3)
+            # failed entries get NO timing (a time-to-exception would
+            # read as a speedup in cross-round diffs of this dict, its
+            # whole purpose) — only an error record
             legacy_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)

@@ -1402,8 +1402,10 @@ def duplicate_lines(
     # \Q...\E: F.split's pattern is a Java REGEX but concat_ws emits the
     # delimiter literally — quoting makes a metacharacter delimiter
     # ('|', '.') split literally instead of silently per-character
-    # (round-6 review finding)
-    pattern = "\\Q" + delimiter + "\\E"
+    # (round-6 review finding). A delimiter containing the sequence \E
+    # would terminate the quote early, so it is split-and-requoted the
+    # way java.util.regex.Pattern.quote does.
+    pattern = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), pattern)).alias(

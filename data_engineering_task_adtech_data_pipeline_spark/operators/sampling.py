@@ -503,7 +503,9 @@ def weighted_sample(
         F.raise_error(
             F.concat(
                 F.lit("weighted_sample: non-positive weight "),
-                w.cast("string"),
+                # NULL weights land here too — concat(NULL) would blank
+                # the whole diagnostic
+                F.coalesce(w.cast("string"), F.lit("NULL")),
             )
         )
     )

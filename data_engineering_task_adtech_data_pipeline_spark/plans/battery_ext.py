@@ -3247,7 +3247,13 @@ def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
     its = []
     for i in range(n_merges):
         # the winner (l, r) joins in as columns — DuckDB lambdas cannot
-        # contain subqueries, but they CAN capture outer row columns
+        # contain subqueries, but they CAN capture outer row columns. The
+        # join is LEFT ON TRUE: when a round finds no pair (vocabulary
+        # exhausted before n_merges — b{i} empty), NULL l/r make every
+        # CASE test NULL so the fold rebuilds s unchanged, mirroring the
+        # Spark loop's `break`; a plain cross join would annihilate the
+        # whole chain and return zero rows (round-6 review finding,
+        # reproduced on a two-word corpus)
         fold = f"""list_reduce(
         list_prepend('', {syms}),
         (acc, x) -> CASE
@@ -3268,7 +3274,7 @@ def _bpe_chain_ctes(n_merges: int, carry_word: bool = False) -> str:
     ),
     v{i + 1} AS MATERIALIZED (
       SELECT {wsel}{fold} AS s, freq
-      FROM v{i}, b{i}
+      FROM v{i} LEFT JOIN b{i} ON TRUE
     )""")
     return f"""words AS (
       SELECT w, count(*) AS freq FROM (
