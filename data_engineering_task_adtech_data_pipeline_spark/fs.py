@@ -94,6 +94,30 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text`` — returns False (creating
+    nothing) if it already exists. This is the fencing primitive for
+    single-writer enforcement: Hadoop ``create(p, overwrite=false)`` is
+    atomic create-if-absent on HDFS and local filesystems. On classic
+    S3A, create-no-overwrite is check-then-write (not atomic); there,
+    prefer a lakehouse table format whose commit protocol owns write
+    isolation — same caveat family as ``rename``."""
+    fs, p = _fs_and_path(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as exc:  # py4j wraps FileAlreadyExistsException
+        if "AlreadyExists" in str(exc.__class__) or "already exists" in str(
+            exc
+        ).lower() or "AlreadyExists" in str(exc):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, p = _fs_and_path(spark, path)
     inp = fs.open(p)

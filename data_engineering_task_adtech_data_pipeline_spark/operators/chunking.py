@@ -62,6 +62,24 @@ def chunk_documents(
     )
 
 
+_PERSISTED_PARTS: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist every cached frame :func:`distributed_prefix_sum` has
+    registered; returns how many were released. Call AFTER the downstream
+    results are materialized (batch harnesses: once per query) — in a
+    long-lived session the caches otherwise accumulate until LRU
+    eviction. Safe to call eagerly: an un-materialized downstream result
+    recomputes through the same pinned RDD graph (see the persist comment
+    in :func:`distributed_prefix_sum`)."""
+    n = 0
+    while _PERSISTED_PARTS:
+        _PERSISTED_PARTS.pop().unpersist()
+        n += 1
+    return n
+
+
 def distributed_prefix_sum(
     df: "DataFrame",
     order: "list",
@@ -104,6 +122,14 @@ def distributed_prefix_sum(
     from pyspark import StorageLevel
 
     parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
+    # Register the handle so long-lived sessions can release the cached
+    # partitions once the downstream result is materialized (ADVICE r6:
+    # repeated calls otherwise accumulate until LRU eviction). Releasing
+    # is correctness-safe: the persist pins ONE exchange instance in the
+    # plan (the InMemoryRelation both subtrees share); after eviction a
+    # recompute replays the same RDD graph with the same shuffle
+    # boundaries.
+    _PERSISTED_PARTS.append(parts)
     w = (
         W.partitionBy("__pid")
         .orderBy(*order)

@@ -73,7 +73,21 @@ def pagerank(
     base = base.persist()
     e = e.persist()
     try:
-        n = base.count()  # also materializes the persists
+        # one agg materializes the persists AND validates the precondition:
+        # weights must be non-negative — a node with out_weight < 0 matches
+        # neither the dangling arm (== 0) nor the contribution arm (> 0),
+        # so rank mass would silently leak (ADVICE r6)
+        row = base.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("out_weight").alias("__minw"),
+        ).first()
+        n = row["__n"]
+        if row["__minw"] is not None and row["__minw"] < 0:
+            raise ValueError(
+                "pagerank: negative edge weights (min out_weight = "
+                f"{row['__minw']}) — weights must be >= 0, or rank mass "
+                "leaks through the dangling/contribution split"
+            )
         if n == 0:
             # empty edge list (e.g. every document is a single word):
             # an empty typed frame, not a driver-side ZeroDivisionError

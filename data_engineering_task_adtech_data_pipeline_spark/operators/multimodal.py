@@ -344,6 +344,209 @@ def resize_images(
     return df.select("media_id", "payload", "meta").mapInPandas(run, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Audio: dependency-free RIFF/WAVE PCM parser (round 7). Retires the next
+# slice of the decode stub the way PPM/BMP did for images: real bytes in,
+# real samples out, numpy-only. MP3/OGG/FLAC still need audio libs
+# (env-blocked, DEVIATIONS.md) and raise inside the executor batch.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _wav_encode(samples, sample_rate: int = 8000, channels: int = 1,
+                bits: int = 16) -> bytes:
+    """Encode int samples (interleaved if multi-channel) as a canonical
+    RIFF/WAVE PCM payload. ``bits=16``: int16 LE; ``bits=8``: unsigned
+    bytes (the WAV convention for 8-bit PCM)."""
+    import struct
+
+    import numpy as np
+
+    if bits == 16:
+        body = np.asarray(samples, dtype="<i2").tobytes()
+    elif bits == 8:
+        body = np.asarray(samples, dtype=np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_decode(payload: bytes):
+    """Parse a RIFF/WAVE PCM payload (8-bit unsigned or 16-bit signed LE,
+    any channel count): walks the chunk list (word-aligned, unknown chunks
+    skipped), returns ``(info_dict, samples)`` where samples is a signed
+    int numpy array (8-bit recentred to [-128, 127]), or ``None`` if the
+    payload is corrupt or a non-PCM/unsupported-depth sub-format."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, n = 12, len(payload)
+        fmt_info, data = None, None
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + csize > n:
+                return None  # truncated chunk
+            if cid == b"fmt " and csize >= 16:
+                audio_format, channels, rate, _br, _ba, bits = (
+                    struct.unpack_from("<HHIIHH", payload, body_start)
+                )
+                fmt_info = (audio_format, channels, rate, bits)
+            elif cid == b"data":
+                data = payload[body_start : body_start + csize]
+            pos = body_start + csize + (csize & 1)  # odd chunks padded
+        if fmt_info is None or data is None:
+            return None
+        audio_format, channels, rate, bits = fmt_info
+        if audio_format != 1 or channels < 1 or rate <= 0:
+            return None  # compressed / malformed: unsupported sub-format
+        if bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) - (len(data) % 2)], dtype="<i2"
+            ).astype(np.int32)
+        elif bits == 8:
+            samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        else:
+            return None
+        n_frames = samples.size // channels
+        info = {
+            "sample_rate": int(rate),
+            "channels": int(channels),
+            "bits": int(bits),
+            "n_frames": int(n_frames),
+            "duration_ms": int(n_frames * 1000 // rate),
+        }
+        return info, samples[: n_frames * channels]
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def decode_audio(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Decode audio payloads to waveform stats via Arrow-batched
+    ``mapInPandas``: RIFF/WAVE PCM payloads REALLY parse (hand-rolled,
+    numpy-only ``_wav_decode``) into (sample_rate, channels, bits,
+    n_frames, duration_ms, peak, rms); a corrupt or non-PCM WAV yields
+    ``decode_ok=False``; non-RIFF formats (MP3/OGG/FLAC) raise
+    NotImplementedError inside the executor batch — exactly where an
+    audio library would plug in (DEVIATIONS.md).
+
+    Numerics are oracle-exact by construction: peak/sum-of-squares are
+    integer math over the decoded samples (sum(s^2) < 2^53 for any
+    payload this container can hold), and ``rms = sqrt(sum_sq / n)`` is
+    two correctly-rounded IEEE-double ops — an external SQL oracle
+    deriving the same samples reproduces it bit-for-bit, no rounding
+    fudge needed. Same scale shape as ``decode_images``: per-partition
+    Arrow batches, payloads never visit the driver; ``batch_rows`` is the
+    session-level Arrow conf documented there.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False))
+                    continue
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "only RIFF/WAVE PCM decodes offline; compressed "
+                        "audio needs an audio library — not available in "
+                        "this container (DEVIATIONS.md)"
+                    )
+                dec = _wav_decode(payload)
+                if dec is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False))
+                    continue
+                info, samples = dec
+                if samples.size:
+                    peak = int(max(samples.max(), -samples.min()))
+                    sum_sq = int((samples.astype("int64") ** 2).sum())
+                    rms = math.sqrt(sum_sq / samples.size)
+                else:
+                    peak, rms = None, None
+                rows.append((
+                    media_id, info["sample_rate"], info["channels"],
+                    info["bits"], info["n_frames"], info["duration_ms"],
+                    peak, rms, True,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", sample_rate: int = 8000) -> DataFrame:
+    """Deterministic WAV test fixture: encodes each row's text as a mono
+    16-bit PCM payload with samples
+    ``s_i = ((codepoint(text[i]) * 257 + 7*i) % 65536) - 32768`` (1-based
+    i) — a pure function of the text, so an external SQL oracle can derive
+    the exact samples (and thus every decoded stat) from the source table.
+    Returns (media_id, payload)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                samples = [
+                    ((ord(c) * 257 + 7 * i) % 65536) - 32768
+                    for i, c in enumerate(t, start=1)
+                ]
+                payloads.append(_wav_encode(samples, sample_rate))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration) into the
     frame timestamps to decode — pure built-ins, no payload access, so the

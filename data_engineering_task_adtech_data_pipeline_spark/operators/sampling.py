@@ -361,6 +361,12 @@ def mixture_sample(
     carry each row's sampling rate (e.g. for importance weighting);
     ``None`` drops it.
     """
+    if rate_col is not None and rate_col in df.columns:
+        raise ValueError(
+            f"mixture_sample: rate_col {rate_col!r} already exists in the "
+            "input — renaming the sentinel onto it would create duplicate "
+            "column names and make later references ambiguous"
+        )
     rates = mixture_rates(df, target_weights, budget_rows, group_col)
     # Sentinel name through the join: if the caller's df already carries a
     # column named 'rate' (or named rate_col), joining the literal 'rate'
@@ -492,6 +498,11 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if key_col is not None and key_col in df.columns:
+        raise ValueError(
+            f"weighted_sample: key_col {key_col!r} already exists in the "
+            "input — withColumn would silently overwrite it"
+        )
     u = (_hash_bucket(keys, salt, method).cast("double") + F.lit(0.5)) / F.lit(
         float(_BUCKETS)
     )

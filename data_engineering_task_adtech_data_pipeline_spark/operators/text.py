@@ -802,11 +802,56 @@ def _bpe_merge_fold(s: Column, left: str, right: str, sep: str) -> Column:
     )
 
 
+def _bpe_safe_batch(cands, remaining: int):
+    """Select the prefix of sorted pair candidates that can be merged in
+    ONE round without diverging from strict greedy BPE (round-7 stretch;
+    the regime note in :func:`bpe_learn_merges`).
+
+    ``cands`` is the top-M collected rows of the pair table, already in
+    strict-greedy order (count desc, l asc, r asc). Soundness argument:
+
+    - accepted candidates have pairwise-DISJOINT symbols (including each
+      accepted pair's merged string ``l+r``), so merging one cannot
+      change another's count — their strict-greedy merge order is
+      exactly list order;
+    - the walk STOPS at the first candidate sharing a symbol with the
+      accepted set, at count ``c_bound``. Every pair that interacts with
+      an accepted pair therefore sits at-or-below ``c_bound``; a merge
+      of accepted pair (l, r) only creates new pairs (x, lr)/(lr, y)
+      whose counts are bounded by the interacting counts count(x, l) /
+      count(r, y) <= c_bound;
+    - the accepted prefix is truncated to counts STRICTLY above
+      ``c_bound``: no new pair can outrank (or tie-break against) any
+      accepted merge, so strict greedy performs the same merges in the
+      same order before ever looking at a batch-created pair.
+
+    Returns the accepted rows (>= 1: falls back to the single argmax,
+    which is strict greedy by construction).
+    """
+    accepted, used = [], set()
+    c_bound = None
+    for cand in cands:
+        merged = cand.l + cand.r
+        if cand.l in used or cand.r in used or merged in used:
+            c_bound = cand.c
+            break
+        accepted.append(cand)
+        used.update((cand.l, cand.r, merged))
+    else:
+        # ran off the collected list: pairs below it are unseen, so
+        # bound by the last visible count (conservative)
+        c_bound = cands[-1].c if cands else None
+    accepted = accepted[:remaining]
+    safe = [a for a in accepted if c_bound is None or a.c > c_bound]
+    return safe if safe else accepted[:1]
+
+
 def bpe_learn_merges(
     df: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
     sep: str = "\x1f",
+    batch: bool = False,
 ) -> DataFrame:
     """FULL BPE merge learning (Sennrich et al. 2016 algorithm 1): start
     from the character segmentation of the corpus's word-frequency table,
@@ -822,6 +867,21 @@ def bpe_learn_merges(
     pair-explode aggregation plus one literal `replace` projection — and
     the only driver state is the single argmax pair per round (a bounded
     1-row collect, the same model-state pattern as ``kmeans_fit``).
+
+    ``batch=True`` (round-7) lifts the one-Spark-job-per-merge
+    constraint: each job collects the top candidates and accepts the
+    longest prefix that is PROVABLY order-equivalent to strict greedy
+    (:func:`_bpe_safe_batch` — pairwise-disjoint symbols, counts
+    strictly above the first interacting candidate's count), merging k
+    pairs per round. Identical output by construction (equivalence
+    tested at n_merges=5 plus adversarial-tie hand cases); job count
+    drops toward O(n_merges / k). Regime note: strict order must stay
+    per-pair exactly where candidates interact or tie at the bound —
+    which is precisely where the batch stops — so a real 32k-merge
+    tokenizer train batches the long disjoint stretches (most of a
+    natural-language vocabulary) and degrades to single steps only at
+    contested counts. Default stays the strict loop (the q88/q94 oracle
+    unrolls are written against it).
 
     Merging is a LEFT FOLD over the symbol list (:func:`_bpe_merge_fold`):
     "if the accumulator's last symbol is ``l`` and the current symbol is
@@ -849,7 +909,7 @@ def bpe_learn_merges(
     merges: list[tuple[int, str, str, int]] = []
     try:
         cur = vocab
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
             arr = _bpe_symbols(F.col("s"), sep)
             n = F.size(arr)
             pairs = (
@@ -867,15 +927,27 @@ def bpe_learn_merges(
                 )
                 .agg(F.sum("freq").cast("long").alias("c"))
             )
-            best = pairs.orderBy(
+            ordered = pairs.orderBy(
                 F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
-            ).first()
-            if best is None:
-                break
-            merges.append((rank, best.l, best.r, best.c))
-            cur = cur.withColumn(
-                "s", _bpe_merge_fold(F.col("s"), best.l, best.r, sep)
             )
+            remaining = n_merges - len(merges)
+            if batch:
+                # top-M collect bounded by the remaining merge budget —
+                # model state, never vocabulary-sized
+                cands = ordered.take(2 * remaining + 2)
+                if not cands:
+                    break
+                step = _bpe_safe_batch(cands, remaining)
+            else:
+                best = ordered.first()
+                if best is None:
+                    break
+                step = [best]
+            for b in step:
+                merges.append((len(merges) + 1, b.l, b.r, b.c))
+                cur = cur.withColumn(
+                    "s", _bpe_merge_fold(F.col("s"), b.l, b.r, sep)
+                )
     finally:
         vocab.unpersist()
     return spark.createDataFrame(

@@ -7,8 +7,12 @@ keeps the max-version row per key at merge time. Spark-on-Parquet has no
 native upsert, so we reproduce it the way ClickHouse itself does — append
 always wins at write time, dedup at read time:
 
-- **write**: plain ``mode("append")`` parquet writes (no read-modify-write,
-  no locking — scales to any ingest rate),
+- **write**: plain ``mode("append")`` parquet writes (no read-modify-write
+  — scales to any ingest rate). Writes are FENCED (round 7): a sidecar
+  lock makes concurrent mutation of one table fail loudly
+  (``ConcurrentWriteError``) instead of corrupting it, and every fenced
+  write bumps a ``_write_generation`` marker (the same vintage-fencing
+  discipline as the persisted ANN index's ``index_generation``),
 - **read**: ``latest_version`` view — ``row_number() OVER (PARTITION BY keys
   ORDER BY version DESC) = 1``,
 - **compact**: periodically rewrite a partition through ``latest_version``
@@ -24,6 +28,10 @@ care.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +41,77 @@ from pyspark.sql import functions as F
 from .. import fs
 
 _RN = "__rn_replacing_merge"
+
+_GEN_FILE = "_write_generation"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a fenced table write while another holds
+    the lock. The write was refused BEFORE touching any data."""
+
+
+def _lock_path(path: str) -> str:
+    # sidecar NEXT to the table dir, not inside it: the initial-creation
+    # write path requires the table dir to not exist yet, and a lock file
+    # inside would flip that probe
+    return path.rstrip("/") + ".__write_lock"
+
+
+def break_lock(spark: SparkSession, path: str) -> bool:
+    """Remove a stale writer lock left by a crashed merge/append/compact
+    (returns False if no lock existed). ONLY call after confirming the
+    holder is dead — the data-side recovery is then automatic: re-running
+    the same merge is replay-idempotent (see ``merge_upsert``)."""
+    return fs.delete(spark, _lock_path(path), recursive=False)
+
+
+@contextlib.contextmanager
+def _write_fence(spark: SparkSession, path: str, op: str):
+    """Single-writer fence for table mutations (round-7, r6 VERDICT #4:
+    the persisted ANN index had a generation guard; the upsert table
+    assumed single-writer with no detection). Acquire = atomic
+    create-if-absent of a sidecar lock file (``fs.create_exclusive`` —
+    atomic on HDFS/local; see its S3A caveat); a concurrent writer FAILS
+    LOUDLY with ``ConcurrentWriteError`` instead of corrupting the table.
+    On success the table's ``_write_generation`` marker is bumped, so
+    readers/caches can fence on table vintage the same way the ANN index
+    does. The lock always releases on exit — including on error — so only
+    a process crash leaves it behind (recovery: ``break_lock`` + replay)."""
+    lock = _lock_path(path)
+    token = f"{op} pid={os.getpid()} t={time.time():.0f} id={uuid.uuid4().hex[:8]}"
+    if not fs.create_exclusive(spark, lock, token):
+        holder = "<unreadable>"
+        with contextlib.suppress(Exception):
+            holder = fs.read_text(spark, lock).strip()
+        raise ConcurrentWriteError(
+            f"{op} refused: another writer holds the lock for {path} "
+            f"({holder}). If that writer crashed, call "
+            "upsert.break_lock(spark, path) and re-run — the merge is "
+            "replay-idempotent."
+        )
+    try:
+        # read the generation at ENTRY: ops that replace the table dir
+        # (compact's delete+rename) drop the in-table marker mid-fence,
+        # and re-reading at exit would reset the counter
+        gen_path = fs.join(path, _GEN_FILE)
+        gen = 0
+        if fs.exists(spark, gen_path):
+            with contextlib.suppress(ValueError):
+                gen = int(fs.read_text(spark, gen_path).strip())
+        yield
+        fs.write_text(spark, gen_path, str(gen + 1))
+    finally:
+        fs.delete(spark, lock, recursive=False)
+
+
+def table_generation(spark: SparkSession, path: str) -> int:
+    """Monotone write-generation of a fenced table (0 if never written
+    through the fence) — cache keys derived from table state should
+    include this, mirroring ``similarity.index_generation``."""
+    gen_path = fs.join(path, _GEN_FILE)
+    if not fs.exists(spark, gen_path):
+        return 0
+    return int(fs.read_text(spark, gen_path).strip())
 
 
 def latest_version(
@@ -64,12 +143,18 @@ def upsert_append(
     """Append a batch of versioned rows (the write half of the upsert).
 
     Mirrors the reference's INSERTs into ReplacingMergeTree
-    (``dags/track_delta.py:219-223``): writers never read existing state.
+    (``dags/track_delta.py:219-223``): writers never read existing state —
+    but concurrent appends through Spark's file-output committer can still
+    collide on the staging dir, so the write is fenced: a second
+    simultaneous writer gets ``ConcurrentWriteError`` instead of a torn
+    table (the reference hands this problem to ClickHouse's merge thread,
+    ``dags/initial_load_generate_postgres_data.py:97-98``).
     """
-    writer = df.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    with _write_fence(df.sparkSession, path, "upsert_append"):
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
 
 
 def compact(
@@ -81,14 +166,17 @@ def compact(
 ) -> None:
     """Rewrite the table keeping only latest versions (background-merge
     analog). Call per time-partition at scale, not on the whole table."""
-    deduped = latest_version(spark.read.parquet(path), keys, version, tiebreak)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    deduped.write.mode("overwrite").parquet(tmp)
-    # scheme-agnostic swap via Hadoop FileSystem (atomic on HDFS/local,
-    # copy+delete on S3A); on object stores prefer a lakehouse table
-    # format where compaction is a metadata swap
-    fs.delete(spark, path)
-    fs.rename(spark, tmp, path)
+    with _write_fence(spark, path, "compact"):
+        deduped = latest_version(
+            spark.read.parquet(path), keys, version, tiebreak
+        )
+        tmp = path.rstrip("/") + "__compact_tmp"
+        deduped.write.mode("overwrite").parquet(tmp)
+        # scheme-agnostic swap via Hadoop FileSystem (atomic on HDFS/local,
+        # copy+delete on S3A); on object stores prefer a lakehouse table
+        # format where compaction is a metadata swap
+        fs.delete(spark, path)
+        fs.rename(spark, tmp, path)
 
 
 BUCKET_COL = "merge_bucket"
@@ -159,36 +247,37 @@ def merge_upsert(
     )
     meta = repr((sorted(keys), version, int(num_buckets)))
     meta_path = fs.join(path, _META_FILE)
-    if not fs.is_dir(spark, path):
-        src.write.partitionBy(BUCKET_COL).parquet(path)
-        fs.write_text(spark, meta_path, meta)
-        return
-    stored = fs.read_text(spark, meta_path).strip()
-    if stored != meta:
-        raise ValueError(
-            f"merge_upsert config mismatch at {path}: table was created "
-            f"with {stored}, called with {meta} — a different bucketing "
-            "would split keys across buckets and silently duplicate rows"
+    with _write_fence(spark, path, "merge_upsert"):
+        if not fs.is_dir(spark, path):
+            src.write.partitionBy(BUCKET_COL).parquet(path)
+            fs.write_text(spark, meta_path, meta)
+            return
+        stored = fs.read_text(spark, meta_path).strip()
+        if stored != meta:
+            raise ValueError(
+                f"merge_upsert config mismatch at {path}: table was created "
+                f"with {stored}, called with {meta} — a different bucketing "
+                "would split keys across buckets and silently duplicate rows"
+            )
+
+        buckets = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )  # bounded by num_buckets — never corpus-sized
+        target = spark.read.parquet(path)
+        relevant = target.where(F.col(BUCKET_COL).isin(buckets))
+        merged = latest_version(
+            relevant.unionByName(src), keys, version, tiebreak
         )
 
-    buckets = sorted(
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    )  # bounded by num_buckets — never corpus-sized
-    target = spark.read.parquet(path)
-    relevant = target.where(F.col(BUCKET_COL).isin(buckets))
-    merged = latest_version(
-        relevant.unionByName(src), keys, version, tiebreak
-    )
-
-    staging = path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-    for b in buckets:
-        bdst = fs.join(path, f"{BUCKET_COL}={b}")
-        bsrc = fs.join(staging, f"{BUCKET_COL}={b}")
-        fs.delete(spark, bdst)
-        if fs.exists(spark, bsrc):
-            fs.rename(spark, bsrc, bdst)
-    fs.delete(spark, staging)
+        staging = path.rstrip("/") + "__merge_tmp"
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        for b in buckets:
+            bdst = fs.join(path, f"{BUCKET_COL}={b}")
+            bsrc = fs.join(staging, f"{BUCKET_COL}={b}")
+            fs.delete(spark, bdst)
+            if fs.exists(spark, bsrc):
+                fs.rename(spark, bsrc, bdst)
+        fs.delete(spark, staging)
 
 
 def _merge_upsert_delta(

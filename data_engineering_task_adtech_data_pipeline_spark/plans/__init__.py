@@ -21,23 +21,27 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) never driver-verified (added r5 past the window) + new this round
-    "q75_winnow_match_pairs", "q76_hard_negatives", "q77_budget_select",
-    "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
-    "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
-    "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
-    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
-    "q90_pagerank", "q91_window_ranks", "q92_scd2_history",
-    "q93_weighted_sample", "q94_bpe_tokenize",
-    "q95_small_quantity_revenue", "q96_retention_cohorts",
-    "q97_event_funnel",
-    # (c) relational battery — green in r4, out of window in r5
-    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
-    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
-    "q28_window_calendar", "q29_asof_join", "q30_range_join",
-    "q31_sessionize", "q32_percentiles", "q33_profile",
-    "q34_json_extract", "q37_exists_anti", "q39_order_count_distribution",
-    "q44_string_functions", "q46_array_agg",
+    # (b) new this round (never driver-verified)
+    "q98_wav_stats", "q99_supplier_value_share",
+    "q100_inactive_customer_balance",
+    # (c) longest-unverified block: last driver-green r5 (the headline
+    # dedup/ANN/text family rotated out in r6). 37 of the 40 r5-green
+    # entries fit; q19/q21/q36 (map-only features / count probe / hash
+    # split — lowest regression risk) stay on the local gate this round
+    # and lead block (c) next round.
+    "q11_dedup_exact", "q12_ngram_jaccard", "q13_minhash_dedup",
+    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
+    "q17_text_features", "q35_minhash_dedup_transitive",
+    "q40_multimodal_features", "q41_curation_pipeline", "q42_chunking",
+    "q43_sequence_packing", "q48_jaccard_verify",
+    "q49_embedding_dup_pairs", "q50_ivf_topk", "q51_domain_cap",
+    "q53_decontaminate", "q54_contamination_report", "q55_ivf_lsh_topk",
+    "q56_pii_redaction", "q57_bigram_novelty", "q58_greedy_pack_sharded",
+    "q60_duplicate_spans", "q61_export_shards", "q62_quantile_filter",
+    "q63_tfidf_topk", "q64_hll_distinct", "q65_cm_heavy_hitters",
+    "q66_mixture_sample", "q67_collapse_duplicates", "q68_semantic_dedup",
+    "q69_inverted_index", "q70_dedup_against_corpus", "q71_bm25_topk",
+    "q72_pq_adc_topk", "q73_salted_agg", "q74_corpus_datacard",
 ]
 
 

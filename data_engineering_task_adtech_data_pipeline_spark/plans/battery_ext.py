@@ -2958,10 +2958,13 @@ def _q86_root(sf_dir: str) -> str:
     if os.path.isdir(src):
         for f in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, f))
-            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            # st_mtime_ns, not integer-second mtime: a regenerated
+            # same-size vintage written within the same second must MISS
+            # the cache, not serve a stale index (ADVICE r6)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(src):
         st = os.stat(src)
-        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_graft_q86", key)
 
@@ -3528,3 +3531,62 @@ def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r.left_sym, r.right_sym) for r in
               sorted(learned, key=lambda r: r.merge_rank)]
     return text.bpe_tokenize_counts(norm, merges)
+
+
+# ===========================================================================
+# q98 — audio decode: REAL dependency-free RIFF/WAVE PCM parsing end-to-end
+# (round-7; retires the audio slice of the multimodal decode stub the way
+# PPM/BMP did for images). The payload is a deterministic pure function of
+# documents.text (operators.multimodal.synth_wav), so every decoded stat —
+# frame count, duration, peak, RMS — is value-checked against an oracle
+# that derives the identical int16 samples in SQL. rms needs NO rounding
+# fudge: integer sum-of-squares (< 2^53, exact in double) followed by two
+# correctly-rounded IEEE ops (divide, sqrt) is bit-identical across
+# engines.
+# ===========================================================================
+
+@query(
+    "q98_wav_stats",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             ((unicode(substr(text, CAST(i AS INTEGER), 1)) * 257
+               + 7 * CAST(i AS INTEGER)) % 65536) - 32768 AS s
+      FROM documents, UNNEST(range(1, length(text) + 1)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             MAX(ABS(s)) AS peak,
+             sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+      FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           16 AS bits,
+           COALESCE(a.n_frames, 0) AS n_frames,
+           (COALESCE(a.n_frames, 0) * 1000) // 8000 AS duration_ms,
+           a.peak AS peak,
+           a.rms AS rms
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.text IS NOT NULL
+    """,
+    doc="Real audio decode: documents.text -> deterministic mono 16-bit "
+    "PCM WAV payload (multimodal.synth_wav) -> hand-rolled RIFF chunk-walk "
+    "parse (multimodal._wav_decode) -> per-doc waveform stats, all inside "
+    "Arrow-batched mapInPandas. The oracle rebuilds the exact samples from "
+    "text codepoints in SQL; peak/RMS match bit-for-bit.",
+)
+def q98_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    wav = multimodal.synth_wav(docs)
+    stats = multimodal.decode_audio(wav)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "peak", "rms",
+    )

@@ -907,3 +907,140 @@ def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_view_click").cast("double")
         ).alias("purchase_rate"),
     )
+
+
+# ===========================================================================
+# q99 — TPC-H Q11 shape: filtered aggregation kept only when its share of
+# the GLOBAL (same-filter) total clears a threshold — the scalar-subquery
+# HAVING pattern. Testdata has no partsupp, so the "value" is supplier
+# lineitem revenue within a 5-nation region (reshape documented in
+# COVERAGE.md; the plan shape — grouped agg, 1-row global agg, broadcast
+# scalar compare — is exactly Q11's decorrelated form).
+# ===========================================================================
+
+@query(
+    "q99_supplier_value_share",
+    oracle="""
+    WITH sup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+    ),
+    val AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS value
+      FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, value
+    FROM val
+    WHERE value > (SELECT SUM(value) FROM val) * 0.05
+    """,
+    doc="TPC-H Q11 shape (reshaped onto supplier revenue; no partsupp in "
+    "testdata): per-supplier decimal-exact revenue over a nation-filtered "
+    "supplier set, HAVING value > 0.05 * the same set's global total — "
+    "grouped agg + 1-row scalar agg broadcast back. At 100 TB the scalar "
+    "side is one row; the compare is a broadcast nested-loop of cost "
+    "O(groups).",
+)
+def q99_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    nations = [f"NATION_{i}" for i in range(5)]
+    sup = (
+        td.supplier.join(
+            td.nation,
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .where(F.col("n_name").isin(nations))
+        .select("s_suppkey")
+    )
+    val = (
+        td.lineitem.join(
+            F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            )
+            .cast("double")
+            .alias("value")
+        )
+    )
+    total = val.agg(F.sum("value").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value") > F.col("__total") * F.lit(0.05))
+        .select("s_suppkey", "value")
+    )
+
+
+# ===========================================================================
+# q100 — TPC-H Q22 shape: substring bucketing + global-avg scalar subquery
+# + NOT EXISTS anti-join. Testdata customer has no c_phone; the "country
+# code" is the last two digits of c_name (same mechanics, documented).
+# ===========================================================================
+
+@query(
+    "q100_inactive_customer_balance",
+    oracle="""
+    WITH coded AS (
+      SELECT c_custkey, c_acctbal,
+             substring(c_name, length(c_name) - 1, 2) AS cntrycode
+      FROM customer
+      WHERE substring(c_name, length(c_name) - 1, 2) < '25'
+    ),
+    avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM coded WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM coded
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = coded.c_custkey
+                        AND o_totalprice > 400000.0)
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (country code = last 2 digits of c_name; no "
+    "c_phone in testdata; 'inactive' = no order above 400k — every "
+    "testdata customer has SOME order, so Q22's no-orders-at-all "
+    "predicate would select nothing): substring bucketing, "
+    "positive-balance global average as a broadcast scalar, NOT EXISTS "
+    "with a pushed filter as a left-anti join against orders, "
+    "decimal-exact balance sums. The anti-join shuffles only (custkey) "
+    "pairs of the pre-filtered order subset; the avg is a 1-row "
+    "broadcast.",
+)
+def q100_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    code = F.expr("substring(c_name, length(c_name) - 1, 2)")
+    coded = (
+        td.customer.withColumn("cntrycode", code)
+        .where(F.col("cntrycode") < "25")
+        .select("c_custkey", "c_acctbal", "cntrycode")
+    )
+    avg_bal = coded.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    big_orders = (
+        td.orders.where(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    inactive = (
+        coded.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(big_orders, "c_custkey", "left_anti")
+    )
+    return inactive.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )

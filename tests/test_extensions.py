@@ -1469,6 +1469,46 @@ def test_pagerank_hand_example(spark):
     assert got2["b"].rank > got2["a"].rank  # b receives, a only donates
 
 
+def test_pagerank_rejects_negative_weights(spark):
+    """ADVICE r6: a node whose out_weight sums negative matches neither
+    the dangling (== 0) nor the contribution (> 0) arm — rank mass would
+    silently leak. The operator must refuse up front."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", -1.0), ("b", "a", 1.0)],
+        "src string, dst string, wt double",
+    )
+    with pytest.raises(ValueError, match="negative edge weights"):
+        pagerank(edges, n_iter=1, weight_col="wt")
+
+
+def test_prefix_sum_release_persisted(spark):
+    """distributed_prefix_sum registers its persisted frame; the release
+    helper drains the registry, and releasing does not change results
+    (recompute replays the same pinned RDD graph)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        chunking,
+    )
+
+    chunking.release_persisted()  # drain anything earlier tests left
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(100)], "id long, n long"
+    )
+    out = chunking.distributed_prefix_sum(
+        df, [F.col("id").asc()], "n", num_partitions=4
+    )
+    before = sorted((r["id"], r["__cum"]) for r in out.collect())
+    assert chunking.release_persisted() == 1
+    assert chunking.release_persisted() == 0
+    # post-release re-materialization is identical
+    assert sorted((r["id"], r["__cum"]) for r in out.collect()) == before
+
+
 def test_bpe_tokenize_counts_hand_example(spark):
     """After merging (l,o) then (lo,w): 'low' encodes to the single token
     [low]; 'lower' to [low, e, r] (3 tokens); unmerged 'cat' stays 3
@@ -1510,3 +1550,122 @@ def test_bpe_merge_fold_boundary_and_adjacency(spark):
     assert out[2].n_tokens == 2
     # 'lrlr': (l,r) adjacent occurrences both merge -> [lr, lr]
     assert out[3].n_tokens == 2
+
+
+def test_wav_decode_hand_examples(spark):
+    """Real RIFF/WAVE parsing: 16-bit mono, 8-bit recentring, stereo frame
+    counting, unknown-chunk skipping with odd-size padding, corrupt
+    payloads -> decode_ok False, non-RIFF -> NotImplementedError."""
+    import math
+    import struct
+
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _wav_decode,
+        _wav_encode,
+        decode_audio,
+    )
+
+    # 16-bit mono: stats computed by hand
+    s16 = [100, -200, 300, -32768]
+    wav16 = _wav_encode(s16, sample_rate=8000)
+    info, samples = _wav_decode(wav16)
+    assert info == {"sample_rate": 8000, "channels": 1, "bits": 16,
+                    "n_frames": 4, "duration_ms": 0}
+    assert samples.tolist() == s16
+
+    # 8-bit unsigned recentres to signed
+    wav8 = _wav_encode([0, 128, 255], sample_rate=4000, bits=8)
+    info8, samples8 = _wav_decode(wav8)
+    assert (info8["bits"], info8["n_frames"]) == (8, 3)
+    assert samples8.tolist() == [-128, 0, 127]
+
+    # stereo: 6 samples -> 3 frames; duration from frames not samples
+    wavst = _wav_encode([1, 2, 3, 4, 5, 6], sample_rate=1000, channels=2)
+    infost, _ = _wav_decode(wavst)
+    assert (infost["channels"], infost["n_frames"], infost["duration_ms"]) \
+        == (2, 3, 3)
+
+    # unknown odd-sized chunk before fmt/data must be skipped with its
+    # pad byte (RIFF word alignment)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = wav16[:12] + extra + wav16[12:]
+    assert _wav_decode(spliced)[0]["n_frames"] == 4
+
+    # corrupt: truncated data chunk; non-PCM format code
+    assert _wav_decode(wav16[:-3]) is None
+    nonpcm = bytearray(wav16)
+    nonpcm[20] = 3  # audio_format = IEEE float
+    assert _wav_decode(bytes(nonpcm)) is None
+
+    # operator end-to-end: stats + decode_ok arms + non-RIFF raise
+    df = spark.createDataFrame(
+        [(1, bytearray(wav16)), (2, bytearray(wav16[:-3])), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in decode_audio(df).collect()}
+    assert got[1].decode_ok and not got[2].decode_ok and not got[3].decode_ok
+    assert got[1].peak == 32768
+    expect_rms = math.sqrt(sum(x * x for x in s16) / 4)
+    assert got[1].rms == expect_rms
+    assert got[2].n_frames is None
+
+    mp3ish = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04\x00rest-of-an-mp3"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_audio(mp3ish).collect()
+
+
+def test_synth_wav_matches_definition(spark):
+    """synth_wav's samples are the documented pure function of the text
+    (the property the q98 oracle relies on)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _wav_decode,
+        synth_wav,
+    )
+
+    df = spark.createDataFrame([(7, "ab z")], "doc_id long, text string")
+    payload = bytes(synth_wav(df).collect()[0].payload)
+    info, samples = _wav_decode(payload)
+    expect = [((ord(c) * 257 + 7 * i) % 65536) - 32768
+              for i, c in enumerate("ab z", start=1)]
+    assert samples.tolist() == expect
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+
+
+def test_bpe_batched_equals_strict(spark):
+    """batch=True must reproduce the strict one-merge-per-job loop's
+    table EXACTLY (rank, symbols, counts) — on the real corpus and on
+    adversarial hand cases (interacting candidates, disjoint ties, and
+    counts tying at the batch bound, where the batch must degrade to
+    single steps)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+    from conftest import SF_ORACLE
+
+    corpora = [
+        Testdata(spark, SF_ORACLE).documents.select("text"),
+        spark.createDataFrame(
+            [(1, "x y z x y z x y")], "id long, text string"
+        ),  # chained interactions: (x,y) blocks (y,z)
+        spark.createDataFrame(
+            [(1, "a b a b c d c d e f")], "id long, text string"
+        ),  # disjoint tie (a,b)/(c,d) mergeable in one batch
+        spark.createDataFrame(
+            [(1, "p q p q r s r s"), (2, "q r q r")],
+            "id long, text string",
+        ),  # tie AT the bound: (p,q)=2,(r,s)=2,(q,r)=2 all interact via q/r
+    ]
+    for corpus in corpora:
+        strict = [tuple(r) for r in
+                  bpe_learn_merges(corpus, n_merges=5).collect()]
+        batched = [tuple(r) for r in
+                   bpe_learn_merges(corpus, n_merges=5, batch=True).collect()]
+        assert batched == strict, (strict, batched)

@@ -389,3 +389,66 @@ def test_scd2_history_hand_example(spark):
         (1, "B", "2024-01-03", "2024-01-05"),
         (2, "X", "2024-02-01", None),
     ]
+
+
+def test_write_fence_two_writers_and_generation(spark, tmp_path):
+    """r6 VERDICT #4: a second concurrent writer must fail LOUDLY before
+    touching data (the reference hands single-writer enforcement to
+    ClickHouse's merge thread; our parquet tables now fence with an
+    atomic sidecar lock). Also: the _write_generation marker is monotone
+    across append / merge / compact, and break_lock recovers a crashed
+    writer's lock."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        ConcurrentWriteError,
+        _lock_path,
+        break_lock,
+        compact,
+        merge_upsert,
+        read_merged,
+        table_generation,
+        upsert_append,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")],
+                               "k long, ver long, v string")
+    merge_upsert(df, path, keys=["k"], version="ver", num_buckets=4)
+    assert table_generation(spark, path) == 1
+
+    # simulate a concurrent writer holding the lock mid-merge
+    assert fs.create_exclusive(spark, _lock_path(path), "other-writer pid=0")
+    v2 = spark.createDataFrame([(1, 2, "a2")], "k long, ver long, v string")
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        merge_upsert(v2, path, keys=["k"], version="ver", num_buckets=4)
+    # the refused write touched nothing
+    assert sorted((r.k, r.ver) for r in read_merged(spark, path).collect()) \
+        == [(1, 1), (2, 1)]
+
+    # crashed-writer recovery: break the stale lock, replay succeeds
+    assert break_lock(spark, path)
+    merge_upsert(v2, path, keys=["k"], version="ver", num_buckets=4)
+    assert sorted((r.k, r.ver) for r in read_merged(spark, path).collect()) \
+        == [(1, 2), (2, 1)]
+    assert table_generation(spark, path) == 2
+
+    # append + compact are fenced too, and the generation survives
+    # compact's whole-dir swap
+    apath = str(tmp_path / "a")
+    upsert_append(df, apath)
+    assert table_generation(spark, apath) == 1
+    assert fs.create_exclusive(spark, _lock_path(apath), "other pid=0")
+    with pytest.raises(ConcurrentWriteError):
+        upsert_append(df, apath)
+    with pytest.raises(ConcurrentWriteError):
+        compact(spark, apath, keys=["k"], version="ver")
+    break_lock(spark, apath)
+    upsert_append(v2, apath)
+    compact(spark, apath, keys=["k"], version="ver")
+    assert table_generation(spark, apath) == 3
+    assert sorted((r.k, r.ver) for r in
+                  spark.read.parquet(apath).collect()) == [(1, 2), (2, 1)]
+    # a failed (refused) write must not leave its own lock behind
+    assert not fs.exists(spark, _lock_path(apath))

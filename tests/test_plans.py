@@ -376,3 +376,60 @@ def test_q97_funnel_stage_joins_are_equi(spark):
     # two final combinations of single-row count frames
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin Inner") <= 2
+
+
+def _exec_plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _single_partition_exchanges_feed_from_aggregates(plan: str) -> None:
+    """Guard for the deliberate global-window sites (r6 VERDICT #1): a
+    single-partition exchange is only acceptable when its producer is an
+    aggregate (distinct-value / partition-total sized input — bounded at
+    any corpus size). A refactor that feeds corpus ROWS into a global
+    window would put a Sort/Project/Scan there instead and fail here."""
+    lines = plan.splitlines()
+    found = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        found += 1
+        child_window = "\n".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in child_window, (
+            "Exchange SinglePartition not fed by an aggregate:\n"
+            + "\n".join(lines[i : i + 4])
+        )
+    assert found > 0, "expected at least one (bounded) global exchange"
+
+
+def test_quantile_threshold_global_window_is_distinct_score_sized(spark):
+    """sampling.quantile_threshold's cum-sum window runs over DISTINCT
+    scores only: every single-partition exchange in q62's plan must be
+    fed by a groupBy(score) aggregate, never by corpus rows."""
+    _single_partition_exchanges_feed_from_aggregates(
+        _exec_plan(spark, "q62_quantile_filter")
+    )
+
+
+def test_zipf_global_window_is_distinct_freq_sized(spark):
+    """text.zipf_fit ranks over distinct frequencies (then top_n+ties
+    candidates): its global exchanges must be aggregate-fed too."""
+    _single_partition_exchanges_feed_from_aggregates(
+        _exec_plan(spark, "q81_zipf_fit")
+    )
+
+
+def test_prefix_sum_windows_stay_pid_partitioned(spark):
+    """The shared distributed_prefix_sum kernel must never funnel corpus
+    rows through a single-partition exchange: its windows are partitioned
+    by spark_partition_id and the offsets come from a broadcast join of
+    per-partition totals. q43 (packing) has NO global exchange at all;
+    q82 (curriculum) carries exactly one 1-row global count() — which
+    must stay aggregate-fed."""
+    assert "Exchange SinglePartition" not in _exec_plan(
+        spark, "q43_sequence_packing"
+    )
+    _single_partition_exchanges_feed_from_aggregates(
+        _exec_plan(spark, "q82_curriculum_stages")
+    )

@@ -205,6 +205,39 @@ def test_mixture_sample_validates_inputs(spark):
         mixture_rates(docs, {"src0": 0.0}, 10)
 
 
+def test_mixture_sample_rejects_preexisting_rate_col(spark):
+    """ADVICE r6: renaming the sentinel onto an existing column would
+    create duplicate names and ambiguous references — refuse loudly."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+    import pytest
+
+    docs = Testdata(spark, SF_ORACLE).documents.withColumn(
+        "rate", F.lit(1.0)
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        mixture_sample(docs, {"src0": 1.0}, 10, keys=["doc_id"],
+                       rate_col="rate")
+    # a non-colliding rate_col still works
+    assert mixture_sample(
+        docs, {"src0": 1.0}, 10, keys=["doc_id"], rate_col="mix_rate"
+    ).columns.count("mix_rate") == 1
+
+
+def test_weighted_sample_rejects_preexisting_key_col(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    import pytest
+
+    docs = Testdata(spark, SF_ORACLE).documents.withColumn(
+        "es", F.lit(1.0)
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        weighted_sample(docs, 5, "n_chars", keys=["doc_id"], key_col="es")
+
+
 def test_budget_select_take_while_and_partition_invariance(spark):
     """Best-first fill: docs ranked by score desc are kept while the
     cumulative token count fits the budget; the first overflow truncates

@@ -1,0 +1,127 @@
+"""Frozen sf1 bench series (round 7, r6 VERDICT #2): promotes the 10x
+stress run into a recorded, committed artifact so scale claims carry a
+per-round trend line instead of one-off SCALING.md tables.
+
+Protocol (frozen, mirrors bench.py):
+- data: sf0.1 plus the sf1-equivalent directory built by
+  ``tools/scale_stress.generate`` (10 shifted near-duplicate replicas of
+  sf0.1 — real dedup/ANN work, not a degenerate exact-collapse);
+- warm-up: every table in BOTH directories scanned once, plus untimed
+  ``Q.prepare`` per entry (serving indexes are built outside the timer);
+- action: noop sink (full column materialization — count() is NOT a
+  valid action, see bench.py);
+- per-query number: MEDIAN of 3 solo runs, both scales timed in the same
+  session so the ratio is box-drift-free;
+- query subset: FIXED (below) — the reference-parity core + the headline
+  dedup/text/ANN/serving family. Changing the subset breaks the trend
+  line; add new entries at the END and keep old ones.
+
+Usage: python tools/bench_sf1.py [--out BENCH_SF1_rN.json] [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from data_engineering_task_adtech_data_pipeline_spark.operators import chunking  # noqa: E402
+from data_engineering_task_adtech_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from data_engineering_task_adtech_data_pipeline_spark.session import get_spark  # noqa: E402
+from data_engineering_task_adtech_data_pipeline_spark.sources.readers import read_table  # noqa: E402
+
+from scale_stress import DST, SRC, generate  # noqa: E402
+
+N_RUNS = 3
+
+# FROZEN subset — append-only (see module docstring)
+QUERIES = [
+    "q01_pricing_summary", "q02_campaign_totals", "q03_daily_rollup",
+    "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
+    "q07_totals_report", "q08_distinct_projection", "q09_stats",
+    "q59_merge_upsert",
+    "q13_minhash_dedup", "q60_duplicate_spans", "q68_semantic_dedup",
+    "q86_ivf_pq_serve", "q87_line_dedup", "q88_bpe_learn_merges",
+    "q89_unigram_nll", "q90_pagerank", "q91_window_ranks",
+    "q92_scd2_history", "q93_weighted_sample", "q94_bpe_tokenize",
+    "q95_small_quantity_revenue", "q96_retention_cohorts",
+    "q97_event_funnel",
+    "q98_wav_stats", "q99_supplier_value_share",
+    "q100_inactive_customer_balance",
+]
+
+
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def main() -> None:
+    out_path = "BENCH_SF1.json"
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+
+    spark = get_spark("bench_sf1")
+    marker = Path(DST) / "_built_ok"
+    if "--regen" in argv or not marker.exists():
+        print("generating sf1-equivalent data ...")
+        generate(spark)
+        marker.write_text("ok")
+
+    from data_engineering_task_adtech_data_pipeline_spark.plans import REGISTRY
+
+    # warm-up: footers + page cache for both dirs; untimed index builds
+    for d in (SRC, DST):
+        for t in TESTDATA_TABLES:
+            read_table(spark, d, t).count()
+    for name in QUERIES:
+        q = REGISTRY[name]
+        if q.prepare is not None:
+            q.prepare(spark, SRC)
+            q.prepare(spark, DST)
+
+    base_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    sf1_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for _ in range(N_RUNS):
+        for name in QUERIES:
+            q = REGISTRY[name]
+            t0 = time.time()
+            q.spark(spark, SRC).write.format("noop").mode("overwrite").save()
+            base_runs[name].append(time.time() - t0)
+            t0 = time.time()
+            q.spark(spark, DST).write.format("noop").mode("overwrite").save()
+            sf1_runs[name].append(time.time() - t0)
+            chunking.release_persisted()
+
+    queries = {}
+    for name in QUERIES:
+        b, s = _median(base_runs[name]), _median(sf1_runs[name])
+        queries[name] = {
+            "sf0.1_sec": round(b, 3),
+            "sf1_sec": round(s, 3),
+            "ratio": round(s / b, 2),
+        }
+        print(f"  {name}: {b:.2f}s -> {s:.2f}s ({s / b:.1f}x)")
+
+    payload = {
+        "metric": "sf1_scale_series",
+        "protocol": "median-of-3, noop sink, warm tables, untimed prepare",
+        "data": "sf1-equivalent: 10 shifted near-dup replicas of sf0.1 "
+                "(tools/scale_stress.generate)",
+        "n_queries": len(queries),
+        "total_sf01": round(sum(q["sf0.1_sec"] for q in queries.values()), 2),
+        "total_sf1": round(sum(q["sf1_sec"] for q in queries.values()), 2),
+        "max_ratio": max(q["ratio"] for q in queries.values()),
+        "queries": queries,
+    }
+    Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
+    print(f"recorded: {out_path}  (max ratio "
+          f"{payload['max_ratio']}x on 10x data)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,12 @@ list/array cell is reported as a failure (the driver's canonicalizer raises
 
 If this passes, the driver's order-insensitive value hash passes.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` records the full-registry result as a per-round committed
+artifact (ADVICE r6: the driver's 50-entry window no longer re-checks
+rotated-out queries, so the full local gate must leave a recorded trail,
+not just a terminal PASS line).
 """
 
 from __future__ import annotations
@@ -90,8 +95,13 @@ def frame_multiset(pdf: pd.DataFrame) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -100,15 +110,21 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        chunking,
+    )
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         spark_pdf = sdf.toPandas()
+        chunking.release_persisted()  # drop per-query prefix-sum caches
         if name not in oracles:
             problems = []
             try:
@@ -120,6 +136,12 @@ def main() -> int:
             status = "rows-only" if not problems else "FAIL(rows-only)"
             print(f"  {name}: {status} ({len(spark_pdf)} rows) "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": status,
+                "rows": len(spark_pdf),
+                "problems": problems,
+                "sec": round(time.time() - t0, 2),
+            }
             for p in problems:
                 print(f"    !! {p}")
                 failures.append((name, p))
@@ -150,12 +172,29 @@ def main() -> int:
         status = "OK" if not problems else "FAIL"
         print(f"  {name}: {status} ({len(spark_pdf)} rows) "
               f"[{time.time()-t0:.1f}s]")
+        record[name] = {
+            "status": status,
+            "rows": len(spark_pdf),
+            "problems": problems,
+            "sec": round(time.time() - t0, 2),
+        }
         for p in problems:
             print(f"    !! {p}")
             failures.append((name, p))
 
     print(f"\n{'PASS' if not failures else 'FAIL'}: "
           f"{len(failures)} failing checks")
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "checked": len(record),
+            "failing": len(failures),
+            "queries": record,
+        }
+        Path(json_out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"recorded: {json_out}")
     return 1 if failures else 0
 
 
