@@ -101,6 +101,64 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    rrf_k: int = 60,
+    top_k: int = 10,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query ranked
+    lists — the standard way to combine lexical (BM25 / Jaccard) and
+    semantic (ANN cosine) retrieval into one hybrid ranking without score
+    calibration: ``rrf_score = Σ_lists 1 / (rrf_k + rank)``.
+
+    ``ranked`` maps a system name to a DataFrame carrying at least
+    (query_id, corpus_id, ``rank_col``); each system contributes at most
+    one row per (query, corpus) pair. Per-list contributions are rounded
+    to 9-dp DECIMAL before the sum, so the fused score — and therefore
+    the fused ranking (ties break on corpus id) — is bit-identical across
+    engines and partitionings regardless of how many lists fuse.
+
+    Scale shape: a unionByName of the (already small, top-k-sized) lists,
+    one hash aggregation on (query_id, corpus_id), one per-query window
+    over at most ``Σ k_list`` candidates. The fusion cost is independent
+    of corpus size — all the heavy lifting stays in the upstream
+    retrieval operators.
+    """
+    d9 = "decimal(18,9)"
+    parts = [
+        df.select(
+            "query_id",
+            "corpus_id",
+            F.round(1.0 / (F.lit(rrf_k) + F.col(rank_col)), 9)
+            .cast(d9)
+            .alias("__contrib"),
+        )
+        for df in ranked.values()
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("query_id", "corpus_id").agg(
+        F.sum("__contrib").alias("__score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= top_k)
+        .select(
+            "query_id",
+            "corpus_id",
+            "n_lists",
+            F.col("__score").cast("double").alias("rrf_score"),
+            "rrf_rank",
+        )
+    )
+
+
 def md5_plane_weights(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """±1 hyperplane weight matrix from the engine-portable md5 family
     (cf. operators.dedup module header): weight(p, i) = +1 iff the 60-bit

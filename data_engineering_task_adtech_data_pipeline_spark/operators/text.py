@@ -8,7 +8,7 @@ every one of them is expressible as ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -286,6 +286,131 @@ def repetition_features(
         (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
             "distinct_token_ratio"
         ),
+    )
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1,
+    adapted word-level: the corpus carries no line structure): per
+    document compute
+
+    - ``dup_word_frac``   — 1 - distinct/total word occurrences,
+    - ``top_word_frac``   — characters inside the most frequent word
+      (count × length) over total word characters,
+    - ``top_bigram_frac`` — same for the most frequent word 2-gram,
+
+    and a ``keep`` verdict requiring ``n_words >= min_words`` and every
+    fraction at-or-under its threshold. Repetitive, keyword-stuffed and
+    degenerate documents fail the gate before they reach training.
+
+    Every fraction is a 6-dp DECIMAL from integer counts, so the gate is
+    value-checkable by a SQL oracle bit-for-bit; top word/bigram ties
+    break lexicographically.
+
+    Scale shape: ONE posexplode of the normalized word array; word
+    counts and doc totals are hash aggregations on (id, word) / (id);
+    bigrams come from a ``lead`` window partitioned BY DOCUMENT (state
+    bounded by doc length, never corpus-sized); the top-1 windows run
+    over per-doc DISTINCT grams (vocabulary-sized partitions). No
+    self-join, no driver state.
+    """
+    d6 = "decimal(18,6)"
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_word_array(text_col)).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    stats = words.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.length("w")).alias("n_chars"),
+    )
+    wc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    top_w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    topw = (
+        wc.withColumn("rn", F.row_number().over(top_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            F.col("w").alias("top_word"),
+            (F.col("c") * F.length("w")).alias("top_word_chars"),
+        )
+    )
+    nxt = Window.partitionBy("id").orderBy("pos")
+    grams = (
+        words.withColumn("w2", F.lead("w").over(nxt))
+        .where(F.col("w2").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", "w", "w2").alias("gram"),
+            (F.length("w") + F.length("w2")).alias("glen"),
+        )
+    )
+    gc = grams.groupBy("id", "gram", "glen").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_g = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    topg = (
+        gc.withColumn("rn", F.row_number().over(top_g))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            F.col("gram").alias("top_bigram"),
+            (F.col("c") * F.col("glen")).alias("top_bigram_chars"),
+        )
+    )
+    out = (
+        stats.join(topw, "id")
+        .join(topg, "id", "left")  # 1-word docs have no bigram
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"),
+                6,
+            ).cast(d6).alias("dup_word_frac"),
+            "top_word",
+            F.round(
+                F.col("top_word_chars").cast("double") / F.col("n_chars"), 6
+            ).cast(d6).alias("top_word_frac"),
+            "top_bigram",
+            F.round(
+                F.coalesce(F.col("top_bigram_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).cast(d6).alias("top_bigram_frac"),
+        )
+    )
+    # keep is decided in EXACT decimal space (threshold literals cast to
+    # the same 6-dp decimal type — no float-representation edge); the
+    # output fractions are then cast to double, the battery convention
+    # for final float columns
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("dup_word_frac") <= F.lit(max_dup_word_frac).cast(d6))
+        & (F.col("top_word_frac") <= F.lit(max_top_word_frac).cast(d6))
+        & (F.col("top_bigram_frac") <= F.lit(max_top_bigram_frac).cast(d6)),
+    ).select(
+        id_col,
+        "n_words",
+        F.col("dup_word_frac").cast("double").alias("dup_word_frac"),
+        "top_word",
+        F.col("top_word_frac").cast("double").alias("top_word_frac"),
+        "top_bigram",
+        F.col("top_bigram_frac").cast("double").alias("top_bigram_frac"),
+        "keep",
     )
 
 
@@ -568,6 +693,263 @@ def bm25_scores(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", F.col("id").alias(id_col), "score", "rnk")
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_entropy_nats: float = 1.5,
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    compressibility proxy in the quality-filter family: degenerate or
+    highly repetitive payloads (aaaa…, base64 walls, template spam) sit
+    far below natural text and fail the ``keep`` gate.
+
+    ``H = Σ_c (n_c / n) · ln(n / n_c)`` over the document's character
+    histogram. Each per-character term is rounded to a 6-dp DECIMAL
+    before the sum (the q89 unigram-NLL discipline), so the score — and
+    the gate — is bit-identical across engines and partitionings despite
+    the transcendental.
+
+    Scale shape: one explode to characters, two hash aggregations
+    ((id, char) then (id)) — all JVM built-ins, no window, no driver
+    state; the histogram join key is (id, char), bounded by alphabet ×
+    docs, never corpus-chars-sized."""
+    d6 = "decimal(18,6)"
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    hist = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct_chars")
+    )
+    terms = hist.join(tot, "id").select(
+        "id",
+        "n",
+        "n_distinct_chars",
+        F.round(
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("c")),
+            6,
+        ).cast(d6).alias("t"),
+    )
+    out = terms.groupBy("id", "n", "n_distinct_chars").agg(
+        F.sum("t").alias("__h")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_chars"),
+        "n_distinct_chars",
+        F.col("__h").cast("double").alias("entropy_nats"),
+        (F.col("__h") >= F.lit(min_entropy_nats).cast(d6)).alias("keep"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: int = 42,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al. 2023):
+    score every raw document by the log importance ratio of two
+    bag-of-hashed-unigram models — ``Σ_w ln(p_target(b(w)) /
+    p_raw(b(w)))`` over the doc's word occurrences, add-1-smoothed over
+    ``n_buckets`` hashed feature buckets. High scores mark raw documents
+    that look like the target distribution; resample raw data
+    proportionally (e.g. feed the weights to ``sampling.weighted_sample``)
+    to shift a 100 TB crawl toward a curated target.
+
+    The bucket hash is the engine-portable md5 idiom of
+    ``sampling._hash_bucket(method="md5")``; per-bucket log ratios are
+    rounded to 6-dp DECIMAL (the q89 discipline) so the doc scores are
+    bit-identical across engines.
+
+    Scale shape: one explode per corpus (raw and target); the two
+    bucket-count tables are ``n_buckets`` rows — broadcast onto the raw
+    word stream for the per-doc sum. Nothing driver-side, no window."""
+    d6 = "decimal(18,6)"
+
+    def words(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(_word_array(text_col)).alias("w"),
+        ).where(F.col("w") != "")
+
+    def bucket(w) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", w, F.lit(str(salt)))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(n_buckets))
+
+    raw_w = words(df).withColumn("b", bucket(F.col("w")))
+    tgt_w = words(target).withColumn("b", bucket(F.col("w")))
+    raw_c = raw_w.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = tgt_w.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # corpus totals as lazy 1-row broadcast joins (the unigram_nll_score
+    # idiom) — no driver-side count() actions
+    nr = raw_c.agg(F.sum("cr").alias("__nr"))
+    nt = tgt_c.agg(F.sum("ct").alias("__nt"))
+    # n_buckets rows: full outer so buckets seen on only one side still
+    # get their smoothed ratio
+    lr = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nt))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                     / (F.col("__nt") + n_buckets).cast("double"))
+                    / ((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                       / (F.col("__nr") + n_buckets).cast("double"))
+                ),
+                6,
+            ).cast(d6).alias("lr"),
+        )
+    )
+    scored = raw_w.join(F.broadcast(lr), "b").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("lr").alias("__s"),
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        F.col("__s").cast("double").alias("dsir_logratio"),
+    )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score (the CCNet/KenLM shape one
+    order up from ``unigram_nll_score``): train bigram + unigram counts on
+    the corpus itself, then score each document's mean negative
+    log-likelihood under ``p(w2|w1) = lam·p_bi(w2|w1) + (1-lam)·p_uni(w2)``
+    with ``p_bi = c(w1,w2)/c_ctx(w1)`` (context = occurrences of ``w1``
+    as a bigram head) and ``p_uni = c(w2)/N``. Low NLL = fluent under the
+    corpus distribution; high NLL = outlier/garbled text. Self-scoring
+    means every observed bigram has nonzero count — no backoff needed.
+
+    Portability: the interpolated probability is a fixed double
+    expression over integer-count ratios (identical in any IEEE engine);
+    each token's ``-ln p`` is rounded to 6-dp DECIMAL and summed exactly;
+    the mean divides the exact sum by the token count and rounds to 6 dp.
+
+    Scale shape: ONE posexplode; bigrams via a per-document ``lead``
+    window (state bounded by doc length); count tables are hash
+    aggregations joined back on (w1, w2)/(w2) — corpus-vocabulary-sized,
+    shuffled once each. No driver state."""
+    d6 = "decimal(18,6)"
+    wds = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_word_array(text_col)).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    nxt = Window.partitionBy("id").orderBy("pos")
+    big = (
+        wds.withColumn("w2", F.lead("w").over(nxt))
+        .where(F.col("w2").isNotNull())
+        .select("id", F.col("w").alias("w1"), "w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    uni = wds.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # corpus token total as a lazy 1-row broadcast join (the
+    # unigram_nll_score idiom) — no driver-side count() action
+    total = uni.agg(F.sum("c1").alias("__n"))
+    p = (
+        F.lit(lam) * (F.col("c2").cast("double") / F.col("cctx"))
+        + F.lit(1.0 - lam)
+        * (F.col("c1").cast("double") / F.col("__n").cast("double"))
+    )
+    terms = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, F.col("w2") == F.col("w"))
+        .join(F.broadcast(total))
+        .select("id", F.round(-F.log(p), 6).cast(d6).alias("t"))
+    )
+    out = terms.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("t").alias("__s")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(
+            F.col("__s").cast("double") / F.col("n_bigrams"), 6
+        ).alias("mean_nll"),
+    )
+
+
+def word_jaccard_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical more-like-this retrieval: word-SET Jaccard similarity of
+    each query document against every corpus document sharing at least
+    one word, top ``k`` per query (ties break on corpus id). The lexical
+    half of hybrid retrieval (see ``similarity.rrf_fuse``); ``queries``
+    is a sub-DataFrame of the corpus schema (id + text).
+
+    ``jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|)`` over normalized
+    distinct words — pure integer counts, with the ratio rounded to a
+    6-dp DECIMAL before ranking so rank order is engine-independent.
+
+    Scale shape: the intersection comes from an INVERTED-INDEX equi-join
+    on the word (query-side word set broadcast — it is |queries| docs
+    big), never a doc × doc cross join; set sizes are hash aggregations.
+    Caveat the doc relies on: posting lists of stop-word-frequency terms
+    make the candidate set approach query-count × corpus at tiny
+    vocabularies — production corpora should drop top-df terms first
+    (same cap discipline as ``dedup.minhash_dedup`` buckets).
+    """
+    cw = df.select(
+        F.col(id_col).alias("cid"), F.explode(_word_array(text_col)).alias("w")
+    ).where(F.col("w") != "").distinct()
+    qw = queries.select(
+        F.col(id_col).alias("qid"), F.explode(_word_array(text_col)).alias("w")
+    ).where(F.col("w") != "").distinct()
+    nb = cw.groupBy("cid").agg(F.count(F.lit(1)).alias("nb"))
+    na = qw.groupBy("qid").agg(F.count(F.lit(1)).alias("na"))
+    inter = (
+        cw.join(F.broadcast(qw), "w")
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(F.broadcast(na), "qid")
+        .join(nb, "cid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("corpus_id"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).cast("decimal(18,6)").alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
     )
 
 

@@ -23,23 +23,28 @@ DRIVER_WINDOW: list[str] = [
     "q09_stats",
     # (b) new this round (never driver-verified)
     "q98_wav_stats", "q99_supplier_value_share",
-    "q100_inactive_customer_balance",
+    "q100_inactive_customer_balance", "q101_waiting_suppliers",
+    "q102_gopher_gate", "q103_hybrid_rrf", "q104_char_entropy",
+    "q105_dsir_weights", "q106_bigram_lm_nll",
     # (c) longest-unverified block: last driver-green r5 (the headline
-    # dedup/ANN/text family rotated out in r6). 37 of the 40 r5-green
-    # entries fit; q19/q21/q36 (map-only features / count probe / hash
-    # split — lowest regression risk) stay on the local gate this round
-    # and lead block (c) next round.
+    # dedup/ANN/text family rotated out in r6). 31 of the 40 r5-green
+    # entries fit (>= the 30-entry re-certification target);
+    # q19/q21/q36 (map-only features / count probe / hash split),
+    # q41/q54/q57 (compositions/twins whose components are in-window)
+    # and q48/q62/q66 (verify-arm of in-window q13; freshly
+    # guard-tested quantile + mixture kernels) stay on the recorded
+    # local gate this round and lead block (c) next round.
     "q11_dedup_exact", "q12_ngram_jaccard", "q13_minhash_dedup",
     "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
     "q17_text_features", "q35_minhash_dedup_transitive",
-    "q40_multimodal_features", "q41_curation_pipeline", "q42_chunking",
-    "q43_sequence_packing", "q48_jaccard_verify",
+    "q40_multimodal_features", "q42_chunking",
+    "q43_sequence_packing",
     "q49_embedding_dup_pairs", "q50_ivf_topk", "q51_domain_cap",
-    "q53_decontaminate", "q54_contamination_report", "q55_ivf_lsh_topk",
-    "q56_pii_redaction", "q57_bigram_novelty", "q58_greedy_pack_sharded",
-    "q60_duplicate_spans", "q61_export_shards", "q62_quantile_filter",
+    "q53_decontaminate", "q55_ivf_lsh_topk",
+    "q56_pii_redaction", "q58_greedy_pack_sharded",
+    "q60_duplicate_spans", "q61_export_shards",
     "q63_tfidf_topk", "q64_hll_distinct", "q65_cm_heavy_hitters",
-    "q66_mixture_sample", "q67_collapse_duplicates", "q68_semantic_dedup",
+    "q67_collapse_duplicates", "q68_semantic_dedup",
     "q69_inverted_index", "q70_dedup_against_corpus", "q71_bm25_topk",
     "q72_pq_adc_topk", "q73_salted_agg", "q74_corpus_datacard",
 ]

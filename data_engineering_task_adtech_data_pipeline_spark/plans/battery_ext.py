@@ -3590,3 +3590,334 @@ def q98_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "channels", "bits",
         "n_frames", "duration_ms", "peak", "rms",
     )
+
+
+# ===========================================================================
+# q102 — Gopher repetition-quality gate (Rae et al. 2021, word-adapted)
+# ===========================================================================
+
+@query(
+    "q102_gopher_gate",
+    oracle=f"""
+    WITH nw AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS p
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w2 AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, p[CAST(i AS INTEGER)] AS w
+      FROM nw, UNNEST(range(1, len(p) + 1)) t(i)
+      WHERE p[CAST(i AS INTEGER)] <> ''
+    ),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             COUNT(DISTINCT w) AS n_distinct,
+             SUM(length(w)) AS n_chars
+      FROM w2 GROUP BY doc_id
+    ),
+    topw AS (
+      SELECT doc_id, w AS top_word, cnt * wlen AS top_word_chars FROM (
+        SELECT doc_id, w, COUNT(*) AS cnt, length(w) AS wlen,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY COUNT(*) DESC, w ASC) AS rn
+        FROM w2 GROUP BY doc_id, w, length(w)
+      ) WHERE rn = 1
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS gram,
+             length(a.w) + length(b.w) AS glen
+      FROM w2 a JOIN w2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    topb AS (
+      SELECT doc_id, gram AS top_bigram, cnt * glen AS top_bigram_chars
+      FROM (
+        SELECT doc_id, gram, glen, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY COUNT(*) DESC, gram ASC) AS rn
+        FROM bigrams GROUP BY doc_id, gram, glen
+      ) WHERE rn = 1
+    ),
+    gated AS (
+      SELECT s.doc_id, s.n_words,
+             CAST(round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 6)
+                  AS DECIMAL(18,6)) AS dup_word_frac,
+             t.top_word,
+             CAST(round(CAST(t.top_word_chars AS DOUBLE) / s.n_chars, 6)
+                  AS DECIMAL(18,6)) AS top_word_frac,
+             b.top_bigram,
+             CAST(round(CAST(COALESCE(b.top_bigram_chars, 0) AS DOUBLE)
+                        / s.n_chars, 6) AS DECIMAL(18,6)) AS top_bigram_frac
+      FROM stats s JOIN topw t USING (doc_id)
+      LEFT JOIN topb b USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+           CAST(dup_word_frac AS DOUBLE) AS dup_word_frac,
+           top_word,
+           CAST(top_word_frac AS DOUBLE) AS top_word_frac,
+           top_bigram,
+           CAST(top_bigram_frac AS DOUBLE) AS top_bigram_frac,
+           (n_words >= 20
+            AND dup_word_frac <= CAST(0.6 AS DECIMAL(18,6))
+            AND top_word_frac <= CAST(0.2 AS DECIMAL(18,6))
+            AND top_bigram_frac <= CAST(0.18 AS DECIMAL(18,6))) AS keep
+    FROM gated
+    """,
+    doc="Gopher-style repetition quality gate (word-adapted; the corpus "
+    "has no line structure): per-doc duplicate-word fraction, "
+    "char-weighted top-word and top-bigram fractions (ties break "
+    "lexicographically), and the keep verdict. 6-dp DECIMAL fractions "
+    "from integer counts — bit-exact across engines "
+    "(operators.text.gopher_gate).",
+)
+def q102_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    return text.gopher_gate(docs)
+
+
+# ===========================================================================
+# q103 — hybrid retrieval: lexical word-Jaccard + semantic cosine lists
+# fused with reciprocal-rank fusion (doc_id = vec_id, the q85 convention)
+# ===========================================================================
+
+_RRF_JACCARD_CTES = f"""
+    nw AS (
+      SELECT doc_id, {_NORM.format(c='text')} AS nt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM nw
+      ) WHERE w <> ''
+    ),
+    qw AS (SELECT doc_id, w FROM cw WHERE doc_id < 10),
+    nb AS (SELECT doc_id, COUNT(*) AS nb FROM cw GROUP BY doc_id),
+    na AS (SELECT doc_id, COUNT(*) AS na FROM qw GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+             COUNT(*) AS inter
+      FROM qw q JOIN cw c USING (w)
+      WHERE q.doc_id <> c.doc_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, corpus_id, rnk FROM (
+        SELECT i.query_id, i.corpus_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY i.query_id ORDER BY
+                 CAST(round(CAST(i.inter AS DOUBLE)
+                            / (na.na + nb.nb - i.inter), 6)
+                      AS DECIMAL(18,6)) DESC, i.corpus_id ASC)
+               AS INTEGER) AS rnk
+        FROM inter i
+        JOIN na ON na.doc_id = i.query_id
+        JOIN nb ON nb.doc_id = i.corpus_id
+      ) WHERE rnk <= 20
+    )"""
+
+_RRF_COSINE_CTES = """
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    qv AS (SELECT * FROM v WHERE vec_id < 10),
+    sem AS (
+      SELECT query_id, corpus_id, rnk FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS corpus_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.e, v.e),
+                          t -> t[1] * t[2]))
+                 / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v.e, x -> x * x))))
+                 DESC, v.vec_id ASC) AS INTEGER) AS rnk
+        FROM qv q, v WHERE q.vec_id <> v.vec_id
+      ) WHERE rnk <= 20
+    )"""
+
+
+@query(
+    "q103_hybrid_rrf",
+    oracle=f"""
+    WITH {_RRF_JACCARD_CTES},
+    {_RRF_COSINE_CTES},
+    contrib AS (
+      SELECT query_id, corpus_id,
+             CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(18,9)) AS c
+      FROM lex
+      UNION ALL
+      SELECT query_id, corpus_id,
+             CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(18,9)) AS c
+      FROM sem
+    ),
+    fused AS (
+      SELECT query_id, corpus_id,
+             SUM(c) AS score,
+             CAST(COUNT(*) AS INTEGER) AS n_lists
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id, n_lists,
+           CAST(score AS DOUBLE) AS rrf_score, rrf_rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, corpus_id ASC) AS INTEGER) AS rrf_rank
+      FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+    doc="Hybrid retrieval: word-set Jaccard top-20 (inverted-index "
+    "lexical arm, text.word_jaccard_topk) and exact cosine top-20 "
+    "(semantic arm, similarity.brute_force_topk; doc_id = vec_id) fused "
+    "with reciprocal-rank fusion (similarity.rrf_fuse, k=60): "
+    "rrf = sum of 9-dp-decimal 1/(60+rank) contributions, fused top-10 "
+    "per query, ties on corpus id. Fusion cost is independent of corpus "
+    "size — all heavy lifting stays in the retrieval arms.",
+)
+def q103_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    docs = td.documents.where(F.col("text").isNotNull())
+    lex = text.word_jaccard_topk(
+        docs, docs.where(F.col("doc_id") < 10), k=20
+    ).withColumnRenamed("rnk", "rank")
+    emb = td.embeddings
+    sem = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=20)
+    return similarity.rrf_fuse({"lex": lex, "sem": sem}, rrf_k=60, top_k=10)
+
+
+# ===========================================================================
+# q104 — char-entropy quality filter (compressibility proxy)
+# ===========================================================================
+
+@query(
+    "q104_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM documents, UNNEST(range(1, length(text) + 1)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    c2 AS (SELECT doc_id, ch FROM chars WHERE ch <> ''),
+    hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM c2 GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id, SUM(c) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+      FROM hist GROUP BY 1
+    ),
+    terms AS (
+      SELECT h.doc_id,
+             CAST(round((CAST(h.c AS DOUBLE) / t.n)
+                        * ln(CAST(t.n AS DOUBLE) / h.c), 6)
+                  AS DECIMAL(18,6)) AS tm
+      FROM hist h JOIN tot t USING (doc_id)
+    ),
+    ent AS (SELECT doc_id, SUM(tm) AS h FROM terms GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars, t.n_distinct_chars,
+           CAST(e.h AS DOUBLE) AS entropy_nats,
+           (e.h >= CAST(1.5 AS DECIMAL(18,6))) AS keep
+    FROM tot t JOIN ent e USING (doc_id)
+    """,
+    doc="Character-level Shannon entropy per doc (nats; "
+    "text.char_entropy): per-char terms (c/n)*ln(n/c) rounded to 6-dp "
+    "DECIMAL and summed exactly — the compressibility proxy of the "
+    "quality-filter family; keep gate at 1.5 nats (exactly-representable "
+    "threshold).",
+)
+def q104_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    return text.char_entropy(docs)
+
+
+# ===========================================================================
+# q105 — DSIR importance weights (Xie et al. 2023): raw corpus scored by
+# the hashed-unigram log importance ratio toward an in-corpus target
+# (lang='en'), add-1-smoothed over 64 md5 buckets.
+# ===========================================================================
+
+@query(
+    "q105_dsir_weights",
+    oracle=f"""
+    WITH rawn AS (
+      SELECT doc_id, lang, {_NORM.format(c='text')} AS nt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    raww AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w || chr(31) || '42'), 1, 15))::BIGINT
+               % 64 AS b
+      FROM (
+        SELECT doc_id, lang, unnest(string_split(nt, ' ')) AS w FROM rawn
+      ) WHERE w <> ''
+    ),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM raww GROUP BY b),
+    tgtc AS (SELECT b, COUNT(*) AS ct FROM raww WHERE lang = 'en'
+             GROUP BY b),
+    nr AS (SELECT SUM(cr) AS nr FROM rawc),
+    nt AS (SELECT SUM(ct) AS nt FROM tgtc),
+    lr AS (
+      SELECT COALESCE(rawc.b, tgtc.b) AS b,
+             CAST(round(ln(
+               (CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                / CAST(nt.nt + 64 AS DOUBLE))
+               / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                  / CAST(nr.nr + 64 AS DOUBLE))), 6)
+             AS DECIMAL(18,6)) AS lr
+      FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b, nr, nt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(lr) AS DOUBLE) AS dsir_logratio
+    FROM raww JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023; text.dsir_weights): "
+    "score raw docs by the log importance ratio of add-1-smoothed "
+    "hashed-unigram models, target = lang='en' subset, 64 buckets via "
+    "the engine-portable md5 idiom (sampling._hash_bucket); per-bucket "
+    "log ratios 6-dp DECIMAL, exact per-doc sums. The resampling knob "
+    "for shifting a crawl toward a curated target.",
+)
+def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    return text.dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+# ===========================================================================
+# q106 — interpolated bigram LM quality score (one order above q89's
+# unigram; lam = 0.5 so the mixture weights are exactly-representable
+# doubles in BOTH engines — 0.7/0.3 would round differently)
+# ===========================================================================
+
+@query(
+    "q106_bigram_lm_nll",
+    oracle=f"""
+    WITH nw AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS p
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w2 AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, p[CAST(i AS INTEGER)] AS w
+      FROM nw, UNNEST(range(1, len(p) + 1)) t(i)
+      WHERE p[CAST(i AS INTEGER)] <> ''
+    ),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM w2 a JOIN w2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS cctx FROM big GROUP BY 1),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM w2 GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM w2),
+    terms AS (
+      SELECT b.doc_id,
+             CAST(round(-ln(
+               0.5 * (CAST(c2.c2 AS DOUBLE) / ctx.cctx)
+               + 0.5 * (CAST(uni.c1 AS DOUBLE) / n.n)), 6)
+             AS DECIMAL(18,6)) AS t
+      FROM big b JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+      JOIN uni ON uni.w = b.w2, n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Interpolated bigram LM score (text.bigram_lm_nll, lam=0.5): "
+    "p(w2|w1) = 0.5*c(w1,w2)/ctx(w1) + 0.5*c(w2)/N trained on the corpus "
+    "itself, per-doc mean NLL from 6-dp-DECIMAL token terms. The CCNet "
+    "quality-scoring shape one order above q89's unigram.",
+)
+def q106_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    return text.bigram_lm_nll(docs, lam=0.5)

@@ -1044,3 +1044,98 @@ def q100_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("numcust"),
         F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+# ===========================================================================
+# q101 — TPC-H Q21 shape: suppliers who kept orders waiting. The classic
+# double-correlated EXISTS / NOT EXISTS pattern over the same fact table.
+# Testdata lineitem has no commit/receipt dates, so "late" is reshaped to
+# l_shipdate > o_orderdate + 90 days (documented in COVERAGE.md, same
+# convention as the q95/q99/q100 reshapes).
+# ===========================================================================
+
+@query(
+    "q101_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE late
+      AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4',
+                     'NATION_5','NATION_6','NATION_7','NATION_8','NATION_9')
+      AND EXISTS (SELECT 1 FROM l1 l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100
+    """,
+    doc="TPC-H Q21 shape ('late' reshaped to ship > order date + 90d; no "
+    "commit/receipt dates in testdata): count late lineitems per supplier "
+    "in finished multi-supplier orders where NO other supplier was late. "
+    "The Spark side runs the DECORRELATED form — the oracle's correlated "
+    "EXISTS / NOT EXISTS collapse into one (orderkey, suppkey) aggregate "
+    "plus one orderkey aggregate over the same frame (n_suppliers >= 2, "
+    "late_suppliers == 1), so the fact table shuffles twice on its own "
+    "keys instead of probing two correlated subqueries per row — the plan "
+    "you want when lineitem is 100 TB. Supplier/nation dims broadcast.",
+)
+def q101_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    nations = [f"NATION_{i}" for i in range(10)]
+    l1 = (
+        td.lineitem.join(
+            td.orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    sup_gate = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("s_late")
+    )
+    ord_gate = sup_gate.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("s_late").cast("int")).alias("n_late"),
+    )
+    gate = (
+        sup_gate.where(F.col("s_late"))
+        .join(
+            ord_gate.where(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = (
+        td.supplier.join(
+            F.broadcast(td.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .where(F.col("n_name").isin(nations))
+        .select(F.col("s_suppkey"), F.col("s_name"))
+    )
+    waiting = (
+        l1.where(F.col("late"))
+        .join(gate, ["l_orderkey", "l_suppkey"])
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

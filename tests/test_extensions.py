@@ -1669,3 +1669,124 @@ def test_bpe_batched_equals_strict(spark):
         batched = [tuple(r) for r in
                    bpe_learn_merges(corpus, n_merges=5, batch=True).collect()]
         assert batched == strict, (strict, batched)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition gate / hybrid retrieval (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_gate_hand_example(spark):
+    """Known word/bigram counts: 'a b a b a c' — n_words=6, distinct=3,
+    chars=6, top word 'a' (3x1 chars), top bigram 'a b' (2 occurrences,
+    2 chars each); dup_word_frac = 1 - 3/6 = 0.5."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y z w v u t s r q p o n m l k j i h g")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.gopher_gate(df, min_words=5).collect()}
+    r1 = rows[1]
+    assert r1.n_words == 6
+    assert float(r1.dup_word_frac) == 0.5
+    assert r1.top_word == "a"
+    assert float(r1.top_word_frac) == 0.5  # 3 chars of 6
+    assert r1.top_bigram == "a b"
+    assert float(r1.top_bigram_frac) == pytest.approx(4 / 6, abs=1e-6)
+    assert not r1.keep  # repetitive: every fraction above threshold
+    r2 = rows[2]
+    assert r2.n_words == 20 and float(r2.dup_word_frac) == 0.0
+    assert r2.keep  # 20 distinct words, uniform: passes every rule
+
+
+def test_gopher_gate_single_word_doc_has_no_bigram(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    r = text.gopher_gate(df).collect()[0]
+    assert r.top_bigram is None and float(r.top_bigram_frac) == 0.0
+    assert not r.keep  # fails min_words
+
+
+def test_word_jaccard_topk_hand_example(spark):
+    """Query doc {a,b,c}: vs doc 2 {a,b,d} jaccard = 2/4 = 0.5; vs doc 3
+    {a,x,y,z} jaccard = 1/6; self excluded."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a x y z")],
+        "doc_id long, text string",
+    )
+    out = text.word_jaccard_topk(df, df.where(F.col("doc_id") == 1), k=5)
+    rows = {r.corpus_id: r for r in out.collect()}
+    assert set(rows) == {2, 3}
+    assert float(rows[2].jaccard) == 0.5 and rows[2].rnk == 1
+    assert float(rows[3].jaccard) == pytest.approx(1 / 6, abs=1e-6)
+    assert rows[3].rnk == 2
+
+
+def test_rrf_fuse_hand_example(spark):
+    """Two lists over one query: doc 10 rank 1 in both -> 2/(60+1);
+    doc 11 only lexical rank 2 -> 1/62; doc 12 only semantic rank 2 ->
+    1/62 with the tie broken by corpus id."""
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, corpus_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2)], "query_id long, corpus_id long, rank int"
+    )
+    out = similarity.rrf_fuse({"lex": lex, "sem": sem}, rrf_k=60, top_k=10)
+    rows = sorted(out.collect(), key=lambda r: r.rrf_rank)
+    assert [r.corpus_id for r in rows] == [10, 11, 12]
+    assert rows[0].n_lists == 2 and rows[1].n_lists == 1
+    assert rows[0].rrf_score == pytest.approx(2 * round(1 / 61, 9), abs=1e-12)
+    assert rows[1].rrf_score == rows[2].rrf_score  # tie -> id order
+
+
+def test_char_entropy_hand_example(spark):
+    """'aab': H = (2/3)ln(3/2) + (1/3)ln(3) = 0.270310 + 0.366204 nats;
+    8 distinct chars: H = 8 * round((1/8)ln 8, 6dp) = 2.079440."""
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, "abcdefgh")], "doc_id long, text string"
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import char_entropy
+
+    rows = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert rows[1].n_chars == 3 and rows[1].n_distinct_chars == 2
+    assert rows[1].entropy_nats == pytest.approx(0.636514, abs=1e-9)
+    assert not rows[1].keep
+    assert rows[2].entropy_nats == pytest.approx(2.079440, abs=1e-9)
+    assert rows[2].keep
+
+
+def test_dsir_weights_self_target_is_zero(spark):
+    """target == raw corpus -> every bucket's log ratio is ln(1) = 0, so
+    every doc scores exactly 0 regardless of hashing."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import dsir_weights
+
+    rows = dsir_weights(df, df).collect()
+    assert {r.doc_id: r.n_words for r in rows} == {1: 3, 2: 2}
+    assert all(r.dsir_logratio == 0.0 for r in rows)
+
+
+def test_dsir_weights_favors_target_vocabulary(spark):
+    """Docs made of target-only words must outscore docs made of
+    non-target words (the importance-resampling contract)."""
+    rows = [(i, "alpha beta gamma delta") for i in range(5)]
+    rows += [(i + 10, "omega psi chi phi") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import dsir_weights
+
+    target = df.where(F.col("doc_id") < 10)
+    out = {r.doc_id: r.dsir_logratio for r in dsir_weights(df, target).collect()}
+    assert min(out[i] for i in range(5)) > max(out[i + 10] for i in range(5))
+
+
+def test_bigram_lm_nll_hand_example(spark):
+    """Single doc 'a b': one bigram, p = 0.5*(1/1) + 0.5*(1/2) = 0.75,
+    mean_nll = -ln(0.75) = 0.287682."""
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import bigram_lm_nll
+
+    r = bigram_lm_nll(df, lam=0.5).collect()[0]
+    assert r.n_bigrams == 1
+    assert r.mean_nll == pytest.approx(0.287682, abs=1e-9)
