@@ -154,3 +154,68 @@ def pagerank(
     finally:
         base.unpersist()
         e.unpersist()
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction, weights and duplicates ignored; self-loops
+    dropped). Returns ``(node, n_triangles)`` for every node in at least
+    one triangle.
+
+    Algorithm: the degree-ordered orientation ("node-iterator++",
+    Schank & Wagner 2005; the shape GraphX/Giraph use at scale). Each
+    undirected edge is oriented from its lower endpoint to its higher
+    endpoint under the total order (degree, node); a triangle is a
+    directed path a→b→c closed by the oriented edge a→c, so every
+    triangle is found EXACTLY once with no post-hoc dedup.
+
+    Scale shape: orientation bounds every node's out-degree by O(sqrt(m))
+    on any graph (the classic arboricity argument), which is what keeps
+    the path join's fan-out polynomial on power-law graphs — the naive
+    undirected wedge join explodes on hub nodes; this one cannot. Three
+    hash equi-joins + one explode + one aggregation, all integer exact,
+    no window, no driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ori = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("o")
+        )
+        .select(F.col("o.a").alias("a"), F.col("o.b").alias("b"))
+    )
+    t2 = ori.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    t3 = ori.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = ori.join(t2, "b").join(t3, ["a", "c"])
+    return (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

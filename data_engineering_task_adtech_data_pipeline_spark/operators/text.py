@@ -953,6 +953,58 @@ def word_jaccard_topk(
     )
 
 
+def phrase_search(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact consecutive-phrase search over the corpus — the positional
+    complement of :func:`inverted_index` (which stores doc-level postings
+    only). ``queries`` carries (query_id, ``phrase_col``); a document
+    matches where its normalized word sequence contains the phrase's
+    words CONSECUTIVELY. Returns (query_id, id, n_occurrences,
+    first_pos).
+
+    Instead of the classic k-way positional-posting join, the match is
+    ONE equi-join + ONE aggregation for any phrase length: each corpus
+    word occurrence matching the phrase's i-th term votes for anchor
+    position ``p0 = pos - i``; an anchor that collects all k votes is a
+    phrase occurrence (within a (doc, p0) group each offset i can vote at
+    most once — the word at ``p0 + i`` either is term i or is not — so
+    ``count(*) == k`` is exact, repeated phrase terms included).
+
+    Scale shape: the query term list is tiny and BROADCAST onto the
+    corpus word stream (the bm25_scores discipline — the equi-join on the
+    term prunes the corpus before anything groups); the vote aggregation
+    keys on (query, doc, anchor), bounded by matching occurrences. No
+    window, no driver state.
+    """
+    qterms = queries.select(
+        "query_id",
+        F.posexplode(_word_array(phrase_col)).alias("i", "term"),
+    ).where(F.col("term") != "")
+    qlen = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_word_array(text_col)).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    votes = words.join(F.broadcast(qterms), "term").select(
+        "query_id", "id", (F.col("pos") - F.col("i")).alias("p0")
+    )
+    anchors = (
+        votes.groupBy("query_id", "id", "p0")
+        .agg(F.count(F.lit(1)).alias("got"))
+        .join(F.broadcast(qlen), "query_id")
+        .where((F.col("got") == F.col("k")) & (F.col("p0") >= 0))
+    )
+    return anchors.groupBy("query_id", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("p0").cast("int").alias("first_pos"),
+    )
+
+
 def corpus_datacard(
     df: DataFrame,
     text_col: str = "text",

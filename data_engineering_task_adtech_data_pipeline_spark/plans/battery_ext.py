@@ -3921,3 +3921,133 @@ def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q106_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
     return text.bigram_lm_nll(docs, lam=0.5)
+
+
+# ===========================================================================
+# q107 — triangle counting (degree-ordered orientation) over the corpus
+# word-adjacency graph (the q90 graph, undirected)
+# ===========================================================================
+
+@query(
+    "q107_triangle_count",
+    oracle=f"""
+    WITH dw AS (
+      SELECT list_filter(string_split({_NORM.format(c='text')}, ' '),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    raw AS (
+      SELECT w[CAST(j AS INTEGER)] AS src, w[CAST(j + 1 AS INTEGER)] AS dst
+      FROM dw, UNNEST(range(1, len(w))) t(j)
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+      ) GROUP BY n
+    ),
+    ori AS MATERIALIZED (
+      SELECT CASE WHEN (d1.d < d2.d OR (d1.d = d2.d AND u < v))
+                  THEN u ELSE v END AS a,
+             CASE WHEN (d1.d < d2.d OR (d1.d = d2.d AND u < v))
+                  THEN v ELSE u END AS b
+      FROM und JOIN deg d1 ON d1.n = u JOIN deg d2 ON d2.n = v
+    ),
+    tris AS (
+      SELECT t1.a, t1.b, t2.b AS c
+      FROM ori t1 JOIN ori t2 ON t2.a = t1.b
+      JOIN ori t3 ON t3.a = t1.a AND t3.b = t2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    ) GROUP BY node
+    """,
+    doc="Per-node triangle counts (graph.triangle_count; Schank & Wagner "
+    "2005 degree-ordered orientation — every triangle found exactly once "
+    "as a directed path a->b->c closed by a->c, out-degree bounded "
+    "O(sqrt(m)) so hub nodes cannot explode the join) over the corpus "
+    "word-adjacency graph, direction and weights dropped.",
+)
+def q107_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    docs = Testdata(spark, sf_dir).documents
+    wcol = F.filter(
+        F.split(dedup.normalize_text("text"), " "), lambda x: x != ""
+    )
+    n = F.size(wcol)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(F.slice(wcol, 1, n - 1), F.slice(wcol, 2, n - 1))
+        ).alias("p")
+    )
+    edges = pairs.select(
+        F.col("p")["0"].alias("src"), F.col("p")["1"].alias("dst")
+    )
+    return triangle_count(edges)
+
+
+# ===========================================================================
+# q108 — exact phrase search (anchor-vote positional intersection)
+# ===========================================================================
+
+_PHRASES = [(1, "batch batch"), (2, "slow join"), (3, "window window")]
+
+
+def _phrase_values() -> str:
+    rows = []
+    for qid, ph in _PHRASES:
+        for i, term in enumerate(ph.split(" ")):
+            rows.append(f"({qid}, {i}, '{term}')")
+    return ", ".join(rows)
+
+
+@query(
+    "q108_phrase_search",
+    oracle=f"""
+    WITH q(query_id, i, term) AS (VALUES {_phrase_values()}),
+    qlen AS (SELECT query_id, COUNT(*) AS k FROM q GROUP BY 1),
+    nw AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS p
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w2 AS (
+      SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos, p[CAST(i AS INTEGER)] AS w
+      FROM nw, UNNEST(range(1, len(p) + 1)) t(i)
+      WHERE p[CAST(i AS INTEGER)] <> ''
+    ),
+    votes AS (
+      SELECT q.query_id, w2.doc_id, w2.pos - q.i AS p0
+      FROM w2 JOIN q ON q.term = w2.w
+    ),
+    anchors AS (
+      SELECT v.query_id, v.doc_id, v.p0
+      FROM votes v JOIN qlen USING (query_id)
+      WHERE v.p0 >= 0
+      GROUP BY v.query_id, v.doc_id, v.p0, qlen.k
+      HAVING COUNT(*) = qlen.k
+    )
+    SELECT query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(p0) AS INTEGER) AS first_pos
+    FROM anchors GROUP BY query_id, doc_id
+    """,
+    doc="Exact consecutive-phrase search (text.phrase_search): each "
+    "corpus word occurrence matching the phrase's i-th term votes for "
+    "anchor p0 = pos - i; an anchor with all k votes is a phrase hit — "
+    "ONE broadcast equi-join + ONE aggregation for any phrase length "
+    "instead of the classic k-way positional-postings join.",
+)
+def q108_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    qdf = spark.createDataFrame(_PHRASES, "query_id int, phrase string")
+    out = text.phrase_search(docs, qdf)
+    return out.select(
+        "query_id", F.col("id").alias("doc_id"), "n_occurrences", "first_pos"
+    )

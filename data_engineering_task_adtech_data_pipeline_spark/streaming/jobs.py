@@ -953,3 +953,120 @@ def read_cm_sketch(
         .groupBy(*(group_cols or []), "j", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_quality_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    group_cols: "list[str] | None" = None,
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming quality-gate census: document files land → each
+    micro-batch runs the BATCH quality gates (``text.gopher_gate``
+    repetition rules + ``text.char_entropy`` compressibility) and appends
+    per-group partial counters — docs seen, docs passing each gate, docs
+    passing both, plus exact-sum entropy mass for the running mean. The
+    ingest-time twin of the batch operators: all counters are ADDITIVE,
+    so the job needs no keyed streaming state (stateless per-batch
+    aggregation, the ``stream_datacard`` contract) and
+    :func:`read_quality_report` folds the append log by summing.
+
+    foreachBatch is at-least-once, so partials are stamped with the epoch
+    and written via dynamic partition overwrite — a replayed epoch
+    replaces its own partition instead of double-counting (the
+    epoch-idempotent sink recipe shared by every monitor in this module).
+    """
+    from ..operators.text import char_entropy, gopher_gate
+
+    groups = list(group_cols or ["source"])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gate = gopher_gate(batch_df, text_col=text_col).select(
+            "doc_id", F.col("keep").alias("__keep_gopher")
+        )
+        ent = char_entropy(batch_df, text_col=text_col).select(
+            "doc_id",
+            F.col("keep").alias("__keep_entropy"),
+            F.col("entropy_nats").alias("__h"),
+        )
+        scored = (
+            batch_df.select("doc_id", *groups)
+            .join(gate, "doc_id", "left")
+            .join(ent, "doc_id", "left")
+            .select(
+                *groups,
+                F.coalesce("__keep_gopher", F.lit(False)).alias("__kg"),
+                F.coalesce("__keep_entropy", F.lit(False)).alias("__ke"),
+                F.coalesce(
+                    F.col("__h").cast("decimal(28,6)"),
+                    F.lit(0).cast("decimal(28,6)"),
+                ).alias("__hm"),
+            )
+        )
+        partial = scored.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__kg").cast("long")).alias("n_keep_gopher"),
+            F.sum(F.col("__ke").cast("long")).alias("n_keep_entropy"),
+            F.sum((F.col("__kg") & F.col("__ke")).cast("long")).alias(
+                "n_keep_both"
+            ),
+            F.sum("__hm").cast("decimal(28,6)").alias("entropy_mass"),
+        )
+        (
+            partial.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path)
+        )
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_quality_report(
+    spark: SparkSession,
+    output_path: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Fold the streamed quality partials into the cumulative report:
+    counters SUM (exact — decimal entropy mass divides by the exact doc
+    count for the running mean, so the folded mean is independent of how
+    the stream was batched)."""
+    groups = list(group_cols or ["source"])
+    agg = (
+        spark.read.parquet(output_path)
+        .groupBy(*groups)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_keep_gopher").cast("long").alias("n_keep_gopher"),
+            F.sum("n_keep_entropy").cast("long").alias("n_keep_entropy"),
+            F.sum("n_keep_both").cast("long").alias("n_keep_both"),
+            F.sum("entropy_mass").alias("__mass"),
+        )
+    )
+    return agg.select(
+        *groups,
+        "n_docs",
+        "n_keep_gopher",
+        "n_keep_entropy",
+        "n_keep_both",
+        (F.col("__mass").cast("double") / F.col("n_docs")).alias(
+            "mean_entropy_nats"
+        ),
+    )

@@ -1790,3 +1790,23 @@ def test_bigram_lm_nll_hand_example(spark):
     r = bigram_lm_nll(df, lam=0.5).collect()[0]
     assert r.n_bigrams == 1
     assert r.mean_nll == pytest.approx(0.287682, abs=1e-9)
+
+
+def test_phrase_search_hand_example(spark):
+    """'a b a b a': phrase 'a b a' matches at anchors 0 and 2 (overlap
+    counts); phrase 'b b' never occurs; repeated-term phrases must not
+    overcount via double votes."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x a b y")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "a b")], "query_id int, phrase string"
+    )
+    rows = {(r.query_id, r.id): r for r in phrase_search(docs, qs).collect()}
+    assert rows[(1, 1)].n_occurrences == 2  # anchors 0 and 2
+    assert rows[(1, 1)].first_pos == 0
+    assert (2, 1) not in rows and (2, 2) not in rows
+    assert rows[(3, 1)].n_occurrences == 2  # 'a b' at 0 and 2
+    assert rows[(3, 2)].n_occurrences == 1 and rows[(3, 2)].first_pos == 1

@@ -452,3 +452,21 @@ def test_write_fence_two_writers_and_generation(spark, tmp_path):
                   spark.read.parquet(apath).collect()) == [(1, 2), (2, 1)]
     # a failed (refused) write must not leave its own lock behind
     assert not fs.exists(spark, _lock_path(apath))
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles, every node in 3; a 4-cycle has none; duplicate
+    and reversed edges and self-loops must not change counts."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in "pqrs" for b in "pqrs" if a < b]
+    noisy = k4 + [("q", "p"), ("p", "p"), ("r", "q")]  # reversed/self/dup
+    edges = spark.createDataFrame(noisy, "src string, dst string")
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {"p": 3, "q": 3, "r": 3, "s": 3}
+
+    square = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    assert triangle_count(square).count() == 0

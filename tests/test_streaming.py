@@ -743,3 +743,61 @@ def test_stream_cm_monitor_matches_batch_and_replays_idempotently(
     after = {(r.j, r.col): r.cnt
              for r in read_cm_sketch(spark, d + "/sk2").collect()}
     assert after == once
+
+
+def test_stream_quality_monitor_matches_batch_gates(spark, tmp_path):
+    """Two file batches streamed through the quality monitor fold to the
+    same per-source keep counts and mean entropy as running the batch
+    gopher_gate/char_entropy gates on the union — including docs the
+    gates emit no row for (empty text counts as not-keep)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        char_entropy,
+        gopher_gate,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        DOC_SCHEMA,
+        read_quality_report,
+        stream_quality_monitor,
+    )
+
+    d = str(tmp_path)
+    rep = "spam " * 30
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in rows], schema=DOC_SCHEMA
+        )
+
+    b1 = docs([
+        (1, "the quick brown fox jumps over the lazy dog and then some "
+            "more words follow here to clear the minimum length gate ok", "a"),
+        (2, rep, "a"),          # repetitive: fails gopher + entropy
+        (3, "", "b"),           # empty text: no gate rows at all
+    ])
+    b2 = docs([
+        (4, "spark runs declarative plans over columnar data with joins "
+            "windows and aggregates across many executor cores today "
+            "while catalyst prunes filters and broadcasts small tables", "b"),
+    ])
+    b1.write.mode("append").parquet(d + "/in")
+    stream_quality_monitor(
+        spark, d + "/in", d + "/q", d + "/ckpt"
+    ).awaitTermination(120)
+    b2.write.mode("append").parquet(d + "/in")
+    stream_quality_monitor(
+        spark, d + "/in", d + "/q", d + "/ckpt"
+    ).awaitTermination(120)
+
+    got = {r.source: r for r in read_quality_report(spark, d + "/q").collect()}
+    union = b1.unionByName(b2)
+    gg = {r.doc_id: r.keep for r in gopher_gate(union).collect()}
+    ce = {r.doc_id: (r.keep, r.entropy_nats) for r in
+          char_entropy(union).collect()}
+    for src, ids in (("a", [1, 2]), ("b", [3, 4])):
+        r = got[src]
+        assert r.n_docs == len(ids)
+        assert r.n_keep_gopher == sum(bool(gg.get(i, False)) for i in ids)
+        assert r.n_keep_entropy == sum(bool(ce.get(i, (False,))[0]) for i in ids)
+        want_mean = sum(ce[i][1] for i in ids if i in ce) / len(ids)
+        assert r.mean_entropy_nats == pytest.approx(want_mean, abs=1e-6)
+    assert got["a"].n_keep_both == 1 and got["b"].n_keep_both == 1
