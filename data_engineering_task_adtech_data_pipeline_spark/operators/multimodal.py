@@ -562,3 +562,78 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def resample_audio(df: DataFrame, factor: int = 2,
+                   batch_rows: int = 256) -> DataFrame:
+    """Integer-factor audio decimation over real PCM payloads: decode the
+    RIFF/WAVE payload (:func:`_wav_decode`), keep every ``factor``-th
+    FRAME (all channels of it, starting at frame 0), re-encode a real WAV
+    payload at the reduced rate and emit the resampled waveform stats —
+    the downsample stage of an audio-curation pipeline, end-to-end real
+    bytes on both sides of the batch. (Decimation without a low-pass is
+    deliberate: it keeps every output sample an exact input sample, so an
+    external oracle can re-derive peak/RMS bit-for-bit; an anti-alias FIR
+    would be float convolution, the part an audio library owns.)
+
+    Same Arrow/mapInPandas shape and failure contract as
+    :func:`decode_audio`: corrupt/non-PCM payloads yield
+    ``decode_ok=False``, non-RIFF formats raise in the executor batch.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    out_schema = T.StructType(
+        [*AUDIO_SCHEMA.fields, T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False, None))
+                    continue
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "only RIFF/WAVE PCM resamples offline; compressed "
+                        "audio needs an audio library (DEVIATIONS.md)"
+                    )
+                dec = _wav_decode(payload)
+                if dec is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False, None))
+                    continue
+                info, samples = dec
+                ch = info["channels"]
+                frames = samples.reshape(-1, ch)[::factor]
+                out = frames.reshape(-1)
+                new_rate = max(1, info["sample_rate"] // factor)
+                n_frames = frames.shape[0]
+                if out.size:
+                    peak = int(max(out.max(), -out.min()))
+                    sum_sq = int((out.astype("int64") ** 2).sum())
+                    rms = math.sqrt(sum_sq / out.size)
+                else:
+                    peak, rms = None, None
+                enc = _wav_encode(
+                    out, sample_rate=new_rate, channels=ch,
+                    bits=info["bits"],
+                )
+                rows.append((
+                    media_id, new_rate, ch, info["bits"], n_frames,
+                    int(n_frames * 1000 // new_rate), peak, rms, True, enc,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)

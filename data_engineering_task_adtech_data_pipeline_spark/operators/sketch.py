@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_long
@@ -275,4 +275,106 @@ def cm_estimate(
     return (
         joined.groupBy(*qcols)
         .agg(F.min("cnt").alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch (round 7): the QUANTILE member of the
+# mergeable-sketch family (HLL = distinct, Count-Min = frequency,
+# histogram = distribution). Deterministic by construction — integer bin
+# counts — so unlike t-digest/KLL it is exactly mergeable AND
+# oracle-checkable; the price is a fixed value range and equi-width
+# resolution (hi-lo)/n_bins, the classic monitoring trade.
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram sketch of ``value_col`` over ``[lo, hi)``:
+    one (group, bin, cnt) row per non-empty bin; values outside the range
+    clamp into the edge bins (visible as edge-bin mass, the standard
+    monitoring convention). Counters add, so partial sketches roll up
+    across partitions/streams exactly (``hist_merge``). One map + one
+    hash aggregation; state is <= n_bins rows per group at any corpus
+    size."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - lo) / ((hi - lo) / n_bins)).cast("int"),
+        ),
+    )
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge histogram sketches: counters add (exact multiset-union
+    semantics, same contract as ``cm_merge``)."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Estimate quantiles from a histogram sketch by linear interpolation
+    inside the containing bin: for each q, find the first bin whose
+    cumulative count reaches ``q * total`` and place the estimate at
+    ``lo + (bin + frac) * width`` with ``frac = (q*total - cum_below) /
+    bin_cnt``. Exact-integer cumulative counts + a fixed double
+    expression + a 6-dp round make the estimate engine-exact (the battery
+    contract); error is bounded by one bin width.
+
+    Plan shape: a per-group window over <= n_bins pre-aggregated rows
+    (never raw values) + a broadcast explode of the quantile list."""
+    w = (hi - lo) / n_bins
+    win = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(win))
+    tot = cum.groupBy(*group_cols).agg(F.max("cum").alias("total"))
+    qdf = (cum.join(tot, list(group_cols)) if group_cols
+           else cum.crossJoin(F.broadcast(tot)))
+    qlist = F.array(*[F.lit(float(q)) for q in qs])
+    qx = qdf.select(
+        *group_cols, "bin", "cnt", "cum", "total",
+        F.explode(qlist).alias("q"),
+    )
+    target = F.col("q") * F.col("total")
+    hit = qx.where(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    )
+    est = F.round(
+        lo
+        + (
+            F.col("bin")
+            + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        * w,
+        6,
+    )
+    return hit.select(
+        *group_cols, "q", est.alias("quantile_est")
     )

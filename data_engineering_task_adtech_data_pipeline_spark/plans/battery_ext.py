@@ -4051,3 +4051,112 @@ def q108_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("id").alias("doc_id"), "n_occurrences", "first_pos"
     )
+
+
+# ===========================================================================
+# q109 — histogram-sketch quantiles (the mergeable-sketch family's
+# distribution member: HLL=distinct, CM=frequency, histogram=quantiles)
+# ===========================================================================
+
+@query(
+    "q109_hist_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST(109, GREATEST(0,
+               CAST(floor(l_extendedprice / 1000.0) AS INTEGER))) AS bin
+      FROM lineitem
+    ),
+    h AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT *, SUM(cnt) OVER (
+        PARTITION BY l_returnflag ORDER BY bin
+      ) AS cum FROM h
+    ),
+    t AS (SELECT l_returnflag, MAX(cum) AS total FROM c GROUP BY 1),
+    qx AS (
+      SELECT c.*, t.total, u.q
+      FROM c JOIN t USING (l_returnflag),
+           UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                   CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS u(q)
+    )
+    SELECT l_returnflag, q,
+           round((bin + (q * total - (cum - cnt)) / cnt) * 1000.0, 6)
+             AS quantile_est
+    FROM qx
+    WHERE cum >= q * total AND (cum - cnt) < q * total
+    """,
+    doc="Quantiles from an equi-width histogram sketch "
+    "(sketch.hist_sketch / hist_quantile; lo=0, hi=110000, 110 bins, "
+    "width 1000): integer bin counts cumulated per group, linear "
+    "interpolation inside the containing bin, 6-dp round. The mergeable "
+    "alternative to exact percentiles (q32) when the data streams or "
+    "rolls up across days — error bounded by one bin width. Quantile "
+    "literals are DOUBLE in BOTH engines (a decimal 0.99*total would hit "
+    "different boundary bins than the double).",
+)
+def q109_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    li = Testdata(spark, sf_dir).lineitem
+    h = sketch.hist_sketch(
+        li, "l_extendedprice", ["l_returnflag"], lo=0.0, hi=110000.0,
+        n_bins=110,
+    )
+    return sketch.hist_quantile(
+        h, [0.25, 0.5, 0.9, 0.99], ["l_returnflag"], lo=0.0, hi=110000.0,
+        n_bins=110,
+    )
+
+
+# ===========================================================================
+# q110 — audio decimation: real decode -> every-2nd-frame -> re-encode,
+# stats oracle-derived from the kept samples (q98's synth contract)
+# ===========================================================================
+
+@query(
+    "q110_audio_resample",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS i,
+             ((unicode(substr(text, CAST(i AS INTEGER), 1)) * 257
+               + 7 * CAST(i AS INTEGER)) % 65536) - 32768 AS s
+      FROM documents, UNNEST(range(1, length(text) + 1)) t(i)
+      WHERE text IS NOT NULL
+    ),
+    kept AS (SELECT doc_id, s FROM chars WHERE (i - 1) % 2 = 0),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             MAX(ABS(s)) AS peak,
+             sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           4000 AS sample_rate,
+           1 AS channels,
+           16 AS bits,
+           COALESCE(a.n_frames, 0) AS n_frames,
+           (COALESCE(a.n_frames, 0) * 1000) // 4000 AS duration_ms,
+           a.peak AS peak,
+           a.rms AS rms
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.text IS NOT NULL
+    """,
+    doc="Audio decimation (multimodal.resample_audio, factor 2): the q98 "
+    "synthetic WAV REALLY decodes, keeps every 2nd frame, re-encodes at "
+    "4 kHz inside the Arrow batch; the oracle re-derives the kept int16 "
+    "samples (odd 1-based positions) from text codepoints — peak/RMS "
+    "bit-exact, integer sum-of-squares + two IEEE double ops.",
+)
+def q110_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    wav = multimodal.synth_wav(docs)
+    out = multimodal.resample_audio(wav, factor=2)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "peak", "rms",
+    )

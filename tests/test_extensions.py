@@ -1810,3 +1810,37 @@ def test_phrase_search_hand_example(spark):
     assert (2, 1) not in rows and (2, 2) not in rows
     assert rows[(3, 1)].n_occurrences == 2  # 'a b' at 0 and 2
     assert rows[(3, 2)].n_occurrences == 1 and rows[(3, 2)].first_pos == 1
+
+
+def test_resample_audio_roundtrip_and_stereo(spark):
+    """factor=1 reproduces decode_audio's stats through a re-encode
+    round-trip; factor=2 on STEREO keeps whole frames (both channels of
+    every even frame), and the re-encoded payload decodes to exactly
+    those samples."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _wav_decode,
+        _wav_encode,
+        decode_audio,
+        resample_audio,
+    )
+
+    stereo = [10, -10, 20, -20, 30, -30, 40, -40]  # 4 frames x 2 ch
+    wav = _wav_encode(stereo, sample_rate=8000, channels=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, payload binary"
+    )
+    r1 = resample_audio(df, factor=1).collect()[0]
+    d1 = decode_audio(df).collect()[0]
+    assert (r1.n_frames, r1.peak, r1.rms) == (d1.n_frames, d1.peak, d1.rms)
+
+    r2 = resample_audio(df, factor=2).collect()[0]
+    assert r2.sample_rate == 4000 and r2.n_frames == 2
+    dec = _wav_decode(bytes(r2.payload))
+    assert dec is not None
+    info, samples = dec
+    assert info["channels"] == 2
+    assert list(samples) == [10, -10, 30, -30]  # frames 0 and 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample_audio(df, factor=0)

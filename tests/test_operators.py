@@ -470,3 +470,36 @@ def test_triangle_count_known_graphs(spark):
         "src string, dst string",
     )
     assert triangle_count(square).count() == 0
+
+
+def test_hist_sketch_merge_and_quantile(spark):
+    """Merging two partial histogram sketches equals sketching the union
+    (exact counter addition), the median of 1..100 over [0,100)/10 bins
+    interpolates inside bin 5, and out-of-range values clamp to edge
+    bins."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+    from pyspark.sql import functions as F
+
+    a = spark.range(1, 51).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(51, 101).select(F.col("id").cast("double").alias("v"))
+    sa = sketch.hist_sketch(a, "v", lo=0.0, hi=100.0, n_bins=10)
+    sb = sketch.hist_sketch(b, "v", lo=0.0, hi=100.0, n_bins=10)
+    merged = sketch.hist_merge([sa, sb])
+    union = sketch.hist_sketch(
+        a.unionByName(b), "v", lo=0.0, hi=100.0, n_bins=10
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+    # bins 0..9; bin 5 holds 50..59 (10 values); cum below = 49 (1..49);
+    # target 0.5*100 = 50 -> frac = (50-49)/10 -> est = (5 + 0.1)*10 = 51
+    q = {r.q: r.quantile_est for r in sketch.hist_quantile(
+        merged, [0.5], lo=0.0, hi=100.0, n_bins=10
+    ).collect()}
+    assert q[0.5] == pytest.approx(51.0, abs=1e-9)
+
+    clamp = sketch.hist_sketch(
+        spark.createDataFrame([(-5.0,), (500.0,)], "v double"),
+        "v", lo=0.0, hi=100.0, n_bins=10,
+    )
+    assert {r.bin for r in clamp.collect()} == {0, 9}

@@ -51,6 +51,10 @@ QUERIES = [
     "q97_event_funnel",
     "q98_wav_stats", "q99_supplier_value_share",
     "q100_inactive_customer_balance",
+    # appended r7 after the r7 artifact was recorded (append-only rule):
+    # first measured in BENCH_SF1_r08
+    "q101_waiting_suppliers", "q102_gopher_gate", "q103_hybrid_rrf",
+    "q105_dsir_weights", "q107_triangle_count", "q108_phrase_search",
 ]
 
 
