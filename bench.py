@@ -101,11 +101,22 @@ def main() -> None:
             chunking.release_persisted()
         all_runs.append(run_t)
     timings = all_runs[0]
+    # lower median of the OBSERVED successful runs: for a full odd-count
+    # list this is the true median; for an even count (a query errored
+    # mid-series) it picks the smaller middle value instead of silently
+    # reporting the max as "median" (review r7). Errored queries are
+    # excluded entirely — their one recorded time lives in `timings` +
+    # `errors`, and a median over mixed success/failure runs would let
+    # the two series disagree about the query's health.
     median3 = {
-        name: round(sorted(r[name] for r in all_runs if name in r)[
-            len([r for r in all_runs if name in r]) // 2
-        ], 3)
+        name: round(
+            sorted(r[name] for r in all_runs if name in r)[
+                (len([r for r in all_runs if name in r]) - 1) // 2
+            ],
+            3,
+        )
         for name in timings
+        if name not in errors
     }
     # legacy count-action pass: r1-r5 benches timed df.count(); keep one
     # warm count-action timing per query in the detail file so cross-round

@@ -97,11 +97,33 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
 def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     """Atomically create ``path`` with ``text`` — returns False (creating
     nothing) if it already exists. This is the fencing primitive for
-    single-writer enforcement: Hadoop ``create(p, overwrite=false)`` is
-    atomic create-if-absent on HDFS and local filesystems. On classic
-    S3A, create-no-overwrite is check-then-write (not atomic); there,
-    prefer a lakehouse table format whose commit protocol owns write
-    isolation — same caveat family as ``rename``."""
+    single-writer enforcement.
+
+    Atomicity by scheme (review r7 — the original claim that Hadoop
+    ``create(p, overwrite=false)`` is atomic on local FS was wrong:
+    ``RawLocalFileSystem`` implements it as a non-atomic exists()-then-
+    create):
+
+    * local / no-scheme paths: ``java.io.File.createNewFile()`` — a
+      single O_EXCL syscall, genuinely atomic;
+    * HDFS: Hadoop ``create(overwrite=false)`` — atomic in the NameNode;
+    * classic S3A: create-no-overwrite is check-then-write (NOT atomic);
+      there, prefer a lakehouse table format whose commit protocol owns
+      write isolation — same caveat family as ``rename``.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    uri = jpath.toUri()
+    scheme = uri.getScheme()
+    if scheme is None or scheme == "file":
+        f = jvm.java.io.File(uri.getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        if not f.createNewFile():  # atomic O_EXCL create-if-absent
+            return False
+        write_text(spark, path, text)
+        return True
     fs, p = _fs_and_path(spark, path)
     try:
         out = fs.create(p, False)

@@ -73,21 +73,22 @@ def pagerank(
     base = base.persist()
     e = e.persist()
     try:
-        # one agg materializes the persists AND validates the precondition:
-        # weights must be non-negative — a node with out_weight < 0 matches
-        # neither the dangling arm (== 0) nor the contribution arm (> 0),
-        # so rank mass would silently leak (ADVICE r6)
-        row = base.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min("out_weight").alias("__minw"),
-        ).first()
-        n = row["__n"]
-        if row["__minw"] is not None and row["__minw"] < 0:
+        # one agg per frame materializes the persists AND validates the
+        # precondition: every EDGE weight must be non-negative — a
+        # negative-weight edge leaks/corrupts rank mass through the
+        # dangling/contribution split even when the node's SUM stays
+        # positive (e.g. +2/-1), and canceling weights (+1/-1) would
+        # silently demote a connected node to dangling, so the guard
+        # checks the per-edge minimum, not the per-node out_weight
+        # (review r7; the original ADVICE-r6 guard only caught sums)
+        minw = e.agg(F.min("__w").alias("__minw")).first()["__minw"]
+        if minw is not None and minw < 0:
             raise ValueError(
-                "pagerank: negative edge weights (min out_weight = "
-                f"{row['__minw']}) — weights must be >= 0, or rank mass "
-                "leaks through the dangling/contribution split"
+                "pagerank: negative edge weight (min weight = "
+                f"{minw}) — weights must be >= 0, or rank mass leaks "
+                "through the dangling/contribution split"
             )
+        n = base.agg(F.count(F.lit(1)).alias("__n")).first()["__n"]
         if n == 0:
             # empty edge list (e.g. every document is a single word):
             # an empty typed frame, not a driver-side ZeroDivisionError

@@ -481,6 +481,12 @@ def decode_audio(df: DataFrame, batch_rows: int = 256) -> DataFrame:
                                  None, None, False))
                     continue
                 payload = bytes(payload)
+                if len(payload) < 12:
+                    # too short to be ANY audio container — corrupt per
+                    # the contract, not a foreign format (review r7)
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False))
+                    continue
                 if payload[:4] != b"RIFF":
                     raise NotImplementedError(
                         "only RIFF/WAVE PCM decodes offline; compressed "
@@ -602,6 +608,11 @@ def resample_audio(df: DataFrame, factor: int = 2,
                                  None, None, False, None))
                     continue
                 payload = bytes(payload)
+                if len(payload) < 12:
+                    # corrupt (too short for any container), not foreign
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, False, None))
+                    continue
                 if payload[:4] != b"RIFF":
                     raise NotImplementedError(
                         "only RIFF/WAVE PCM resamples offline; compressed "

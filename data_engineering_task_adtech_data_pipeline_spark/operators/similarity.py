@@ -125,6 +125,11 @@ def rrf_fuse(
     of corpus size — all the heavy lifting stays in the upstream
     retrieval operators.
     """
+    if not ranked:
+        raise ValueError(
+            "rrf_fuse: no ranked lists to fuse — the `ranked` mapping "
+            "is empty (every retrieval arm disabled?)"
+        )
     d9 = "decimal(18,9)"
     parts = [
         df.select(

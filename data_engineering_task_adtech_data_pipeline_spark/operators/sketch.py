@@ -311,20 +311,31 @@ def hist_sketch(
             F.floor((v - lo) / ((hi - lo) / n_bins)).cast("int"),
         ),
     )
+    # NULL values are dropped, not binned: greatest() SKIPS nulls, so
+    # without the filter floor(NULL) would silently land every null in
+    # bin 0 as fake lo-edge mass (review r7)
     return (
-        df.select(*group_cols, bin_.alias("bin"))
+        df.where(v.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def hist_merge(
-    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+    sketches: Sequence[DataFrame],
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Merge histogram sketches: counters add (exact multiset-union
-    semantics, same contract as ``cm_merge``)."""
+    semantics, same contract as ``cm_merge``). ``group_cols=None``
+    (default) INFERS the group columns from the sketch schema (everything
+    except bin/cnt) — a caller merging grouped sketches cannot silently
+    collapse the groups by forgetting the argument (review r7); pass an
+    explicit list (or ``()``) to override."""
     it = iter(sketches)
     out = next(it)
+    if group_cols is None:
+        group_cols = [c for c in out.columns if c not in ("bin", "cnt")]
     for s in it:
         out = out.unionByName(s)
     return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))

@@ -928,14 +928,15 @@ def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     val AS (
       SELECT l_suppkey AS s_suppkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS value
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS vdec
       FROM lineitem JOIN sup ON s_suppkey = l_suppkey
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, value
+    SELECT s_suppkey, CAST(vdec AS DOUBLE) AS value
     FROM val
-    WHERE value > (SELECT SUM(value) FROM val) * 0.05
+    WHERE CAST(vdec AS DOUBLE)
+          > CAST((SELECT SUM(vdec) FROM val) AS DOUBLE) * 0.05
     """,
     doc="TPC-H Q11 shape (reshaped onto supplier revenue; no partsupp in "
     "testdata): per-supplier decimal-exact revenue over a nation-filtered "
@@ -955,6 +956,10 @@ def q99_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_name").isin(nations))
         .select("s_suppkey")
     )
+    # the global total sums the DECIMAL per-supplier values, never the
+    # doubles — a double SUM is partial-aggregation-order dependent, so
+    # the 5% gate could flip a boundary supplier between engines or even
+    # between partitionings (review r7)
     val = (
         td.lineitem.join(
             F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey")
@@ -963,16 +968,17 @@ def q99_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-            )
-            .cast("double")
-            .alias("value")
+            ).alias("vdec")
         )
     )
-    total = val.agg(F.sum("value").alias("__total"))
+    total = val.agg(F.sum("vdec").alias("__tdec"))
     return (
         val.join(F.broadcast(total))
-        .where(F.col("value") > F.col("__total") * F.lit(0.05))
-        .select("s_suppkey", "value")
+        .where(
+            F.col("vdec").cast("double")
+            > F.col("__tdec").cast("double") * F.lit(0.05)
+        )
+        .select("s_suppkey", F.col("vdec").cast("double").alias("value"))
     )
 
 

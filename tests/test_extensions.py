@@ -1470,21 +1470,26 @@ def test_pagerank_hand_example(spark):
 
 
 def test_pagerank_rejects_negative_weights(spark):
-    """ADVICE r6: a node whose out_weight sums negative matches neither
-    the dangling (== 0) nor the contribution (> 0) arm — rank mass would
-    silently leak. The operator must refuse up front."""
+    """ADVICE r6 + review r7: ANY negative edge weight must be refused
+    up front — including when the node's out_weight SUM stays positive
+    (+2/-1) or cancels to zero (+1/-1); both corrupt rank mass silently
+    if only the per-node sum is checked."""
     import pytest
 
     from data_engineering_task_adtech_data_pipeline_spark.operators.graph import (
         pagerank,
     )
 
-    edges = spark.createDataFrame(
-        [("a", "b", -1.0), ("b", "a", 1.0)],
-        "src string, dst string, wt double",
-    )
-    with pytest.raises(ValueError, match="negative edge weights"):
-        pagerank(edges, n_iter=1, weight_col="wt")
+    for rows in (
+        [("a", "b", -1.0), ("b", "a", 1.0)],          # sum < 0
+        [("a", "b", 2.0), ("a", "c", -1.0)],          # sum > 0, edge < 0
+        [("a", "b", 1.0), ("a", "c", -1.0)],          # sum == 0 (cancel)
+    ):
+        edges = spark.createDataFrame(
+            rows, "src string, dst string, wt double"
+        )
+        with pytest.raises(ValueError, match="negative edge weight"):
+            pagerank(edges, n_iter=1, weight_col="wt")
 
 
 def test_prefix_sum_release_persisted(spark):
@@ -1844,3 +1849,22 @@ def test_resample_audio_roundtrip_and_stereo(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resample_audio(df, factor=0)
+
+
+def test_decode_audio_short_payload_is_corrupt_not_foreign(spark):
+    """Review r7: payloads too short to be ANY container (empty, 'RIF')
+    are corrupt -> decode_ok=False; only real foreign formats (>= 12
+    bytes, non-RIFF magic) raise NotImplementedError in the batch."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        resample_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"RIF")),
+         (3, bytearray(b"RIFFxxxx"))],
+        "media_id long, payload binary",
+    )
+    for fn in (decode_audio, resample_audio):
+        rows = {r.media_id: r.decode_ok for r in fn(df).collect()}
+        assert rows == {1: False, 2: False, 3: False}
