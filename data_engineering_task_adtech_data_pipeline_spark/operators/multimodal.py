@@ -648,3 +648,112 @@ def resample_audio(df: DataFrame, factor: int = 2,
             )
 
     return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def synth_ppm(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", width: int = 16,
+              height: int = 12) -> DataFrame:
+    """Deterministic PPM(P6) test fixture (the image twin of
+    :func:`synth_wav`): pixel (x, y) derives from the text codepoint at
+    index ``(y*width + x) mod len(text)`` (0-based) as
+    ``r = (cp*3 + x) % 256, g = (cp*5 + y) % 256,
+    b = (cp*7 + x + y) % 256`` — a pure function of the text, so an
+    external SQL oracle can re-derive any pixel (and thus any decoded
+    statistic) from the source table. Returns (media_id, payload); rows
+    with NULL/empty text yield a NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        x = np.arange(width)[None, :]
+        y = np.arange(height)[:, None]
+        k = y * width + x
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    payloads.append(None)
+                    continue
+                cps = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                cp = cps[k % len(cps)]
+                arr = np.stack(
+                    [
+                        (cp * 3 + x) % 256,
+                        (cp * 5 + y) % 256,
+                        (cp * 7 + x + y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(_ppm_encode(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def ahash_images(df: DataFrame, hash_size: int = 8,
+                 batch_rows: int = 256) -> DataFrame:
+    """Average-hash perceptual fingerprints over REALLY-decoded pixels —
+    the image near-dup primitive (two images with small Hamming distance
+    between their aHashes are visual near-duplicates; bucket-join on
+    bit-bands exactly like ``dedup.simhash_candidates``). Pipeline per
+    payload, all integer math so an oracle can reproduce it bit-for-bit:
+    decode (PPM/BMP, :func:`_decode_payload`) → integer luminance
+    ``(r+g+b) // 3`` → nearest-neighbor sample to hash_size² (the
+    ``_resize_nearest`` (i+0.5) rule) → mean threshold with
+    ``mean = sum // n`` → row-major bitstring ('1' where lum > mean).
+
+    The hash is returned as a ``hash_size²``-char '0'/'1' STRING, not a
+    packed int64 — a 64-bit pack would put bit 63 in the sign position
+    and make cross-engine equality depend on overflow semantics.
+    Corrupt supported-format payloads yield ``decode_ok=False``;
+    foreign formats raise in the executor batch (decode contract)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("ahash_bits", T.StringType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, False))
+                    continue
+                arr, _fmt = _decode_payload(bytes(payload))
+                if arr is None:
+                    rows.append((media_id, None, None, None, False))
+                    continue
+                h, w = arr.shape[:2]
+                lum = arr.astype(np.int64).sum(axis=-1) // 3
+                small = _resize_nearest(lum, hash_size, hash_size)
+                mean = int(small.sum()) // (hash_size * hash_size)
+                bits = "".join(
+                    "1" if v > mean else "0" for v in small.reshape(-1)
+                )
+                rows.append((media_id, int(w), int(h), bits, True))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)

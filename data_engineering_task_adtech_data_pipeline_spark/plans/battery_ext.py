@@ -4160,3 +4160,136 @@ def q110_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "channels", "bits",
         "n_frames", "duration_ms", "peak", "rms",
     )
+
+
+# ===========================================================================
+# q112 — image perceptual hash over the REAL PPM decode path: synthetic
+# P6 images (pixels a pure function of the text, q98's synth contract)
+# -> real decode -> integer luminance -> nearest-neighbor 8x8 -> aHash.
+# ===========================================================================
+
+@query(
+    "q112_image_ahash",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(gy AS INTEGER) AS gy, CAST(gx AS INTEGER) AS gx,
+             LEAST(11, CAST(floor((gy + 0.5) * 12 / 8.0) AS INTEGER)) AS sy,
+             2 * CAST(gx AS INTEGER) + 1 AS sx
+      FROM UNNEST(range(0, 8)) a(gy), UNNEST(range(0, 8)) b(gx)
+    ),
+    px AS (
+      SELECT d.doc_id, g.gy, g.gx,
+             unicode(substr(d.text,
+               CAST(((g.sy * 16 + g.sx) % length(d.text)) + 1 AS INTEGER),
+               1)) AS cp,
+             g.sx, g.sy
+      FROM documents d, grid g
+      WHERE d.text IS NOT NULL AND length(d.text) > 0
+    ),
+    lum AS (
+      SELECT doc_id, gy, gx,
+             (((cp * 3 + sx) % 256) + ((cp * 5 + sy) % 256)
+              + ((cp * 7 + sx + sy) % 256)) // 3 AS v
+      FROM px
+    ),
+    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id)
+    SELECT l.doc_id,
+           16 AS width, 12 AS height,
+           string_agg(CASE WHEN l.v > m.mean THEN '1' ELSE '0' END, ''
+                      ORDER BY l.gy * 8 + l.gx) AS ahash_bits
+    FROM lum l JOIN m USING (doc_id)
+    GROUP BY l.doc_id
+    """,
+    doc="Image perceptual hashing through the REAL codec path "
+    "(multimodal.synth_ppm -> _ppm_decode -> ahash_images): 16x12 P6 "
+    "pixels derived from text codepoints really encode/decode; aHash = "
+    "integer luminance, (i+0.5) nearest-neighbor 8x8 sample, "
+    "sum//n mean threshold, row-major 64-bit '0'/'1' string (a packed "
+    "int64 would put bit 63 in the sign position). The oracle re-derives "
+    "only the 64 SAMPLED pixels from the text — every value integer, "
+    "bit-for-bit. Near-dup images then band-join on hash substrings, "
+    "the simhash_candidates pattern.",
+)
+def q112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ppm = multimodal.synth_ppm(docs)
+    out = multimodal.ahash_images(ppm)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "ahash_bits"
+    )
+
+
+# ===========================================================================
+# q113 — image duplicate groups: identical aHash == visual-dup bucket
+# (the degenerate band of the simhash band-join; exact-dup texts make
+# exact-dup synthetic images, so groups exist in the corpus)
+# ===========================================================================
+
+@query(
+    "q113_image_dup_groups",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(gy AS INTEGER) AS gy, CAST(gx AS INTEGER) AS gx,
+             LEAST(11, CAST(floor((gy + 0.5) * 12 / 8.0) AS INTEGER)) AS sy,
+             2 * CAST(gx AS INTEGER) + 1 AS sx
+      FROM UNNEST(range(0, 8)) a(gy), UNNEST(range(0, 8)) b(gx)
+    ),
+    px AS (
+      SELECT d.doc_id, g.gy, g.gx,
+             unicode(substr(d.text,
+               CAST(((g.sy * 16 + g.sx) % length(d.text)) + 1 AS INTEGER),
+               1)) AS cp,
+             g.sx, g.sy
+      FROM documents d, grid g
+      WHERE d.text IS NOT NULL AND length(d.text) > 0
+    ),
+    lum AS (
+      SELECT doc_id, gy, gx,
+             (((cp * 3 + sx) % 256) + ((cp * 5 + sy) % 256)
+              + ((cp * 7 + sx + sy) % 256)) // 3 AS v
+      FROM px
+    ),
+    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id),
+    hashes AS (
+      SELECT l.doc_id,
+             string_agg(CASE WHEN l.v > m.mean THEN '1' ELSE '0' END, ''
+                        ORDER BY l.gy * 8 + l.gx) AS ahash_bits
+      FROM lum l JOIN m USING (doc_id)
+      GROUP BY l.doc_id
+    )
+    SELECT ahash_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM hashes
+    GROUP BY ahash_bits
+    HAVING COUNT(*) > 1
+    """,
+    doc="Visual duplicate groups: images sharing an IDENTICAL aHash "
+    "(q112's real-decode fingerprint) bucket together — one hash "
+    "groupBy, min-id survivor per group, the degenerate (whole-hash) "
+    "band of the simhash band-join; at scale, near-dups widen to "
+    "substring bands + hamming verify exactly like "
+    "dedup.simhash_candidates.",
+)
+def q113_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    hashes = multimodal.ahash_images(multimodal.synth_ppm(docs))
+    return (
+        hashes.where(F.col("decode_ok"))
+        .groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").alias("keep_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .where(F.col("n_images") > 1)
+    )

@@ -1145,3 +1145,74 @@ def q101_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )
+
+
+# ===========================================================================
+# q111 — TPC-H Q2 shape: the correlated-scalar-MIN equality pattern
+# ("cheapest supplier per part"), decorrelated to a min-aggregate + an
+# equality join back. Reshaped onto lineitem unit prices (no partsupp /
+# ps_supplycost in testdata; COVERAGE.md).
+# ===========================================================================
+
+@query(
+    "q111_cheapest_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice / l_quantity, 6)
+                 AS DECIMAL(18,6))) AS unit
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (SELECT l_partkey, MIN(unit) AS best_unit FROM cost GROUP BY 1)
+    SELECT c.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(c.unit AS DOUBLE) AS unit_price
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit = b.best_unit
+    JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size <= 10
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region rg ON rg.r_regionkey = n.n_regionkey
+                  AND rg.r_name = 'ASIA'
+    """,
+    doc="TPC-H Q2 shape (reshaped: unit price = min 6-dp-decimal "
+    "extendedprice/quantity per (part, supplier); no partsupp in "
+    "testdata): for small parts, the ASIA suppliers achieving the "
+    "part's global-minimum unit price — the correlated scalar MIN "
+    "decorrelated into a per-part aggregate joined back on EXACT decimal "
+    "equality (a double equality would be partition-order roulette). "
+    "Dims broadcast; the fact shuffles once on (part, supplier) and once "
+    "on part.",
+)
+def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    unit = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity"), 6
+    ).cast("decimal(18,6)")
+    cost = td.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("unit")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit").alias("best_unit"))
+    sup_nat = (
+        td.supplier.join(
+            F.broadcast(td.nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(td.region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    small = td.part.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
+    return (
+        cost.join(best, "l_partkey")
+        .where(F.col("unit") == F.col("best_unit"))
+        .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("unit").cast("double").alias("unit_price"),
+        )
+    )

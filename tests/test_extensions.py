@@ -1868,3 +1868,32 @@ def test_decode_audio_short_payload_is_corrupt_not_foreign(spark):
     for fn in (decode_audio, resample_audio):
         rows = {r.media_id: r.decode_ok for r in fn(df).collect()}
         assert rows == {1: False, 2: False, 3: False}
+
+
+def test_ahash_images_flat_vs_gradient(spark):
+    """A flat image hashes to all zeros (no pixel exceeds the mean); a
+    half-dark/half-bright image sets exactly the bright half's bits; a
+    corrupt P6 payload yields decode_ok=False."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.multimodal import (
+        _ppm_encode,
+        ahash_images,
+    )
+
+    flat = np.full((12, 16, 3), 100, np.uint8)
+    grad = np.zeros((12, 16, 3), np.uint8)
+    grad[:, 8:, :] = 200  # right half bright
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_encode(flat))),
+         (2, bytearray(_ppm_encode(grad))),
+         (3, bytearray(b"P6 garbage"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in ahash_images(df).collect()}
+    assert rows[1].ahash_bits == "0" * 64
+    # sampled cols are 2*gx+1 -> gx>=4 samples x>=9 (bright); mean sits
+    # between halves, so each row is '0000' + '1111'
+    assert rows[2].ahash_bits == ("0000" + "1111") * 8
+    assert rows[1].decode_ok and rows[2].decode_ok
+    assert not rows[3].decode_ok and rows[3].ahash_bits is None
