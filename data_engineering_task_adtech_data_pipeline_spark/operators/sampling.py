@@ -90,6 +90,39 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    embargo: str = "0 days",
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap — the leakage
+    discipline for forecasting/ranking training data that
+    :func:`hash_split` (row-hash) cannot provide: rows before
+    ``train_end`` are ``train``; rows inside ``[train_end, train_end +
+    embargo)`` are ``embargo`` (discarded from BOTH sides, so
+    autocorrelated features spanning the boundary cannot leak future
+    signal into training); the rest are ``test``. NULL timestamps get a
+    NULL split (surface them, don't silently bucket them).
+
+    Map-only expression — the predicate pushes to the scan, so at 100 TB
+    a train-only read prunes time partitions instead of filtering rows.
+    """
+    ts = F.col(ts_col)
+    end = F.lit(train_end).cast("timestamp")
+    emb_end = F.expr(
+        f"CAST('{train_end}' AS TIMESTAMP) + INTERVAL {embargo}"
+    )
+    return df.withColumn(
+        split_col,
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts < end, "train")
+        .when(ts < emb_end, "embargo")
+        .otherwise("test"),
+    )
+
+
 def stratified_deterministic_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -456,6 +456,46 @@ def redact_pii(
     )
 
 
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str = "42",
+    token_len: int = 16,
+    prefix: str = "pid_",
+) -> DataFrame:
+    """Keyed pseudonymization: replace each listed column's value with a
+    deterministic surrogate ``prefix + md5(value <US> salt)[:token_len]``
+    — the privacy step between raw identifiers and redaction. Unlike
+    :func:`redact_pii` (which destroys the value), the surrogate is
+    CONSISTENT: the same value + salt maps to the same token in every
+    row, column and table, so joins, group-bys and frequency analyses
+    still work on the pseudonymized data while the raw identifier never
+    leaves the cluster. Rotate the salt to break linkage between
+    releases. NULLs stay NULL.
+
+    Pure ``md5``/``concat`` built-ins — map-only, full scan speed, and
+    engine-portable (any SQL engine with md5 reproduces the mapping
+    bit-for-bit, the oracle contract). Collision risk at token_len=16
+    hex chars is ~2^-64 per pair — negligible below ~10^9 distinct
+    values; raise token_len for more.
+    """
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.col(c).cast("string"),
+                                  F.lit(salt))),
+                1,
+                token_len,
+            ),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok).otherwise(F.lit(None))
+        )
+    return out
+
+
 def bigram_novelty(
     df: DataFrame,
     text_col: str = "text",

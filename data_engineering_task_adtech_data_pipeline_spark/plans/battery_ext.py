@@ -4293,3 +4293,156 @@ def q113_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_images") > 1)
     )
+
+
+# ===========================================================================
+# q114 — VariantType semi-structured path (Spark 4): construct nested
+# JSON, shred with parse_json, extract typed paths with try_variant_get.
+# The oracle validates the VALUES straight from the source columns, so
+# the whole JSON round-trip (to_json -> parse_json -> typed extraction,
+# incl. array indexing and nested fields) is what is being checked.
+# ===========================================================================
+
+@query(
+    "q114_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total,
+           CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS vv_total,
+           CAST(SUM(user_id) AS BIGINT) AS a1_total
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4 parse_json /"
+    " try_variant_get): nested JSON built from events (scalar, nested "
+    "struct field, array index) is shredded to VariantType and extracted "
+    "back typed; the oracle computes the same aggregates from the raw "
+    "columns, so any loss in the to_json -> parse_json -> typed-get "
+    "round-trip fails the value check. 2-dp rounding keeps the double "
+    "JSON round-trip exact.",
+)
+def q114_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Testdata(spark, sf_dir).events
+    j = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.struct(
+                F.col("user_id").alias("u"),
+                F.round("value", 2).alias("vv"),
+            ).alias("m"),
+            F.array("event_id", "user_id").alias("arr"),
+        )
+    )
+    v = ev.select("event_type", F.parse_json(j).alias("v"))
+    ext = v.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.m.vv", "double").alias("vv"),
+        F.try_variant_get("v", "$.arr[1]", "long").alias("a1"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_total"),
+        F.sum(F.col("vv").cast("decimal(18,2)")).cast("double")
+        .alias("vv_total"),
+        F.sum("a1").alias("a1_total"),
+    )
+
+
+# ===========================================================================
+# q115 — keyed pseudonymization with referential consistency: the same
+# surrogate mapping applied to customer AND orders still joins.
+# ===========================================================================
+
+@query(
+    "q115_pseudonymized_join",
+    oracle="""
+    WITH c AS (
+      SELECT 'pid_' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                  || chr(31) || '42'), 1, 16) AS pid_key,
+             c_mktsegment
+      FROM customer
+    ),
+    o AS (
+      SELECT 'pid_' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                  || chr(31) || '42'), 1, 16) AS pid_key
+      FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT pid_key) AS BIGINT) AS n_customers
+    FROM o JOIN c USING (pid_key)
+    GROUP BY c_mktsegment
+    """,
+    doc="Keyed pseudonymization (text.pseudonymize): customer and order "
+    "keys are replaced by consistent md5 surrogates and the tables still "
+    "join per-segment with the same cardinalities — raw identifiers "
+    "never needed downstream. Salt rotation breaks cross-release "
+    "linkage; the mapping is the engine-portable md5 idiom.",
+)
+def q115_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    c = text.pseudonymize(
+        td.customer.select(
+            F.col("c_custkey").alias("pid_key"), "c_mktsegment"
+        ),
+        ["pid_key"],
+    )
+    o = text.pseudonymize(
+        td.orders.select(F.col("o_custkey").alias("pid_key")), ["pid_key"]
+    )
+    return (
+        o.join(F.broadcast(c), "pid_key")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("pid_key").alias("n_customers"),
+        )
+    )
+
+
+# ===========================================================================
+# q116 — temporal train/test split with an embargo gap (leakage guard)
+# ===========================================================================
+
+@query(
+    "q116_temporal_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+               WHEN ts IS NULL THEN NULL
+               WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+               WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                         + INTERVAL 5 DAY THEN 'embargo'
+               ELSE 'test'
+             END AS split,
+             ts, value
+      FROM events
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM s GROUP BY split
+    """,
+    doc="Temporal split with embargo (sampling.temporal_split): events "
+    "before 2024-01-20 train; the next 5 days are EMBARGO (dropped from "
+    "both sides so boundary-spanning autocorrelation cannot leak); the "
+    "rest test. Map-only CASE — at scale the train-only read prunes "
+    "time partitions at the scan.",
+)
+def q116_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temporal_split
+
+    ev = Testdata(spark, sf_dir).events
+    s = temporal_split(ev, "ts", "2024-01-20 00:00:00", "5 days")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double")
+        .alias("total_value"),
+    )

@@ -1897,3 +1897,39 @@ def test_ahash_images_flat_vs_gradient(spark):
     assert rows[2].ahash_bits == ("0000" + "1111") * 8
     assert rows[1].decode_ok and rows[2].decode_ok
     assert not rows[3].decode_ok and rows[3].ahash_bits is None
+
+
+def test_pseudonymize_consistency_and_nulls(spark):
+    """Same value + salt -> same token everywhere; different salt ->
+    different token; NULLs stay NULL; distinct cardinality preserved."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice"), (4, None)],
+        "id long, name string",
+    )
+    out = {r.id: r.name for r in pseudonymize(df, ["name"]).collect()}
+    assert out[1] == out[3] and out[1] != out[2]
+    assert out[1].startswith("pid_") and len(out[1]) == 20
+    assert out[4] is None
+    out2 = {r.id: r.name for r in
+            pseudonymize(df, ["name"], salt="other").collect()}
+    assert out2[1] != out[1]
+
+
+def test_temporal_split_classes_and_null(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-20 00:00:00"),
+         (3, "2024-01-24 23:59:59"), (4, "2024-01-25 00:00:00"),
+         (5, None)],
+        "id long, t string",
+    ).select("id", F.col("t").cast("timestamp").alias("ts"))
+    out = {r.id: r.split for r in temporal_split(
+        df, "ts", "2024-01-20 00:00:00", "5 days"
+    ).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: None}
