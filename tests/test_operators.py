@@ -503,3 +503,105 @@ def test_hist_sketch_merge_and_quantile(spark):
         "v", lo=0.0, hi=100.0, n_bins=10,
     )
     assert {r.bin for r in clamp.collect()} == {0, 9}
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=25,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Property: degree-ordered triangle counting == brute-force
+    enumeration of all vertex triples on small random (multi/self-loop)
+    graphs."""
+    from itertools import combinations
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[str, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                expect[str(n)] = expect.get(str(n), 0) + 1
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    phrase=st.lists(st.sampled_from("abc"), min_size=1, max_size=3),
+)
+def test_phrase_search_matches_python_scan(spark, docs, phrase):
+    """Property: anchor-vote phrase matching == a naive Python sliding
+    window over the word lists (overlaps and repeated terms included)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, " ".join(phrase))], "query_id int, phrase string"
+    )
+    got = {
+        r.id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(df, qs).collect()
+    }
+    expect = {}
+    k = len(phrase)
+    for i, ws in enumerate(docs):
+        hits = [p for p in range(len(ws) - k + 1) if ws[p : p + k] == phrase]
+        if hits:
+            expect[i] = (len(hits), hits[0])
+    assert got == expect
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.floats(0.0, 99.999), min_size=1, max_size=60),
+)
+def test_hist_quantile_within_one_bin_width(spark, vals):
+    """Property: every histogram-sketch quantile estimate lies within one
+    bin width of the exact empirical quantile."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    lo, hi, n_bins = 0.0, 100.0, 10
+    width = (hi - lo) / n_bins
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    h = sketch.hist_sketch(df, "v", lo=lo, hi=hi, n_bins=n_bins)
+    got = {r.q: r.quantile_est for r in sketch.hist_quantile(
+        h, [0.25, 0.5, 0.9], lo=lo, hi=hi, n_bins=n_bins
+    ).collect()}
+    xs = sorted(vals)
+    for q, est in got.items():
+        # exact q-quantile lies inside the hit bin too: compare against
+        # the ceil(q*n)-th order statistic
+        import math
+        exact = xs[max(0, math.ceil(q * len(xs)) - 1)]
+        assert abs(est - exact) <= width + 1e-9

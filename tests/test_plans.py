@@ -433,3 +433,26 @@ def test_prefix_sum_windows_stay_pid_partitioned(spark):
     _single_partition_exchanges_feed_from_aggregates(
         _exec_plan(spark, "q82_curriculum_stages")
     )
+
+
+def test_r7_new_queries_plan_shapes(spark):
+    """Plan guards for the round-7 battery family: no cartesian products
+    anywhere; the decorrelated TPC-H shapes keep their dims broadcast;
+    phrase/variant/split stay window-free map+agg plans."""
+    shapes = {
+        "q101_waiting_suppliers": dict(bhj_min=1),
+        "q103_hybrid_rrf": dict(),
+        "q107_triangle_count": dict(bhj_min=1),
+        "q108_phrase_search": dict(bhj_min=1, window_max=0),
+        "q111_cheapest_supplier": dict(bhj_min=1),
+        "q114_variant_extract": dict(window_max=0),
+        "q116_temporal_split": dict(window_max=0),
+    }
+    for name, want in shapes.items():
+        plan = _exec_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # no row-UDFs anywhere
+        if "bhj_min" in want:
+            assert plan.count("BroadcastHashJoin") >= want["bhj_min"], name
+        if want.get("window_max") == 0:
+            assert "Window" not in plan, name
