@@ -111,9 +111,10 @@ def temporal_split(
     """
     ts = F.col(ts_col)
     end = F.lit(train_end).cast("timestamp")
-    emb_end = F.expr(
-        f"CAST('{train_end}' AS TIMESTAMP) + INTERVAL {embargo}"
-    )
+    # derive the embargo bound from the already-built `end` column —
+    # re-parsing train_end inside an f-string SQL expr would be a second
+    # (divergeable, quote-injectable) parse of the same input (review r7)
+    emb_end = end + F.expr(f"INTERVAL {embargo}")
     return df.withColumn(
         split_col,
         F.when(ts.isNull(), F.lit(None).cast("string"))

@@ -490,9 +490,8 @@ def pseudonymize(
                 token_len,
             ),
         )
-        out = out.withColumn(
-            c, F.when(F.col(c).isNotNull(), tok).otherwise(F.lit(None))
-        )
+        # a CASE WHEN without otherwise already yields NULL for NULLs
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
 
 

@@ -4162,16 +4162,8 @@ def q110_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ===========================================================================
-# q112 — image perceptual hash over the REAL PPM decode path: synthetic
-# P6 images (pixels a pure function of the text, q98's synth contract)
-# -> real decode -> integer luminance -> nearest-neighbor 8x8 -> aHash.
-# ===========================================================================
-
-@query(
-    "q112_image_ahash",
-    oracle="""
-    WITH grid AS (
+_AHASH_CTES = """
+    grid AS (
       SELECT CAST(gy AS INTEGER) AS gy, CAST(gx AS INTEGER) AS gx,
              LEAST(11, CAST(floor((gy + 0.5) * 12 / 8.0) AS INTEGER)) AS sy,
              2 * CAST(gx AS INTEGER) + 1 AS sx
@@ -4192,13 +4184,29 @@ def q110_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               + ((cp * 7 + sx + sy) % 256)) // 3 AS v
       FROM px
     ),
-    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id)
-    SELECT l.doc_id,
-           16 AS width, 12 AS height,
-           string_agg(CASE WHEN l.v > m.mean THEN '1' ELSE '0' END, ''
-                      ORDER BY l.gy * 8 + l.gx) AS ahash_bits
-    FROM lum l JOIN m USING (doc_id)
-    GROUP BY l.doc_id
+    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id),
+    hashes AS (
+      SELECT l.doc_id,
+             string_agg(CASE WHEN l.v > m.mean THEN '1' ELSE '0' END, ''
+                        ORDER BY l.gy * 8 + l.gx) AS ahash_bits
+      FROM lum l JOIN m USING (doc_id)
+      GROUP BY l.doc_id
+    )"""
+
+
+# ===========================================================================
+# q112 — image perceptual hash over the REAL PPM decode path: synthetic
+# P6 images (pixels a pure function of the text, q98's synth contract)
+# -> real decode -> integer luminance -> nearest-neighbor 8x8 -> aHash.
+# ===========================================================================
+
+@query(
+    "q112_image_ahash",
+    oracle=f"""
+    WITH {_AHASH_CTES},
+    dims AS (SELECT 16 AS width, 12 AS height)
+    SELECT h.doc_id, d.width, d.height, h.ahash_bits
+    FROM hashes h, dims d
     """,
     doc="Image perceptual hashing through the REAL codec path "
     "(multimodal.synth_ppm -> _ppm_decode -> ahash_images): 16x12 P6 "
@@ -4231,36 +4239,8 @@ def q112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q113_image_dup_groups",
-    oracle="""
-    WITH grid AS (
-      SELECT CAST(gy AS INTEGER) AS gy, CAST(gx AS INTEGER) AS gx,
-             LEAST(11, CAST(floor((gy + 0.5) * 12 / 8.0) AS INTEGER)) AS sy,
-             2 * CAST(gx AS INTEGER) + 1 AS sx
-      FROM UNNEST(range(0, 8)) a(gy), UNNEST(range(0, 8)) b(gx)
-    ),
-    px AS (
-      SELECT d.doc_id, g.gy, g.gx,
-             unicode(substr(d.text,
-               CAST(((g.sy * 16 + g.sx) % length(d.text)) + 1 AS INTEGER),
-               1)) AS cp,
-             g.sx, g.sy
-      FROM documents d, grid g
-      WHERE d.text IS NOT NULL AND length(d.text) > 0
-    ),
-    lum AS (
-      SELECT doc_id, gy, gx,
-             (((cp * 3 + sx) % 256) + ((cp * 5 + sy) % 256)
-              + ((cp * 7 + sx + sy) % 256)) // 3 AS v
-      FROM px
-    ),
-    m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id),
-    hashes AS (
-      SELECT l.doc_id,
-             string_agg(CASE WHEN l.v > m.mean THEN '1' ELSE '0' END, ''
-                        ORDER BY l.gy * 8 + l.gx) AS ahash_bits
-      FROM lum l JOIN m USING (doc_id)
-      GROUP BY l.doc_id
-    )
+    oracle=f"""
+    WITH {_AHASH_CTES}
     SELECT ahash_bits,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(MIN(doc_id) AS BIGINT) AS keep_id,

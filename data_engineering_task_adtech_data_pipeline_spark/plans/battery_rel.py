@@ -1159,39 +1159,46 @@ def q101_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             MIN(CAST(round(l_extendedprice / l_quantity, 6)
-                 AS DECIMAL(18,6))) AS unit
+             MIN((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                 // CAST(l_quantity AS BIGINT)) AS unit_u
       FROM lineitem GROUP BY 1, 2
     ),
-    best AS (SELECT l_partkey, MIN(unit) AS best_unit FROM cost GROUP BY 1)
+    best AS (SELECT l_partkey, MIN(unit_u) AS best_unit FROM cost GROUP BY 1)
     SELECT c.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
-           CAST(c.unit AS DOUBLE) AS unit_price
+           CAST(c.unit_u AS DOUBLE) / 1000000.0 AS unit_price
     FROM cost c
-    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit = b.best_unit
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_u = b.best_unit
     JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size <= 10
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     JOIN region rg ON rg.r_regionkey = n.n_regionkey
                   AND rg.r_name = 'ASIA'
     """,
-    doc="TPC-H Q2 shape (reshaped: unit price = min 6-dp-decimal "
-    "extendedprice/quantity per (part, supplier); no partsupp in "
+    doc="TPC-H Q2 shape (reshaped: unit price = extendedprice/quantity "
+    "per (part, supplier) in EXACT integer micro-units — cents*10000 "
+    "floor-divided by quantity, never round() over a double quotient: "
+    "Spark rounds HALF_UP on the shortest repr while DuckDB rounds the "
+    "binary double, so exact .xxxxxx5 ties diverge by 1e-6, and the "
+    "testdata contains live tie rows at quantity 32/64; no partsupp in "
     "testdata): for small parts, the ASIA suppliers achieving the "
     "part's global-minimum unit price — the correlated scalar MIN "
-    "decorrelated into a per-part aggregate joined back on EXACT decimal "
-    "equality (a double equality would be partition-order roulette). "
+    "decorrelated into a per-part aggregate joined back on exact BIGINT "
+    "equality. "
     "Dims broadcast; the fact shuffles once on (part, supplier) and once "
     "on part.",
 )
 def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = Testdata(spark, sf_dir)
-    unit = F.round(
-        F.col("l_extendedprice") / F.col("l_quantity"), 6
-    ).cast("decimal(18,6)")
-    cost = td.lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit).alias("unit")
+    # exact integer micro-units: `div` is integral division (matches
+    # DuckDB's BIGINT //) — no double rounding anywhere in the key
+    unit_u = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000L)"
+        " div CAST(l_quantity AS BIGINT)"
     )
-    best = cost.groupBy("l_partkey").agg(F.min("unit").alias("best_unit"))
+    cost = td.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_u).alias("unit_u")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_u").alias("best_unit"))
     sup_nat = (
         td.supplier.join(
             F.broadcast(td.nation), F.col("n_nationkey") == F.col("s_nationkey")
@@ -1205,7 +1212,7 @@ def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = td.part.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
     return (
         cost.join(best, "l_partkey")
-        .where(F.col("unit") == F.col("best_unit"))
+        .where(F.col("unit_u") == F.col("best_unit"))
         .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup_nat), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
@@ -1213,6 +1220,7 @@ def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             "n_name",
-            F.col("unit").cast("double").alias("unit_price"),
+            (F.col("unit_u").cast("double") / 1000000.0)
+            .alias("unit_price"),
         )
     )
