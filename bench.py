@@ -100,7 +100,16 @@ def main() -> None:
                     run_t[name] = round(time.time() - t0, 3)
             chunking.release_persisted()
         all_runs.append(run_t)
-    timings = all_runs[0]
+    # An errored query (ANY pass) is excluded from the headline series
+    # entirely — previously a query that succeeded on run 0 but errored
+    # later kept its run-0 time in `timings`/`total` while also sitting
+    # in `errors`, letting the two disagree about its health within one
+    # artifact (ADVICE r7). Its observed run-0 wall time is preserved
+    # separately for debugging, never summed.
+    timings = {n: t for n, t in all_runs[0].items() if n not in errors}
+    errored_timings = {
+        n: t for n, t in all_runs[0].items() if n in errors
+    }
     # lower median of the OBSERVED successful runs: for a full odd-count
     # list this is the true median; for an even count (a query errored
     # mid-series) it picks the smaller middle value instead of silently
@@ -163,6 +172,7 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+        detail["errored_run0_timings"] = errored_timings
     if legacy_errors:
         detail["legacy_count_action_errors"] = legacy_errors
     if prepare_errors:

@@ -28,6 +28,8 @@ Semantics notes for callers:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import SparkSession
 
 
@@ -127,10 +129,23 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     fs, p = _fs_and_path(spark, path)
     try:
         out = fs.create(p, False)
-    except Exception as exc:  # py4j wraps FileAlreadyExistsException
-        if "AlreadyExists" in str(exc.__class__) or "already exists" in str(
-            exc
-        ).lower() or "AlreadyExists" in str(exc):
+    except Exception as exc:  # py4j wraps the Java exception
+        # Classify by the JAVA EXCEPTION CLASS, not message substrings
+        # (ADVICE r7: a transient error whose text merely contains
+        # "already exists" must not be silently reported as lock-held,
+        # and an FS raising a plain IOException("File exists") must
+        # still classify as held).
+        cls = ""
+        je = getattr(exc, "java_exception", None)
+        if je is not None:
+            with contextlib.suppress(Exception):
+                cls = str(je.getClass().getName())
+        if "FileAlreadyExistsException" in cls:
+            return False
+        # Ambiguous failure: re-probe existence before deciding. If the
+        # file IS there, someone holds it (held); if not, the failure
+        # was transient/environmental — surface it.
+        if fs.exists(p):
             return False
         raise
     try:

@@ -372,6 +372,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_shingles: int | None = 512,
+    max_df: int = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -380,13 +381,35 @@ def ngram_jaccard_pairs(
     shingle, one on the pair — only docs sharing content ever meet, no
     O(n^2) cross join. |A|,|B| come from per-doc shingle counts;
     J = inter / (|A|+|B|-inter).
+
+    ``max_df`` is the hot-shingle ceiling (r7 VERDICT #3): a stop-gram
+    shared by n docs would emit O(n²) pairs from one bucket, the exact
+    failure mode ``minhash_lsh_candidates`` caps with ``max_bucket``.
+    Shingles whose document frequency exceeds ``max_df`` are dropped from
+    PAIR GENERATION (they stay in the |A|/|B| sizes, so a surviving
+    pair's Jaccard only UNDERcounts — never inflates past ``threshold``).
+    This is the standard stop-shingle doc-frequency prefilter (boilerplate
+    n-grams carry no dedup signal); the recall deviation — two docs whose
+    entire overlap is stop-shingles are not paired — is deliberate and
+    documented (DEVIATIONS.md). The q12 oracle mirrors the ceiling
+    exactly, so the cap itself is value-checked.
     """
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
     sh = shingle_rows(df, text_col, id_col, shingle_k, max_shingles)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # The ceiling is applied BEFORE the bucket collect (a post-collect
+    # filter would still build the hot bucket's full id array in the
+    # aggregation buffer): a count window partitioned by the shingle
+    # computes df under the SAME hashpartitioning(s) exchange the groupBy
+    # then reuses — one shuffle, and WindowExec's sorter spills where a
+    # collect_set buffer cannot. (id, s) rows are distinct per doc
+    # (_grams array_distinct), so count(*) == document frequency.
+    sh_df = sh.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("s")))
     buckets = (
-        sh.groupBy("s")
+        sh_df.where((F.col("__df") > 1) & (F.col("__df") <= max_df))
+        .groupBy("s")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     inter = (
         buckets.select(

@@ -553,21 +553,291 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
-def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: expands (media_id, duration) into the
-    frame timestamps to decode — pure built-ins, no payload access, so the
-    expensive decode fan-out is planned columnar-side and the decoder only
-    receives (media_id, frame_ts) work units."""
-    return df.select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
-                F.lit(every_ms).cast("long"),
+# ---------------------------------------------------------------------------
+# Video: dependency-free YUV4MPEG2 (Y4M) codec (round 8 — retires the last
+# plan-only modality the way q98 retired audio and PPM/BMP retired images).
+# Y4M is the uncompressed interchange container (mjpegtools/ffmpeg
+# `-f yuv4mpeg`): one ASCII header line, then per-frame `FRAME\n` markers
+# followed by raw planes — parseable with numpy alone. Supported
+# colorspaces offline: `Cmono` (one Y plane/frame) and `C444` (Y,U,V
+# planes, no chroma subsampling — 4:2:0 would need interpolation, the
+# part a video library owns). Compressed video (MP4/MKV/AVI-MJPEG) raises
+# NotImplementedError inside the executor batch — the spot ffmpeg plugs
+# in (DEVIATIONS.md).
+# ---------------------------------------------------------------------------
+
+
+def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
+    """Encode (n, h, w) uint8 (mono) or (n, h, w, 3) uint8 (444) frames
+    as a YUV4MPEG2 payload."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    mono = arr.ndim == 3
+    if not mono and not (arr.ndim == 4 and arr.shape[-1] == 3):
+        raise ValueError("frames must be (n,h,w) mono or (n,h,w,3) 444")
+    n, h, w = arr.shape[:3]
+    cs = b"mono" if mono else b"444"
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+           % (w, h, fps_num, fps_den, cs)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        if mono:
+            out.append(arr[f].tobytes())
+        else:
+            # planar, not interleaved: all Y, then all U, then all V
+            out.append(arr[f, :, :, 0].tobytes())
+            out.append(arr[f, :, :, 1].tobytes())
+            out.append(arr[f, :, :, 2].tobytes())
+    return b"".join(out)
+
+
+def _y4m_decode(payload: bytes):
+    """Parse a YUV4MPEG2 payload (Cmono or C444). Returns
+    ``(info_dict, frames)`` — frames is (n, h, w) uint8 for mono or
+    (n, h, w, 3) uint8 planar-stacked for 444 — or ``None`` if the
+    payload is corrupt or an unsupported-colorspace sub-format."""
+    import numpy as np
+
+    try:
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii")
+        if not header.startswith("YUV4MPEG2"):
+            return None
+        w = h = fn = fd = None
+        cs = "420"  # the Y4M spec default when no C tag is present
+        for tag in header.split(" ")[1:]:
+            if not tag:
+                continue
+            key, val = tag[0], tag[1:]
+            if key == "W":
+                w = int(val)
+            elif key == "H":
+                h = int(val)
+            elif key == "F":
+                fn, fd = (int(x) for x in val.split(":"))
+            elif key == "C":
+                cs = val
+        if not w or not h or w <= 0 or h <= 0 or not fn or not fd:
+            return None
+        if cs not in ("mono", "444"):
+            return None  # subsampled chroma: unsupported sub-format
+        planes = 1 if cs == "mono" else 3
+        fsize = w * h * planes
+        frames, pos, n = [], nl + 1, len(payload)
+        while pos < n:
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+                return None
+            body = fnl + 1
+            if body + fsize > n:
+                return None  # truncated frame
+            raw = np.frombuffer(payload, np.uint8, count=fsize, offset=body)
+            if planes == 1:
+                frames.append(raw.reshape(h, w))
+            else:
+                frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
+            pos = body + fsize
+        if not frames:
+            return None
+        info = {
+            "width": int(w), "height": int(h),
+            "fps_num": int(fn), "fps_den": int(fd),
+            "colorspace": cs, "n_frames": len(frames),
+            "duration_ms": int(len(frames) * 1000 * fd // fn),
+        }
+        return info, np.stack(frames)
+    except (ValueError, IndexError, UnicodeDecodeError):
+        return None
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps_num", T.IntegerType(), True),
+        T.StructField("fps_den", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("lum_peak", T.IntegerType(), True),
+        T.StructField("lum_sum", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_video(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Decode video payloads to stream stats via Arrow-batched
+    ``mapInPandas``: Y4M payloads REALLY parse (hand-rolled numpy
+    ``_y4m_decode``) into (width, height, fps, n_frames, duration_ms)
+    plus integer luminance stats over ALL frames — ``lum_peak`` = max Y
+    sample, ``lum_sum`` = exact sum of Y samples (mono: the plane itself;
+    444: the Y plane). Corrupt/unsupported-colorspace Y4M yields
+    ``decode_ok=False``; non-Y4M magic raises NotImplementedError in the
+    executor batch (the decode contract shared with images/audio —
+    DEVIATIONS.md). All-integer stats keep every value oracle-derivable
+    bit-for-bit. ``batch_rows`` bounds Arrow batch memory (video payloads
+    are the largest media rows; same session conf as decode_images)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, None, False))
+                    continue
+                payload = bytes(payload)
+                if len(payload) < 10:
+                    # too short for ANY container magic — corrupt per the
+                    # contract, not a foreign format
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, None, False))
+                    continue
+                if payload[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 (Y4M) decodes offline; compressed "
+                        "video needs a video library — not available in "
+                        "this container (DEVIATIONS.md)"
+                    )
+                dec = _y4m_decode(payload)
+                if dec is None:
+                    rows.append((media_id, None, None, None, None, None,
+                                 None, None, None, False))
+                    continue
+                info, frames = dec
+                y = frames if frames.ndim == 3 else frames[..., 0]
+                rows.append((
+                    media_id, info["width"], info["height"],
+                    info["fps_num"], info["fps_den"], info["n_frames"],
+                    info["duration_ms"],
+                    int(y.max()), int(y.astype("int64").sum()), True,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
             )
-        ).alias("frame_ts_ms"),
+
+    return df.select("media_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, batch_rows: int = 64
+) -> DataFrame:
+    """REAL frame extraction (replaces round-7's plan-only
+    ``frame_sample_plan``): decode the Y4M payload, keep every
+    ``every_n``-th frame (starting at frame 0 — decimation in time, the
+    video twin of ``resample_audio``'s decimation in samples), and emit
+    each kept frame as a REAL P6 PPM payload (mono Y replicated to RGB;
+    444 planes passed through) — so the extracted frames feed straight
+    into the existing image operators (``ahash_images`` → temporal /
+    cross-video duplicate detection, ``decode_images``, ``resize_images``).
+    Output: (media_id, frame_idx, width, height, payload). Same Arrow
+    shape + failure contract as :func:`decode_video`: corrupt payloads
+    emit NO frame rows, foreign formats raise in the executor batch."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
     )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if len(payload) < 10:
+                    continue  # corrupt: no frames (decode contract)
+                if payload[:9] != b"YUV4MPEG2":
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 (Y4M) frame-samples offline; "
+                        "compressed video needs a video library "
+                        "(DEVIATIONS.md)"
+                    )
+                dec = _y4m_decode(payload)
+                if dec is None:
+                    continue
+                info, frames = dec
+                for idx in range(0, info["n_frames"], every_n):
+                    fr = frames[idx]
+                    rgb = (
+                        np.repeat(fr[:, :, None], 3, axis=2)
+                        if fr.ndim == 2 else fr
+                    )
+                    rows.append((
+                        media_id, idx, info["width"], info["height"],
+                        _ppm_encode(rgb),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def synth_y4m(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", width: int = 16,
+              height: int = 12) -> DataFrame:
+    """Deterministic Y4M test fixture (the video member of the
+    ``synth_wav`` / ``synth_ppm`` family): a mono clip at 4 fps with
+    ``n_frames = (len(text) % 3) + 2`` frames, where frame f's pixel
+    (x, y) derives from the text codepoint at index
+    ``((f*height + y)*width + x) mod len(text)`` (0-based) as
+    ``lum = (cp*3 + x + 5*y + 11*f) % 256`` — a pure function of the
+    text, so an external SQL oracle can re-derive any frame pixel (and
+    thus every decoded stat and every sampled-frame aHash) from the
+    source table. Returns (media_id, payload); NULL/empty text yields a
+    NULL payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        x = np.arange(width)[None, None, :]
+        y = np.arange(height)[None, :, None]
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    payloads.append(None)
+                    continue
+                n_frames = (len(t) % 3) + 2
+                f = np.arange(n_frames)[:, None, None]
+                cps = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                k = (f * height + y) * width + x
+                cp = cps[k % len(cps)]
+                lum = ((cp * 3 + x + 5 * y + 11 * f) % 256).astype(np.uint8)
+                payloads.append(_y4m_encode(lum, fps_num=4, fps_den=1))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def resample_audio(df: DataFrame, factor: int = 2,

@@ -358,7 +358,19 @@ def hist_quantile(
     contract); error is bounded by one bin width.
 
     Plan shape: a per-group window over <= n_bins pre-aggregated rows
-    (never raw values) + a broadcast explode of the quantile list."""
+    (never raw values) + a broadcast explode of the quantile list.
+
+    ``qs`` must lie in (0, 1]: the hit predicate ``cum_below < q*total``
+    can never fire for q<=0, so a 0th-percentile request would silently
+    VANISH from the output instead of returning the range's low edge
+    (ADVICE r7) — rejected loudly here; q=0 is ``lo`` by definition and
+    needs no sketch."""
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        raise ValueError(
+            f"quantiles must be in (0, 1], got {bad}; q=0 is the range "
+            "low edge by definition"
+        )
     w = (hi - lo) / n_bins
     win = (
         Window.partitionBy(*group_cols).orderBy("bin")

@@ -1325,6 +1325,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     sep: str = "\x1f",
     batch: bool = False,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """FULL BPE merge learning (Sennrich et al. 2016 algorithm 1): start
     from the character segmentation of the corpus's word-frequency table,
@@ -1368,6 +1369,16 @@ def bpe_learn_merges(
     must become "lr lr"). The fold cannot false-merge its own output:
     the merged symbol ``l+r`` is strictly longer than ``l``, so it never
     re-matches as ``l`` within the round.
+
+    ``checkpoint_every`` re-roots the vocabulary frame
+    (``localCheckpoint``) after that many accumulated fold layers
+    (round 8 — the graph-iteration discipline from ``operators/graph``):
+    each merge nests one higher-order fold into the projection, and past
+    a few dozen layers Catalyst analysis/codegen time dominates the
+    actual work, making realistic merge counts (256+, SCALING.md "BPE at
+    realistic merge counts") infeasible. Value-neutral: checkpointing
+    only materializes the same vocabulary-sized frame the persist
+    already pinned.
     """
     symbols = F.regexp_replace(F.col("word"), "(.)", sep + "$1")
     vocab = (
@@ -1382,6 +1393,7 @@ def bpe_learn_merges(
     merges: list[tuple[int, str, str, int]] = []
     try:
         cur = vocab
+        pending_folds = 0
         while len(merges) < n_merges:
             arr = _bpe_symbols(F.col("s"), sep)
             n = F.size(arr)
@@ -1421,6 +1433,10 @@ def bpe_learn_merges(
                 cur = cur.withColumn(
                     "s", _bpe_merge_fold(F.col("s"), b.l, b.r, sep)
                 )
+                pending_folds += 1
+            if checkpoint_every and pending_folds >= checkpoint_every:
+                cur = cur.localCheckpoint()
+                pending_folds = 0
     finally:
         vocab.unpersist()
     return spark.createDataFrame(

@@ -7,10 +7,9 @@ from . import battery_rel  # noqa: F401  (registers q22+ into REGISTRY)
 #
 # The round driver value-checks only the FIRST 50 entries of
 # ``__spark_entry__.queries()``; the registry holds more. This list pins the
-# window to (a) the 10 reference-parity core queries, (b) the newest
-# never-driver-verified entries (q75+), and (c) the relational battery last
-# verified in round 4 — rotating long-stable round-5-verified entries past
-# the window. All entries keep full coverage in
+# window to (a) the 10 reference-parity core queries, (b) every entry that
+# has never had a driver-green row, and (c) the longest-unverified stable
+# block, rotated back in. All entries keep full coverage in
 # ``tools/oracle_check.py`` (which checks the ENTIRE registry) regardless of
 # position. Rotation policy + per-query last-driver-verified round:
 # COVERAGE.md §"Driver window rotation".
@@ -21,32 +20,29 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) new this round (never driver-verified)
-    "q98_wav_stats", "q99_supplier_value_share",
-    "q100_inactive_customer_balance", "q101_waiting_suppliers",
-    "q102_gopher_gate", "q103_hybrid_rrf", "q104_char_entropy",
-    "q105_dsir_weights", "q106_bigram_lm_nll",
-    # (c) longest-unverified block: last driver-green r5 (the headline
-    # dedup/ANN/text family rotated out in r6). 31 of the 40 r5-green
-    # entries fit (>= the 30-entry re-certification target);
-    # q19/q21/q36 (map-only features / count probe / hash split),
-    # q41/q54/q57 (compositions/twins whose components are in-window)
-    # and q48/q62/q66 (verify-arm of in-window q13; freshly
-    # guard-tested quantile + mixture kernels) stay on the recorded
-    # local gate this round and lead block (c) next round.
-    "q11_dedup_exact", "q12_ngram_jaccard", "q13_minhash_dedup",
-    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
-    "q17_text_features", "q35_minhash_dedup_transitive",
-    "q40_multimodal_features", "q42_chunking",
-    "q43_sequence_packing",
-    "q49_embedding_dup_pairs", "q50_ivf_topk", "q51_domain_cap",
-    "q53_decontaminate", "q55_ivf_lsh_topk",
-    "q56_pii_redaction", "q58_greedy_pack_sharded",
-    "q60_duplicate_spans", "q61_export_shards",
-    "q63_tfidf_topk", "q64_hll_distinct", "q65_cm_heavy_hitters",
-    "q67_collapse_duplicates", "q68_semantic_dedup",
-    "q69_inverted_index", "q70_dedup_against_corpus", "q71_bm25_topk",
-    "q72_pq_adc_topk", "q73_salted_agg", "q74_corpus_datacard",
+    # (b) never-driver-verified: the 10 r7 post-window additions, the 9
+    # r5 entries that missed two windows in a row (r7 VERDICT #1 — they
+    # lead this block), and the 2 new-this-round video entries
+    "q19_token_features", "q21_doc_stats_by_source", "q36_hash_split",
+    "q41_curation_pipeline", "q48_jaccard_verify",
+    "q54_contamination_report", "q57_bigram_novelty",
+    "q62_quantile_filter", "q66_mixture_sample",
+    "q107_triangle_count", "q108_phrase_search", "q109_hist_quantiles",
+    "q110_audio_resample", "q111_cheapest_supplier", "q112_image_ahash",
+    "q113_image_dup_groups", "q114_variant_extract",
+    "q115_pseudonymized_join", "q116_temporal_split",
+    "q117_video_stats", "q118_video_frame_dups",
+    # (c) longest-unverified block: last driver-green r6 — the q75–q97
+    # family leads (19 of its 23 fit; q92/q95/q96/q97 plus the r6
+    # relational block q22–q34/q37/q39/q44/q46 stay on the recorded
+    # local gate and lead block (c) next round)
+    "q75_winnow_match_pairs", "q76_hard_negatives", "q77_budget_select",
+    "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
+    "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
+    "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
+    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
+    "q90_pagerank", "q91_window_ranks", "q93_weighted_sample",
+    "q94_bpe_tokenize",
 ]
 
 

@@ -1184,8 +1184,10 @@ def q101_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part's global-minimum unit price — the correlated scalar MIN "
     "decorrelated into a per-part aggregate joined back on exact BIGINT "
     "equality. "
-    "Dims broadcast; the fact shuffles once on (part, supplier) and once "
-    "on part.",
+    "Dims broadcast; the small-part filter is broadcast-semi-joined "
+    "against lineitem BEFORE the (part, supplier) aggregate (the "
+    "per-part MIN is invariant to part selection), so the fact's widest "
+    "shuffle already carries only small-part rows.",
 )
 def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = Testdata(spark, sf_dir)
@@ -1195,8 +1197,22 @@ def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000L)"
         " div CAST(l_quantity AS BIGINT)"
     )
-    cost = td.lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit_u).alias("unit_u")
+    small = td.part.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
+    # The part filter is pushed BELOW the cost aggregate (r7 VERDICT #7):
+    # per-(part, supplier) MIN is invariant to which parts survive, so a
+    # broadcast semi-join of the small parts against lineitem FIRST
+    # shrinks the widest shuffle — the groupBy(l_partkey, l_suppkey)
+    # exchange — by the part-filter selectivity. Plan-asserted in
+    # tests/test_plans.py (the LeftSemi broadcast join sits under the
+    # first Exchange).
+    cost = (
+        td.lineitem.join(
+            F.broadcast(small.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_u).alias("unit_u"))
     )
     best = cost.groupBy("l_partkey").agg(F.min("unit_u").alias("best_unit"))
     sup_nat = (
@@ -1209,7 +1225,6 @@ def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
-    small = td.part.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
     return (
         cost.join(best, "l_partkey")
         .where(F.col("unit_u") == F.col("best_unit"))

@@ -1933,3 +1933,117 @@ def test_temporal_split_classes_and_null(spark):
     ).collect()}
     assert out == {1: "train", 2: "embargo", 3: "embargo",
                    4: "test", 5: None}
+
+
+def test_y4m_roundtrip_and_decode_contract(spark):
+    """Video codec: mono + 444 payloads really encode/decode; corrupt
+    payloads yield decode_ok=False (truncated frame, bad magic-length,
+    subsampled colorspace); non-Y4M magic raises in the executor batch
+    (the shared decode contract)."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(42)
+    mono = rng.integers(0, 256, (3, 6, 8), dtype=np.uint8)
+    full = rng.integers(0, 256, (2, 6, 8, 3), dtype=np.uint8)
+    p_mono = multimodal._y4m_encode(mono, fps_num=25, fps_den=1)
+    p_444 = multimodal._y4m_encode(full, fps_num=30000, fps_den=1001)
+    rows = [
+        (1, bytearray(p_mono)),
+        (2, bytearray(p_444)),
+        (3, bytearray(p_mono[:-4])),                      # truncated frame
+        (4, bytearray(b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n\x00\x00\x00\x00")),
+        (5, None),                                        # NULL payload
+        (6, bytearray(b"\x00" * 5)),                      # too short: corrupt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.decode_video(df).collect()}
+    assert got[1].decode_ok and got[1].n_frames == 3
+    assert (got[1].width, got[1].height) == (8, 6)
+    assert got[1].duration_ms == 3 * 1000 // 25
+    assert got[1].lum_peak == int(mono.max())
+    assert got[1].lum_sum == int(mono.astype("int64").sum())
+    assert got[2].decode_ok and got[2].n_frames == 2
+    # 444 stats come from the Y plane only
+    assert got[2].lum_sum == int(full[..., 0].astype("int64").sum())
+    assert got[2].duration_ms == 2 * 1000 * 1001 // 30000
+    for bad in (3, 4, 5, 6):  # 4: default C420 = unsupported sub-format
+        assert not got[bad].decode_ok, bad
+    # foreign container magic raises inside the executor batch
+    avi = spark.createDataFrame(
+        [(9, bytearray(b"RIFF\x00\x00\x00\x00AVI LIST"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|Y4M|yuv4mpeg|YUV4MPEG2"):
+        multimodal.decode_video(avi).collect()
+
+
+def test_sample_frames_decimation_and_ahash_compose(spark):
+    """sample_frames keeps frames 0, k, 2k... and re-encodes REAL P6
+    payloads that the existing image path decodes back to the exact Y
+    plane; identical frames across videos then bucket by aHash."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.sample_frames(
+            spark.createDataFrame([], "media_id long, payload binary"),
+            every_n=0,
+        )
+
+    rng = np.random.default_rng(7)
+    clip = rng.integers(0, 256, (5, 6, 8), dtype=np.uint8)
+    p = multimodal._y4m_encode(clip)
+    df = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(p)), (3, bytearray(p[:-3]))],
+        "media_id long, payload binary",
+    )
+    frames = multimodal.sample_frames(df, every_n=2)
+    got = sorted((r.media_id, r.frame_idx) for r in frames.collect())
+    # 5 frames, every 2nd -> idx 0, 2, 4; corrupt payload 3 emits nothing
+    assert got == [(1, 0), (1, 2), (1, 4), (2, 0), (2, 2), (2, 4)]
+
+    # the re-encoded P6 payload round-trips to the exact Y plane
+    row = frames.where(
+        (F.col("media_id") == 1) & (F.col("frame_idx") == 4)
+    ).collect()[0]
+    arr = multimodal._ppm_decode(bytes(row.payload))
+    assert (arr[:, :, 0] == clip[4]).all() and (arr[:, :, 2] == clip[4]).all()
+
+    # compose with ahash_images: identical frames across videos 1 and 2
+    # share every fingerprint
+    fid = (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id")
+    h = multimodal.ahash_images(frames.select(fid, "payload"))
+    by_frame = {}
+    for r in h.collect():
+        assert r.decode_ok
+        by_frame.setdefault(r.media_id % 16, set()).add(r.ahash_bits)
+    assert set(by_frame) == {0, 2, 4}
+    assert all(len(v) == 1 for v in by_frame.values())
+
+
+def test_bpe_batched_equals_strict_at_64_merges(spark):
+    """r7 VERDICT #5: the batched path (with its localCheckpoint
+    re-rooting every 16 fold layers) must stay EXACTLY strict-greedy at a
+    merge count deep enough to cross several checkpoint boundaries —
+    64 merges over the smoke corpus, compared rank-for-rank."""
+    from conftest import SF_SMOKE
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    corpus = Testdata(spark, SF_SMOKE).documents.select("text")
+    strict = [tuple(r) for r in
+              bpe_learn_merges(corpus, n_merges=64).collect()]
+    batched = [tuple(r) for r in
+               bpe_learn_merges(corpus, n_merges=64, batch=True).collect()]
+    assert len(strict) == 64
+    assert batched == strict

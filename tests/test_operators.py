@@ -605,3 +605,77 @@ def test_hist_quantile_within_one_bin_width(spark, vals):
         import math
         exact = xs[max(0, math.ceil(q * len(xs)) - 1)]
         assert abs(est - exact) <= width + 1e-9
+
+
+def test_write_fence_dead_holder_self_recovers(spark, tmp_path):
+    """r7 VERDICT #8: a lock left by a CRASHED same-host writer must not
+    require manual break_lock — the fence probes the holder PID's
+    liveness and reclaims the lock itself; a LIVE same-host holder still
+    refuses loudly."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        ConcurrentWriteError,
+        _lock_path,
+        merge_upsert,
+        read_merged,
+        table_generation,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")],
+                               "k long, ver long, v string")
+    merge_upsert(df, path, keys=["k"], version="ver", num_buckets=4)
+
+    # a writer that crashed mid-merge: its PID is gone
+    dead_pid = int(subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip())
+    host = socket.gethostname()
+    assert fs.create_exclusive(
+        spark, _lock_path(path),
+        f"merge_upsert pid={dead_pid} host={host} t=0 id=deadbeef",
+    )
+    v2 = spark.createDataFrame([(1, 2, "a2")], "k long, ver long, v string")
+    merge_upsert(v2, path, keys=["k"], version="ver", num_buckets=4)  # no break_lock
+    assert sorted((r.k, r.ver) for r in read_merged(spark, path).collect()) \
+        == [(1, 2), (2, 1)]
+    assert table_generation(spark, path) == 2
+    # the dead holder's lock became a tombstone; the fence's own lock is gone
+    assert fs.exists(spark, _lock_path(path) + ".stale.deadbeef")
+    assert not fs.exists(spark, _lock_path(path))
+
+    # a LIVE same-host holder still refuses (this process is the holder)
+    assert fs.create_exclusive(
+        spark, _lock_path(path),
+        f"merge_upsert pid={os.getpid()} host={host} t=0 id=cafecafe",
+    )
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        merge_upsert(v2, path, keys=["k"], version="ver", num_buckets=4)
+
+
+def test_hist_quantile_rejects_out_of_range_qs(spark):
+    """ADVICE r7: q=0 can never satisfy the hit predicate (no bin has
+    cumulative-below < 0), so it used to vanish silently from the output;
+    the operator now rejects qs outside (0, 1] loudly."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    sk = sketch.hist_sketch(
+        spark.createDataFrame([(1.0,), (2.0,)], "v double"),
+        "v", lo=0.0, hi=10.0, n_bins=10,
+    )
+    for bad in ([0.0], [1.5], [-0.1], [0.5, 0.0]):
+        with pytest.raises(ValueError, match="quantiles must be in"):
+            sketch.hist_quantile(sk, bad, lo=0.0, hi=10.0, n_bins=10)
+    assert sketch.hist_quantile(
+        sk, [1.0], lo=0.0, hi=10.0, n_bins=10
+    ).count() == 1

@@ -456,3 +456,48 @@ def test_r7_new_queries_plan_shapes(spark):
             assert plan.count("BroadcastHashJoin") >= want["bhj_min"], name
         if want.get("window_max") == 0:
             assert "Window" not in plan, name
+
+
+def test_q111_part_filter_below_cost_aggregate(spark):
+    """r7 VERDICT #7: the small-part filter must sit UNDER q111's widest
+    shuffle — the (l_partkey, l_suppkey) cost aggregate — as a broadcast
+    LeftSemi join against lineitem, so the exchange only carries
+    small-part rows. In the printed plan tree, children render below
+    their parent: the LeftSemi join must appear after the
+    (l_partkey, l_suppkey) hash exchange."""
+    import re
+
+    plan = _exec_plan(spark, "q111_cheapest_supplier")
+    assert "LeftSemi" in plan
+    m = re.search(
+        r"Exchange hashpartitioning\(l_partkey#\d+L?, l_suppkey#\d+L?", plan
+    )
+    assert m is not None, plan[:2000]
+    assert plan.index("LeftSemi") > m.start(), (
+        "part semi-join is not under the cost-aggregate exchange"
+    )
+
+
+def test_quantile_threshold_safe_for_continuous_scores(spark):
+    """r7 VERDICT #4: with an UN-ROUNDED double score (distinct ≈ corpus),
+    quantile_threshold must not funnel the distinct-score frame through a
+    single-partition window — the cum-sum now runs on the shared
+    distributed_prefix_sum kernel (pid-partitioned windows + broadcast
+    offsets), so every window spec is partitioned by __pid and every
+    single-partition exchange is aggregate-fed (1-row totals only)."""
+    import re
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.sampling import (
+        quantile_threshold,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.rand(seed=7) + F.col("id") * 1e-9).alias("score")
+    )
+    out = quantile_threshold(df, "score", 0.25, tail="top")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in spec, f"non-pid-partitioned window: {spec}"
+    _single_partition_exchanges_feed_from_aggregates(plan)
+    # semantics survive the kernel swap: exact k-th order statistic
+    assert out.count() == 2500

@@ -661,3 +661,40 @@ def test_duplicate_spans_matches_python(spark, docs, k, min_docs):
     )
     want = _py_duplicate_spans(list(enumerate(docs)), k, min_docs)
     assert got == want
+
+
+def test_ngram_jaccard_hot_shingle_bounded_pairs(spark):
+    """r7 VERDICT #3: a stop-shingle shared by ALL docs must not emit
+    O(n²) pairs — with a df ceiling it contributes nothing to pair
+    generation (same contract as minhash_lsh_candidates' max_bucket),
+    while low-df overlap still pairs and its Jaccard only undercounts."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n = 1000
+    # every doc carries the stop-trigram "the quick fox"; docs 0 and 1
+    # additionally share a private trigram
+    rows = [
+        (i, f"the quick fox unique{i} filler{i} tail{i}") for i in range(2, n)
+    ]
+    rows += [
+        (0, "the quick fox shared rare overlap zero0"),
+        (1, "the quick fox shared rare overlap one1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.0, max_shingles=None, max_df=64
+    ).collect()
+    # the 1000-doc stop-shingle bucket is dropped entirely: the ONLY pair
+    # is (0, 1) via the low-df shingles — not ~500k stop-gram pairs
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    (p,) = pairs
+    # |A| = |B| = 5 distinct shingles; intersection counted over low-df
+    # shingles only = 3 ("shared rare overlap" window) -> 3/(5+5-3)
+    assert abs(p.jaccard - 3 / 7) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(docs, max_df=1)

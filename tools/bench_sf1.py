@@ -55,6 +55,14 @@ QUERIES = [
     # first measured in BENCH_SF1_r08
     "q101_waiting_suppliers", "q102_gopher_gate", "q103_hybrid_rrf",
     "q105_dsir_weights", "q107_triangle_count", "q108_phrase_search",
+    # appended r8 (r7 VERDICT #6: the remaining r7 text/TPC-H/multimodal
+    # family gets a scale trend line) + the r8 video entries; first
+    # measured in BENCH_SF1_r08
+    "q104_char_entropy", "q106_bigram_lm_nll", "q109_hist_quantiles",
+    "q110_audio_resample", "q111_cheapest_supplier", "q112_image_ahash",
+    "q113_image_dup_groups", "q114_variant_extract",
+    "q115_pseudonymized_join", "q116_temporal_split",
+    "q117_video_stats", "q118_video_frame_dups",
 ]
 
 
