@@ -401,3 +401,210 @@ def hist_quantile(
     return hit.select(
         *group_cols, "q", est.alias("quantile_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: approximate DISTINCT with SET OPERATIONS (round 8).
+# HLL answers |A| per group; the theta-sketch family (Dasgupta et al. 2016,
+# "Theta sketch framework"; Bar-Yossef et al. 2002 for KMV) additionally
+# answers |A ∩ B| / |A ∪ B| BETWEEN groups from the same tiny sketches —
+# the audience-overlap question ("users who clicked AND purchased") that
+# exact COUNT(DISTINCT) needs a full re-shuffle per pair to answer.
+#
+# Engine-portable by construction, like HLL above: the base hash is the
+# repo's 60-bit md5 family, a sketch is the k SMALLEST DISTINCT hash
+# values per group — a pure function of the value set, no randomness, no
+# float accumulation — and every estimate is one exact integer ratio
+# scaled by 2^60 (one double division, rounded to 6 dp). The oracle
+# replays the whole construction with row_number() in SQL.
+# ---------------------------------------------------------------------------
+
+_THETA_FULL = 1 << 60  # exclusive upper bound of the md5-60 hash space
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+    method: str = "md5",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Values → KMV sketch rows ``(*group_cols, h, rank)``: the ``k``
+    smallest distinct 60-bit hashes per group, rank 1-based in hash order.
+
+    Scale shape (100 TB): distinct-ify (group, h) — one partial-agg
+    shuffle, map-side combine collapses repeats before anything moves —
+    then TWO bounded windows: rank within ``(group, h % salt_buckets)``
+    keeps k per salt bucket (each bucket holds ~distinct/salt_buckets
+    rows), then rank within group over the ≤ k·salt_buckets survivors.
+    No group ever funnels its full distinct set through one partition —
+    the same discipline as ``quantile_threshold``. Groups with fewer
+    than k distinct values keep them all (the sketch is EXACT there;
+    ``kmv_estimate``/``kmv_intersect_pairs`` detect that via rank k's
+    absence).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from .dedup import md5_long
+
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("string")
+    h = (md5_long(v) if method == "md5"
+         else F.abs(F.xxhash64(v))).alias("h")
+    distinct = df.select(*gcols, h).distinct()
+    w1 = Window.partitionBy(
+        *gcols, F.pmod(F.col("h"), F.lit(salt_buckets))
+    ).orderBy("h")
+    cand = (
+        distinct.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "h", "rank")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = (), k: int = 64
+) -> DataFrame:
+    """Union two sketch frames into the sketch of the UNIONED data: the k
+    smallest of the combined (deduplicated) hash sets per group. Lossless
+    by the KMV invariant — every hash smaller than either input's k-th
+    minimum survives in one of the inputs — so
+    ``kmv_merge(kmv_sketch(A), kmv_sketch(B)) == kmv_sketch(A ∪ B)``
+    exactly (property-tested). Distributive and idempotent: partial
+    sketches per partition / day / source combine in any order."""
+    gcols = list(group_cols)
+    u = a.select(*gcols, "h").unionByName(
+        b.select(*gcols, "h")
+    ).distinct()
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "h", "rank")
+    )
+
+
+def _kmv_stats(sk: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    """Sketch rows → per-group ``(n, theta)``: n = retained hashes, theta
+    = the k-th smallest hash when the sketch is full, else 2^60 (the
+    sketch holds the ENTIRE distinct set — exact regime)."""
+    gcols = list(group_cols)
+    return sk.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.max(F.when(F.col("rank") == k, F.col("h"))),
+            F.lit(_THETA_FULL),
+        ).alias("theta"),
+    )
+
+
+def kmv_estimate(
+    sk: DataFrame, group_cols: Sequence[str] = (), k: int = 64
+) -> DataFrame:
+    """Sketch rows → ``(*group_cols, est_distinct)``. Full sketch: the
+    classic unbiased KMV estimator (k-1) / theta-fraction — computed as
+    the exact integer (k-1)·2^60 divided by the BIGINT k-th minimum (ONE
+    double division, rounded 6 dp — bit-stable across engines). Partial
+    sketch (n < k): the sketch IS the value set — exact count."""
+    st = _kmv_stats(sk, group_cols, k)
+    scaled = F.lit(float((k - 1) << 60))  # exact: (k-1) × a power of two
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.round(scaled / F.col("theta").cast("double"), 6)
+    )
+    return st.select(*group_cols, est.alias("est_distinct"))
+
+
+def kmv_intersect_pairs(
+    sk: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """All group pairs (a < b) → theta-sketch set-operation estimates:
+
+    ``n_common``   exact count of shared retained hashes below the pair
+                   theta (an integer — the sufficient statistic),
+    ``est_inter``  |A ∩ B| estimate = n_common · 2^60 / theta,
+    ``est_union``  |A ∪ B| estimate = n_up · 2^60 / theta over the
+                   deduplicated retained hashes below theta,
+    ``jaccard_est`` n_common / n_up (NULL when the union is empty).
+
+    theta = min(theta_a, theta_b) (Dasgupta et al.: after unioning, a
+    theta sketch is valid at the smaller theta; hashes above it are
+    discarded from BOTH sides before counting). When both groups are in
+    the exact regime (n < k), theta = 2^60 and every estimate collapses
+    to the exact integer count. The sketch join is sketch-sized (≤ k
+    rows per group) — the raw data is never touched again, which is the
+    entire point at 100 TB: one scan builds the sketches, every pairwise
+    overlap after that is arithmetic."""
+    st = _kmv_stats(sk, [group_col], k)
+    a, b = "__ga", "__gb"
+    pairs = (
+        st.select(
+            F.col(group_col).alias(a),
+            F.col("theta").alias("__ta"),
+        )
+        .join(
+            st.select(
+                F.col(group_col).alias(b),
+                F.col("theta").alias("__tb"),
+            ),
+            F.col(a) < F.col(b),
+        )
+        .withColumn("theta", F.least("__ta", "__tb"))
+    )
+    ska = sk.select(F.col(group_col).alias(a), "h")
+    skb = sk.select(F.col(group_col).alias(b), "h")
+    common = (
+        ska.join(skb, "h")
+        .join(F.broadcast(pairs), [a, b])
+        .where(F.col("h") < F.col("theta"))
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    up = (
+        ska.join(F.broadcast(pairs.select(a, b, "theta")), [a])
+        .where(F.col("h") < F.col("theta"))
+        .select(a, b, "h")
+        .unionByName(
+            skb.join(
+                F.broadcast(pairs.select(a, b, "theta")), [b]
+            )
+            .where(F.col("h") < F.col("theta"))
+            .select(a, b, "h")
+        )
+        .groupBy(a, b)
+        .agg(F.count_distinct(F.col("h")).alias("n_up"))
+    )
+    full = F.lit(float(_THETA_FULL))
+    out = (
+        pairs.join(up, [a, b], "left")
+        .join(common, [a, b], "left")
+        .select(
+            F.col(a).alias("group_a"),
+            F.col(b).alias("group_b"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * full / F.col("theta").cast("double"),
+                6,
+            ).alias("est_inter"),
+            F.round(
+                F.coalesce("n_up", F.lit(0)).cast("double")
+                * full / F.col("theta").cast("double"),
+                6,
+            ).alias("est_union"),
+            F.when(
+                F.coalesce("n_up", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_common", F.lit(0)).cast("double")
+                    / F.col("n_up").cast("double"),
+                    6,
+                ),
+            ).alias("jaccard_est"),
+        )
+    )
+    return out

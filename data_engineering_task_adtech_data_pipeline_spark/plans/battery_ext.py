@@ -4586,3 +4586,89 @@ def q118_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_frames") > 1)
     )
+
+
+# ===========================================================================
+# q121 — KMV / theta sketch audience overlap (round 8): approximate
+# DISTINCT with SET OPERATIONS. HLL (q64) answers |A| per group; the theta
+# sketch additionally answers |A ∩ B| and |A ∪ B| BETWEEN groups from the
+# same k-row sketches — "users who clicked AND purchased" without ever
+# re-shuffling the raw events per pair. The sketch is the k smallest
+# distinct md5-60 hashes per group (a pure function of the value set), so
+# the oracle replays the entire construction — ranking, thetas, pair
+# intersection, estimates — with row_number() in SQL, bit-for-bit.
+# ===========================================================================
+
+@query(
+    "q121_kmv_overlap",
+    oracle="""
+    WITH vals AS (
+      SELECT DISTINCT event_type AS g,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+      FROM vals
+    ),
+    sk AS (SELECT * FROM ranked WHERE r <= 64),
+    st AS (
+      SELECT g, COUNT(*) AS n,
+             COALESCE(MAX(CASE WHEN r = 64 THEN h END),
+                      1152921504606846976) AS theta
+      FROM sk GROUP BY g
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
+      FROM st a JOIN st b ON a.g < b.g
+    ),
+    common AS (
+      SELECT p.ga, p.gb, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sk x ON x.g = p.ga AND x.h < p.theta
+      JOIN sk y ON y.g = p.gb AND y.h = x.h
+      GROUP BY p.ga, p.gb
+    ),
+    up AS (
+      SELECT ga, gb, COUNT(DISTINCT h) AS n_up FROM (
+        SELECT p.ga, p.gb, x.h
+        FROM pairs p JOIN sk x ON x.g = p.ga AND x.h < p.theta
+        UNION ALL
+        SELECT p.ga, p.gb, y.h
+        FROM pairs p JOIN sk y ON y.g = p.gb AND y.h < p.theta
+      ) GROUP BY ga, gb
+    )
+    SELECT p.ga AS group_a, p.gb AS group_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 * CAST(1152921504606846976 AS DOUBLE)
+                 / CAST(p.theta AS DOUBLE), 6) AS est_inter,
+           round(CAST(COALESCE(u.n_up, 0) AS DOUBLE)
+                 * CAST(1152921504606846976 AS DOUBLE)
+                 / CAST(p.theta AS DOUBLE), 6) AS est_union,
+           CASE WHEN COALESCE(u.n_up, 0) > 0 THEN
+             round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                   / CAST(u.n_up AS DOUBLE), 6)
+           END AS jaccard_est
+    FROM pairs p
+    LEFT JOIN up u ON u.ga = p.ga AND u.gb = p.gb
+    LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+    """,
+    doc="Theta-sketch audience overlap over events: KMV sketch (k=64 "
+    "smallest distinct md5-60 hashes of user_id per event_type, built "
+    "with salted two-level ranking — no single-partition window), then "
+    "every event-type pair's intersection/union/Jaccard estimated from "
+    "the sketches alone (operators.sketch.kmv_sketch / "
+    "kmv_intersect_pairs). sf0.001 exercises the exact regime (15 "
+    "distinct users < k: theta=2^60, estimates collapse to exact "
+    "counts); sf0.01 the estimation regime (150 > k). One scan builds "
+    "the sketches; every pairwise overlap after that is sketch-sized "
+    "arithmetic — the 100 TB shape for overlap matrices.",
+)
+def q121_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    ev = Testdata(spark, sf_dir).events
+    sk = sketch.kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    return sketch.kmv_intersect_pairs(sk, "event_type", k=64)

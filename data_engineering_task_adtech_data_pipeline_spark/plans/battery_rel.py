@@ -1239,3 +1239,122 @@ def q111_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unit_price"),
         )
     )
+
+
+# ===========================================================================
+# q119 — TPC-H Q18 shape: large-volume orders. The IN-subquery over a
+# grouped HAVING (orders whose lineitems sum past a quantity threshold)
+# decorrelated into an aggregate joined back on the key — the classic
+# "find the heavy entities, then widen with their dimensions" pattern
+# (reference analog: the campaign-totals join family, scripts/main.py).
+# ===========================================================================
+
+@query(
+    "q119_large_volume_orders",
+    oracle="""
+    WITH heavy AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           h.total_qty
+    FROM heavy h
+    JOIN orders o ON o.o_orderkey = h.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape: orders whose lineitem quantity total exceeds a "
+    "threshold (HAVING over a per-order aggregate), widened with order + "
+    "customer attributes. Quantities are integral in the corpus, so the "
+    "BIGINT sum is exact on both engines. The heavy-order aggregate is "
+    "computed ONCE and joined — never recomputed per row; customer is a "
+    "broadcast dim at test scale and a plain shuffle join at 100 TB "
+    "(AQE picks; nothing in the plan pins it).",
+)
+def q119_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    heavy = (
+        td.lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty")
+        )
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        heavy.join(
+            td.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(td.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ===========================================================================
+# q120 — TPC-H Q20 shape: the nested correlated-aggregate semi-join
+# ("suppliers with excess stock of a qualifying part"). The testdata has
+# no partsupp/availqty, so the correlated threshold is reshaped onto
+# shipped quantity itself: a supplier QUALIFIES on a part when its shipped
+# quantity exceeds TWICE the part's fair share (total / n_suppliers) — the
+# same shape (inner agg per (part, supplier), correlated scalar per part,
+# comparison, then DISTINCT suppliers semi-joined back to the dimension).
+# ===========================================================================
+
+@query(
+    "q120_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey, SUM(q) AS t, COUNT(*) AS ns
+      FROM ps GROUP BY l_partkey
+    ),
+    qual AS (
+      SELECT DISTINCT ps.l_suppkey
+      FROM ps JOIN pt USING (l_partkey)
+      WHERE ps.q * pt.ns > 2 * pt.t
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM qual q
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="TPC-H Q20 shape (reshaped: no partsupp in the corpus, so 'stock "
+    "exceeding half the shipped quantity' becomes 'shipped quantity "
+    "exceeding 2x the part's fair share'): inner aggregate per (part, "
+    "supplier), correlated per-part scalar (total + supplier count) "
+    "joined back, integer-exact comparison (q*ns > 2t — no division), "
+    "DISTINCT qualifying suppliers semi-joined to the supplier dim. "
+    "The (part, supplier) aggregate is the only wide shuffle; the "
+    "per-part rollup reuses its output (pennies on top), and the final "
+    "joins carry only the distinct supplier keys.",
+)
+def q120_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    ps = td.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("t"), F.count(F.lit(1)).alias("ns")
+    )
+    qual = (
+        ps.join(pt, "l_partkey")
+        .where(F.col("q") * F.col("ns") > 2 * F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = td.supplier.join(
+        F.broadcast(td.nation),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    )
+    return qual.join(
+        sup, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "n_name")

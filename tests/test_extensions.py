@@ -2047,3 +2047,84 @@ def test_bpe_batched_equals_strict_at_64_merges(spark):
                bpe_learn_merges(corpus, n_merges=64, batch=True).collect()]
     assert len(strict) == 64
     assert batched == strict
+
+
+def test_kmv_sketch_estimate_and_determinism(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    # overlapping groups of known cardinality: big ⊃ mid ⊃ small
+    big = spark.range(10_000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    mid = spark.range(1_000).select(
+        F.lit("mid").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    small = spark.range(40).select(
+        F.lit("small").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    df = big.unionByName(mid).unionByName(small)
+    k = 256
+    sk = sketch.kmv_sketch(df, "v", ["g"], k=k)
+    est = {r.g: r.est_distinct for r in
+           sketch.kmv_estimate(sk, ["g"], k=k).collect()}
+    # KMV standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est["big"] - 10_000) / 10_000 < 0.25, est
+    assert abs(est["mid"] - 1_000) / 1_000 < 0.25, est
+    # exact regime: fewer distinct values than k
+    assert est["small"] == 40.0, est
+    # pure function of the value set (partitioning-invariant)
+    sk2 = sketch.kmv_sketch(df.repartition(37), "v", ["g"], k=k)
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, sk2.collect())
+    )
+
+
+def test_kmv_merge_law(spark):
+    """kmv_merge(sketch(A), sketch(B)) == kmv_sketch(A ∪ B) exactly —
+    the mergeability invariant that makes partial per-partition/per-day
+    sketches combine without touching raw data."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    a = spark.range(5_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    # overlaps a on [2500, 5000), extends to 7500
+    b = spark.range(2_500, 7_500).select(
+        F.lit("g").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    k = 128
+    merged = sketch.kmv_merge(
+        sketch.kmv_sketch(a, "v", ["g"], k=k),
+        sketch.kmv_sketch(b, "v", ["g"], k=k),
+        ["g"], k=k,
+    )
+    direct = sketch.kmv_sketch(a.unionByName(b), "v", ["g"], k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_intersect_pairs_exact_and_estimated(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    # exact regime: distinct counts below k -> estimates are exact set sizes
+    rows = [("a", v) for v in range(30)] + [("b", v) for v in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = sketch.kmv_sketch(df, "v", ["g"], k=64)
+    out = sketch.kmv_intersect_pairs(sk, "g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.n_common == 10 and r.est_inter == 10.0
+    assert r.est_union == 50.0 and r.jaccard_est == 0.2
+    # estimation regime: 4k distinct per side, 2k shared, k=256
+    a = spark.range(4_000).select(
+        F.lit("a").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    b = spark.range(2_000, 6_000).select(
+        F.lit("b").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    sk2 = sketch.kmv_sketch(a.unionByName(b), "v", ["g"], k=256)
+    r2 = sketch.kmv_intersect_pairs(sk2, "g", k=256).collect()[0]
+    assert abs(r2.est_inter - 2_000) / 2_000 < 0.4, r2
+    assert abs(r2.est_union - 6_000) / 6_000 < 0.25, r2
