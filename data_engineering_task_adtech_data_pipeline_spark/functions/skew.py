@@ -48,3 +48,57 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in merges.items()]
     )
+
+
+def hot_key_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join via HOT-KEY SPLIT: fact keys whose row
+    count exceeds ``hot_threshold`` join through a BROADCAST arm (the hot
+    rows never shuffle — the handful of hot dim rows ship to them), the
+    long tail through the ordinary shuffle join; the union is exactly the
+    plain join (oracle-checked). The manual form of AQE's skew-join
+    splitting, for when the skew is known and you want it handled in the
+    PLAN (deterministic task shapes, no runtime re-plan dependency) — and
+    for ``how="left"`` where AQE's splitter declines outer sides.
+
+    Cost note: the hot-key census is one partial-agg count over the fact
+    key (map-side combine collapses each partition to its distinct keys)
+    — cheap relative to the join it de-skews, and reusable across joins
+    of the same fact. The broadcast arm is bounded: it carries only dim
+    rows matching hot keys (≤ distinct-hot-keys rows, a handful by
+    definition of "hot").
+
+    ``how``: "inner" or "left" (left = fact-preserving; hot fact keys
+    missing from dim still surface with NULL dim columns via the
+    broadcast-arm left join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if fact_key == dim_key:
+        raise ValueError(
+            "fact_key and dim_key must be distinct column names (the "
+            "join condition references both sides by name); rename one "
+            "side first"
+        )
+    counts = fact.groupBy(fact_key).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.where(F.col("__n") > hot_threshold).select(fact_key)
+    cond = F.col(fact_key) == F.col(dim_key)
+    # hot arm: fact rows with hot keys x broadcast(dim ⋉ hot keys)
+    hot_b = F.broadcast(hot)
+    fact_hot = fact.join(hot_b, fact_key, "left_semi")
+    dim_hot = dim.join(
+        F.broadcast(hot.withColumnRenamed(fact_key, dim_key)),
+        dim_key,
+        "left_semi",
+    )
+    arm_hot = fact_hot.join(F.broadcast(dim_hot), cond, how)
+    # tail arm: everything else through the ordinary shuffle join
+    fact_tail = fact.join(hot_b, fact_key, "left_anti")
+    arm_tail = fact_tail.join(dim, cond, how)
+    return arm_hot.unionByName(arm_tail)

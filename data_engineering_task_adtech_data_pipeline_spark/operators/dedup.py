@@ -1476,3 +1476,65 @@ def duplicate_lines(
             ).alias("clean_text"),
         )
     )
+
+
+def record_link_pairs(
+    df: DataFrame,
+    id_col: str,
+    attr_col: str,
+    block_cols: Sequence[str | Column],
+    max_edit: int = 1,
+    max_block: int = 256,
+) -> DataFrame:
+    """Entity resolution candidate pairs: BLOCKING + edit-distance match
+    (the Fellegi-Sunter record-linkage recipe — Christen 2012, "Data
+    Matching"). Rows sharing every ``block_cols`` value meet; within a
+    block, (id_a < id_b) pairs whose ``attr_col`` values are within
+    ``max_edit`` Levenshtein distance are emitted with their distance.
+
+    Scale shape (100 TB): the ONLY join is block-local — both sides
+    shuffle once on the block key, and the quadratic comparison is
+    confined to one block's rows. ``max_block`` is the hot-block ceiling
+    (same contract as ``minhash_lsh_candidates``' ``max_bucket`` and
+    ``ngram_jaccard_pairs``' ``max_df``): a degenerate blocking key
+    shared by n rows would emit O(n²) comparisons, so blocks larger than
+    the cap are DROPPED from pair generation — deterministic, loud in
+    the docs; pick tighter block keys rather than raising the cap. The
+    block-size prefilter runs under the same hashpartitioning exchange
+    the self-join then reuses.
+
+    Levenshtein is evaluated JVM-side (``F.levenshtein``) AFTER the
+    block-equality join — never as a cross-join predicate.
+    """
+    if max_edit < 0:
+        raise ValueError(f"max_edit must be >= 0, got {max_edit}")
+    if max_block < 2:
+        raise ValueError(f"max_block must be >= 2, got {max_block}")
+    from pyspark.sql import Window as W
+
+    bcols = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__bk{i}")
+        for i, c in enumerate(block_cols)
+    ]
+    bk = [f"__bk{i}" for i in range(len(bcols))]
+    rows = df.select(*bcols, F.col(id_col), F.col(attr_col))
+    sized = rows.withColumn(
+        "__bs", F.count(F.lit(1)).over(W.partitionBy(*bk))
+    ).where((F.col("__bs") > 1) & (F.col("__bs") <= max_block))
+    a = sized.select(
+        *bk,
+        F.col(id_col).alias("id_a"),
+        F.col(attr_col).alias("attr_a"),
+    )
+    b = sized.select(
+        *bk,
+        F.col(id_col).alias("id_b"),
+        F.col(attr_col).alias("attr_b"),
+    )
+    return (
+        a.join(b, bk)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("attr_a", "attr_b"))
+        .where(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "attr_a", "attr_b", "edit_dist")
+    )

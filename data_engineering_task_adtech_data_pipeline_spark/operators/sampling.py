@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
 
+# width of the portable md5 hash (15 hex digits — dedup.md5_long layout)
+_MD5_FULL_BITS = 60
+
 # \x1f (ASCII unit separator) keys can't contain by construction
 _SEP = "\x1f"
 
@@ -560,3 +563,95 @@ def weighted_sample(
         *[F.col(c).asc() for c in keys],
     ).limit(k)
     return out if key_col else out.drop("__es_key")
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    fraction: float,
+    stratum_col: str,
+    keys: Sequence[str],
+    salt: int = 42,
+    method: str = "xxhash64",
+    split_col: str = "split",
+    n_bins: int = 1 << 16,
+) -> DataFrame:
+    """EXACT-count stratified split: adds ``split_col`` with ``"sample"``
+    on exactly ``ceil(fraction * n_s)`` rows per stratum ``s`` (the rows
+    with the smallest key hashes, ties broken by the key columns) and
+    ``"rest"`` elsewhere — the per-stratum-proportions guarantee
+    :func:`stratified_deterministic_sample`'s Bernoulli cutoff only
+    approximates. Deterministic: a pure function of the data, salt, and
+    fraction; re-runs and engine replays select the identical rows.
+
+    Scale shape (100 TB): NO per-stratum global sort or single-partition
+    window. Phase 1 bins the 60-bit hash space into ``n_bins`` prefix
+    ranges and aggregates per-(stratum, bin) counts — one partial-agg
+    shuffle collapsing to ≤ strata·n_bins rows; a per-stratum cumulative
+    window runs over ≤ n_bins pre-aggregated rows (bounded, the
+    ``hist_quantile`` discipline). Phase 2 ranks ONLY inside each
+    stratum's boundary bin — expected n_s/n_bins rows — to place the
+    exact cut; every other row is classified by bin comparison alone
+    (a broadcast join against the ≤ 1-row-per-stratum boundary frame).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    from pyspark.sql import Window as W
+
+    gcols = [F.col(c) for c in keys]
+    bits = _MD5_FULL_BITS if method == "md5" else 63
+    h = _hash_full(keys, salt, method)
+    if method != "md5":
+        h = F.abs(h)  # xxhash64 is signed; fold to [0, 2^63)
+    shift = bits - n_bins.bit_length() + 1
+    work = df.withColumn("__h", h).withColumn(
+        "__bin", F.shiftright(F.col("__h"), shift)
+    )
+    per_bin = work.groupBy(stratum_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        W.partitionBy(stratum_col)
+        .orderBy("__bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_bin.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(W.partitionBy(stratum_col))
+    )
+    k = F.ceil(F.col("__n") * F.lit(fraction))
+    boundary = (
+        cum.where(F.col("__cum") >= k)
+        .groupBy(stratum_col)
+        .agg(
+            F.min("__bin").alias("__bbin"),
+            F.max(k).alias("__k"),
+        )
+    )
+    below = (
+        cum.join(boundary.select(stratum_col, "__bbin"), stratum_col)
+        .where(F.col("__bin") < F.col("__bbin"))
+        .groupBy(stratum_col)
+        .agg(F.sum("__c").alias("__below"))
+    )
+    bframe = F.broadcast(
+        boundary.join(below, stratum_col, "left").select(
+            stratum_col,
+            "__bbin",
+            "__k",
+            F.coalesce("__below", F.lit(0)).alias("__below"),
+        )
+    )
+    tagged = work.join(bframe, stratum_col, "left")
+    wedge = W.partitionBy(stratum_col, "__bin").orderBy("__h", *gcols)
+    in_edge = F.col("__bin") == F.col("__bbin")
+    edge_rank = F.when(in_edge, F.row_number().over(wedge))
+    split = (
+        F.when(F.col("__bin") < F.col("__bbin"), F.lit("sample"))
+        .when(
+            in_edge & (edge_rank <= F.col("__k") - F.col("__below")),
+            F.lit("sample"),
+        )
+        .otherwise(F.lit("rest"))
+    )
+    return tagged.withColumn(split_col, split).drop(
+        "__h", "__bin", "__bbin", "__k", "__below"
+    )

@@ -4672,3 +4672,146 @@ def q121_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Testdata(spark, sf_dir).events
     sk = sketch.kmv_sketch(ev, "user_id", ["event_type"], k=64)
     return sketch.kmv_intersect_pairs(sk, "event_type", k=64)
+
+
+# ===========================================================================
+# q122 — EXACT-count stratified split (round 8): ceil(30%) of every source
+# stratum, selected by deterministic md5 hash order with key tie-break.
+# The Bernoulli-cutoff sampler (stratified_deterministic_sample) only
+# approximates per-stratum proportions; training-mixture recipes specify
+# them exactly. Scale shape inside the operator: per-(stratum, hash-bin)
+# histogram + bounded cumulative window + rank ONLY inside the boundary
+# bin — no per-stratum global sort (operators/sampling.py docstring).
+# The oracle replays the selection as a plain per-stratum rank — provably
+# equivalent because bins are hash-prefix ranges.
+# ===========================================================================
+
+@query(
+    "q122_stratified_split",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '42'),
+                             1, 15))::BIGINT AS hh
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source,
+           CASE WHEN rn <= CAST(ceil(0.3 * n) AS BIGINT)
+                THEN 'sample' ELSE 'rest' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM r
+    GROUP BY 1, 2
+    """,
+    doc="Exact-count stratified split: exactly ceil(0.3 * n_s) docs per "
+    "source stratum, membership pinned by sum(doc_id) per (source, "
+    "split) so the oracle checks the SELECTION, not just the counts "
+    "(operators.sampling.stratified_exact_split, md5 hash family).",
+)
+def q122_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = Testdata(spark, sf_dir).documents
+    out = sampling.stratified_exact_split(
+        docs, 0.3, "source", ["doc_id"], salt=42, method="md5"
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+# ===========================================================================
+# q123 — entity resolution / record linkage (round 8): blocking + bounded
+# block-local comparison + edit-distance match (Fellegi-Sunter blocking,
+# Christen 2012). The adtech twin: duplicate customer records entered with
+# near-identical names. Blocks = (nation, 16-char name prefix); pairs
+# within a block at Levenshtein distance <= 1. Both engines evaluate the
+# IDENTICAL blocking and the same levenshtein() builtin.
+# ===========================================================================
+
+@query(
+    "q123_record_linkage",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
+             substr(c_name, 1, 16) AS bk
+      FROM customer
+    ),
+    sized AS (
+      SELECT r.*, COUNT(*) OVER (PARTITION BY nk, bk) AS bs FROM r
+    ),
+    keep AS (SELECT * FROM sized WHERE bs > 1 AND bs <= 256)
+    SELECT a.id AS id_a, b.id AS id_b, a.nm AS attr_a, b.nm AS attr_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS edit_dist
+    FROM keep a
+    JOIN keep b ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    """,
+    doc="Record linkage over customers: blocking on (nation, 16-char name "
+    "prefix), block-size ceiling 256 (the max_block hot-block contract), "
+    "block-local (id_a < id_b) pairs kept at Levenshtein distance <= 1 "
+    "(operators.dedup.record_link_pairs). The only join is block-local; "
+    "the quadratic comparison never escapes a block.",
+)
+def q123_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    cust = Testdata(spark, sf_dir).customer
+    return dd.record_link_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", F.substring("c_name", 1, 16)],
+        max_edit=1,
+        max_block=256,
+    )
+
+
+# ===========================================================================
+# q124 — hot-key split join (round 8): the MANUAL skew-join — fact keys
+# above a frequency threshold take a broadcast arm (hot rows never
+# shuffle), the tail takes the ordinary shuffle join, and the union is
+# provably the plain join — which is exactly what the oracle computes.
+# The q73 (salted_agg) companion: q73 de-skews aggregation, q124 de-skews
+# the join itself.
+# ===========================================================================
+
+@query(
+    "q124_hot_key_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-safe revenue rollup: events joined to customer through "
+    "functions.skew.hot_key_split_join (users with > 60 events take the "
+    "broadcast arm, the tail the shuffle join; union == plain join, "
+    "which IS the oracle), then segment totals with decimal-exact sums. "
+    "Plan-asserted: the hot arm is a BroadcastHashJoin.",
+)
+def q124_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import hot_key_split_join
+
+    td = Testdata(spark, sf_dir)
+    joined = hot_key_split_join(
+        td.events, td.customer, "user_id", "c_custkey",
+        hot_threshold=60, how="inner",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

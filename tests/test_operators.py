@@ -679,3 +679,100 @@ def test_hist_quantile_rejects_out_of_range_qs(spark):
     assert sketch.hist_quantile(
         sk, [1.0], lo=0.0, hi=10.0, n_bins=10
     ).count() == 1
+
+
+def test_stratified_exact_split_counts_and_determinism(spark):
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(700)]
+    df = spark.createDataFrame(rows, "id long, st string")
+    for frac in (0.1, 0.5, 1.0):
+        out = sampling.stratified_exact_split(
+            df, frac, "st", ["id"], method="md5"
+        )
+        got = {
+            (r.st, r.split): r["count"]
+            for r in out.groupBy("st", "split").count().collect()
+        }
+        for st in ("s0", "s1", "s2"):
+            n = sum(v for (s, _), v in got.items() if s == st)
+            want = math.ceil(frac * n)
+            assert got.get((st, "sample"), 0) == want, (frac, st, got)
+    # partitioning-invariant membership (not just counts)
+    a = sampling.stratified_exact_split(df, 0.25, "st", ["id"], method="md5")
+    b = sampling.stratified_exact_split(
+        df.repartition(13), 0.25, "st", ["id"], method="md5"
+    )
+    assert sorted((r.id, r.split) for r in a.collect()) == sorted(
+        (r.id, r.split) for r in b.collect()
+    )
+    # xxhash64 arm: exact counts hold there too
+    c = sampling.stratified_exact_split(df, 0.25, "st", ["id"])
+    got = {
+        (r.st, r.split): r["count"]
+        for r in c.groupBy("st", "split").count().collect()
+    }
+    for st, n in (("s0", 234), ("s1", 233), ("s2", 233)):
+        assert got.get((st, "sample"), 0) == math.ceil(0.25 * n)
+
+
+def test_record_link_pairs_blocking_and_caps(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        dedup,
+    )
+
+    rows = [
+        (1, "jon smith", "nyc"),
+        (2, "john smith", "nyc"),   # lev 1 from jon smith
+        (3, "jon smith", "sfo"),    # same name, different block: no pair
+        (4, "mary jones", "nyc"),   # lev > 1 from the smiths
+        (5, "jon smith", "nyc"),    # exact dup of 1 (lev 0)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, city string")
+    out = dedup.record_link_pairs(df, "id", "name", ["city"], max_edit=1)
+    pairs = {(r.id_a, r.id_b, r.edit_dist) for r in out.collect()}
+    assert pairs == {(1, 2, 1), (1, 5, 0), (2, 5, 1)}
+    # hot-block ceiling: a block larger than max_block emits NO pairs
+    hot = spark.createDataFrame(
+        [(i, f"name{i}", "same") for i in range(50)],
+        "id long, name string, city string",
+    )
+    capped = dedup.record_link_pairs(
+        hot, "id", "name", ["city"], max_edit=10, max_block=16
+    )
+    assert capped.count() == 0
+
+
+def test_hot_key_split_join_equals_plain_join(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.functions.skew import (
+        hot_key_split_join,
+    )
+
+    # key 7 is hot (500 rows), others have 2 each; key 99 has no dim row
+    fact = spark.createDataFrame(
+        [(7, i) for i in range(500)]
+        + [(k, i) for k in (1, 2, 3, 99) for i in range(2)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(7, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "unused")],
+        "dk long, label string",
+    )
+    for how in ("inner", "left"):
+        split = hot_key_split_join(
+            fact, dim, "k", "dk", hot_threshold=100, how=how
+        )
+        plain = fact.join(
+            dim, F.col("k") == F.col("dk"), how
+        )
+        assert sorted(map(tuple, split.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct column names"):
+        hot_key_split_join(fact, fact, "k", "k")

@@ -501,3 +501,38 @@ def test_quantile_threshold_safe_for_continuous_scores(spark):
     _single_partition_exchanges_feed_from_aggregates(plan)
     # semantics survive the kernel swap: exact k-th order statistic
     assert out.count() == 2500
+
+
+def test_r8_new_queries_plan_shapes(spark):
+    """Round-8 battery family guards: no cartesian, no row-UDFs; the
+    sketch/linkage/skew entries keep their joins hash- or broadcast-based;
+    q119/q120 never recompute the heavy aggregate per row."""
+    for name in (
+        "q119_large_volume_orders", "q120_dominant_suppliers",
+        "q121_kmv_overlap", "q122_stratified_split",
+        "q123_record_linkage", "q124_hot_key_join",
+    ):
+        plan = _exec_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # the hot arm of the split join is a broadcast join by construction
+    assert "BroadcastHashJoin" in _exec_plan(spark, "q124_hot_key_join")
+
+
+def test_stratified_exact_split_no_global_window(spark):
+    """The per-stratum cumulative window must partition by the stratum
+    (bounded: <= n_bins pre-aggregated rows per partition) — never run
+    as a global single-partition window over raw rows."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        sampling,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    out = sampling.stratified_exact_split(
+        docs, 0.3, "source", ["doc_id"], method="md5"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
