@@ -4815,3 +4815,79 @@ def q124_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ===========================================================================
+# q125 — entity clusters (round 8): record linkage pairs (q123) closed
+# into entity groups with the giant-component-safe star algorithm, then
+# one golden record per cluster (min id) with cluster size — the full
+# Fellegi-Sunter MERGE step: block -> match -> cluster -> survivorship.
+# ===========================================================================
+
+@query(
+    "q125_entity_clusters",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
+             substr(c_name, 1, 16) AS bk
+      FROM customer
+    ),
+    sized AS (
+      SELECT r.*, COUNT(*) OVER (PARTITION BY nk, bk) AS bs FROM r
+    ),
+    keep AS (SELECT * FROM sized WHERE bs > 1 AND bs <= 256),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM keep a
+      JOIN keep b ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+      WHERE levenshtein(a.nm, b.nm) <= 1
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT re.src, s.dst FROM reach re JOIN sym s ON re.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS root
+      FROM reach GROUP BY src
+    )
+    SELECT root AS entity_id,
+           COUNT(*) AS n_records,
+           CAST(MIN(id) AS BIGINT) AS golden_id
+    FROM comp
+    GROUP BY root
+    HAVING COUNT(*) > 1
+    """,
+    doc="Entity clusters: q123's blocked Levenshtein match pairs closed "
+    "into components (dedup.connected_components_star — O(log^2 n) "
+    "rounds, giant-component-safe) and collapsed to one golden record "
+    "per entity (min id) with the cluster size. The oracle replays the "
+    "closure with WITH RECURSIVE reachability. Only multi-record "
+    "entities are emitted (singletons are not linkage output).",
+)
+def q125_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    cust = Testdata(spark, sf_dir).customer
+    pairs = dd.record_link_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", F.substring("c_name", 1, 16)],
+        max_edit=1,
+        max_block=256,
+    )
+    comp = dd.connected_components_star(pairs.select("id_a", "id_b"))
+    return (
+        comp.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("id").alias("golden_id"),
+        )
+        .where(F.col("n_records") > 1)
+    )

@@ -1070,3 +1070,77 @@ def read_quality_report(
             "mean_entropy_nats"
         ),
     )
+
+
+def stream_kmv_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    value_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    method: str = "md5",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming KMV/theta-sketch monitor — the set-operations twin of
+    :func:`stream_hll_monitor`: new value files fold into per-group
+    k-minimum-hash sketches, from which ``sketch.kmv_estimate`` answers
+    distinct counts and ``sketch.kmv_intersect_pairs`` answers BETWEEN-
+    group overlap ("users seen in click AND purchase so far") without
+    ever re-scanning history.
+
+    Mechanics: each micro-batch's sketch is computed BATCH-side inside
+    ``foreachBatch`` (``sketch.kmv_sketch`` uses ranking windows, which
+    streaming aggregation cannot host) and appended to a sketch log.
+    The KMV merge law — merge(sketch(A), sketch(B)) == sketch(A ∪ B),
+    property-tested — makes the log collapse exactly:
+    :func:`read_kmv_sketch` distinct-unions the logged hashes and
+    re-ranks to k, so overlapping batches and epoch REPLAYS fold
+    idempotently (duplicate hash rows vanish in the distinct), the same
+    append+latest-view contract as the HLL register log. Log growth is
+    ≤ groups·k rows per micro-batch — sketch-sized, never data-sized."""
+    from ..operators.sketch import kmv_sketch
+
+    gcols = group_cols or []
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = kmv_sketch(batch_df, value_col, gcols, k=k, method=method)
+        sk.select(*gcols, "h").write.mode("append").parquet(sketch_path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_kmv_sketch(
+    spark: SparkSession,
+    sketch_path: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Collapse the streamed sketch log to the current per-group sketch
+    (distinct hashes re-ranked to the k minima — exact by the merge law);
+    feed to ``sketch.kmv_estimate`` / ``sketch.kmv_intersect_pairs``."""
+    from pyspark.sql import Window as W
+
+    gcols = group_cols or []
+    u = spark.read.parquet(sketch_path).select(*gcols, "h").distinct()
+    w = W.partitionBy(*gcols).orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "h", "rank")
+    )

@@ -801,3 +801,51 @@ def test_stream_quality_monitor_matches_batch_gates(spark, tmp_path):
         want_mean = sum(ce[i][1] for i in ids if i in ce) / len(ids)
         assert r.mean_entropy_nats == pytest.approx(want_mean, abs=1e-6)
     assert got["a"].n_keep_both == 1 and got["b"].n_keep_both == 1
+
+
+def test_stream_kmv_monitor_matches_batch_sketch(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        read_kmv_sketch,
+        stream_kmv_monitor,
+    )
+
+    input_dir = str(tmp_path / "kmv_in")
+    sk_path = str(tmp_path / "kmv_log")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+    )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+            F.concat(F.lit("u"), F.col("id") % 4000).alias("v"),
+        )
+
+    k = 128
+    mk(0, 3000).write.mode("append").parquet(input_dir)
+    q = stream_kmv_monitor(
+        spark, input_dir, schema, "v", sk_path, ckpt, group_cols=["g"], k=k
+    )
+    q.awaitTermination(120)
+    # second, overlapping batch: the merge law must fold, not double-count
+    mk(1500, 5000).write.mode("append").parquet(input_dir)
+    q = stream_kmv_monitor(
+        spark, input_dir, schema, "v", sk_path, ckpt, group_cols=["g"], k=k
+    )
+    q.awaitTermination(120)
+
+    streamed = read_kmv_sketch(spark, sk_path, ["g"], k=k)
+    batch = sketch.kmv_sketch(mk(0, 5000), "v", ["g"], k=k)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    est = {
+        r.g: r.est_distinct
+        for r in sketch.kmv_estimate(streamed, ["g"], k=k).collect()
+    }
+    for g in ("even", "odd"):
+        assert abs(est[g] - 2000) / 2000 < 0.35, est
