@@ -776,3 +776,71 @@ def test_hot_key_split_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError, match="distinct column names"):
         hot_key_split_join(fact, fact, "k", "k")
+
+
+def test_write_zordered_clusters_both_columns(spark, tmp_path):
+    """Z-order layout quality: per-file min/max envelopes on BOTH curve
+    columns must be far tighter than the global range — that envelope IS
+    what parquet file skipping prunes with. An unclustered (random
+    round-robin) write of the same data has ~full-range envelopes on
+    every file, so a per-file mean span well under half the global range
+    on EACH column proves the interleaving works (one column clustered
+    at the other's expense would show one tight + one full-range axis)."""
+    import glob
+
+    from data_engineering_task_adtech_data_pipeline_spark import catalog
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        F.floor(F.col("id") / 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zt")
+    catalog.write_zordered(df, path, ["x", "y"], n_files=16)
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) >= 8
+    import pyarrow.parquet as pq
+
+    spans = {"x": [], "y": []}
+    for f in files:
+        md = pq.read_metadata(f)
+        lo = {"x": None, "y": None}
+        hi = {"x": None, "y": None}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                nm = c.path_in_schema
+                if nm in spans and c.statistics is not None:
+                    s = c.statistics
+                    lo[nm] = s.min if lo[nm] is None else min(lo[nm], s.min)
+                    hi[nm] = s.max if hi[nm] is None else max(hi[nm], s.max)
+        for nm in spans:
+            assert lo[nm] is not None
+            spans[nm].append(hi[nm] - lo[nm])
+    # global ranges: x spans 200, y spans 200
+    for nm, glob_span in (("x", 200), ("y", 200)):
+        mean_span = sum(spans[nm]) / len(spans[nm])
+        assert mean_span < 0.5 * glob_span, (nm, mean_span, spans[nm])
+    # and the write is complete + readable
+    assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_value_is_deterministic_and_bounded(spark):
+    from data_engineering_task_adtech_data_pipeline_spark import catalog
+
+    df = spark.range(1000).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") % 57).alias("b")
+    )
+    z = catalog.zorder_value(["a", "b"], [0, 0], [31, 56], bits_per_col=8)
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    assert all(0 <= v < (1 << 16) for v in vals)
+    vals2 = [
+        r.z for r in df.repartition(7).select(z.alias("z")).collect()
+    ]
+    assert sorted(vals) == sorted(vals2)
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        catalog.zorder_value(["a"], [0], [31])
