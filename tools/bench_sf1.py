@@ -63,6 +63,12 @@ QUERIES = [
     "q113_image_dup_groups", "q114_variant_extract",
     "q115_pseudonymized_join", "q116_temporal_split",
     "q117_video_stats", "q118_video_frame_dups",
+    # appended r8 (new this round): TPC-H Q18/Q20 shapes, theta-sketch
+    # overlap, exact stratified split, record linkage + entity clusters,
+    # hot-key split join; first measured in BENCH_SF1_r08
+    "q119_large_volume_orders", "q120_dominant_suppliers",
+    "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
+    "q124_hot_key_join", "q125_entity_clusters",
 ]
 
 
