@@ -1358,3 +1358,62 @@ def q120_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qual.join(
         sup, F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_suppkey", "s_name", "n_name")
+
+
+# ===========================================================================
+# q126 — TPC-H Q15 shape: the revenue "view" + correlated scalar MAX.
+# revenue0 per supplier over one quarter, then the supplier(s) whose
+# revenue equals the view's maximum — decorrelated into an aggregate
+# cross-joined as a broadcast scalar and compared on EXACT DECIMAL (the
+# float-equality trap Q15 is famous for never arises: both engines sum
+# DECIMAL(18,4) and compare decimals, casting to double only for output).
+# ===========================================================================
+
+@query(
+    "q126_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: quarterly supplier revenue view + correlated "
+    "scalar MAX, decorrelated to a broadcast one-row aggregate joined "
+    "back on exact DECIMAL equality (the ship-date filter pushes to the "
+    "scan; the view is computed ONCE and reused for both the max and "
+    "the final rows via a self-contained plan).",
+)
+def q126_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    rev = (
+        td.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("__mx"))
+        .join(td.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
