@@ -68,7 +68,7 @@ QUERIES = [
     # hot-key split join; first measured in BENCH_SF1_r08
     "q119_large_volume_orders", "q120_dominant_suppliers",
     "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
-    "q124_hot_key_join", "q125_entity_clusters",
+    "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
 ]
 
 
