@@ -130,6 +130,14 @@ def zorder_value(
         raise ValueError("cols, mins, maxs must align")
     if n < 2:
         raise ValueError("z-ordering needs >= 2 columns")
+    # every interleaved bit must land in [0, 63): position 63 is the
+    # BIGINT sign bit (a negative z inverts the curve order) and Spark's
+    # shiftleft masks the shift amount to 6 bits (positions >= 64 would
+    # silently alias onto low bits). Auto-narrow the per-column width —
+    # precision costs only intra-bucket ordering, never correctness.
+    bits_per_col = min(bits_per_col, 62 // n)
+    if bits_per_col < 1:
+        raise ValueError(f"too many columns to interleave: {n}")
     top = (1 << bits_per_col) - 1
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
@@ -179,13 +187,25 @@ def write_zordered(
     envelope intersects the predicate."""
     from pyspark.sql import functions as F
 
-    names = [c if isinstance(c, str) else str(c) for c in cols]
+    if not all(isinstance(c, str) for c in cols):
+        raise TypeError("cols must be column NAMES (strings)")
+    names = list(cols)
     bounds = df.agg(
         *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(names)],
         *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(names)],
     ).first()
     mins = [bounds[f"__lo{i}"] for i in range(len(names))]
     maxs = [bounds[f"__hi{i}"] for i in range(len(names))]
+    if any(v is None for v in (*mins, *maxs)):
+        bad = [
+            names[i]
+            for i in range(len(names))
+            if mins[i] is None or maxs[i] is None
+        ]
+        raise ValueError(
+            f"cannot z-order {bad}: empty input or all-NULL column(s) "
+            "leave no min/max range to bucket"
+        )
     z = zorder_value(names, mins, maxs, bits_per_col)
     (
         df.withColumn("__z", z)

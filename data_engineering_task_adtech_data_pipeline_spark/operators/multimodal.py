@@ -678,7 +678,12 @@ def decode_video(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     executor batch (the decode contract shared with images/audio —
     DEVIATIONS.md). All-integer stats keep every value oracle-derivable
     bit-for-bit. ``batch_rows`` bounds Arrow batch memory (video payloads
-    are the largest media rows; same session conf as decode_images)."""
+    are the largest media rows; same session conf as decode_images).
+    CAVEAT: ``spark.sql.execution.arrow.maxRecordsPerBatch`` is a SESSION
+    conf read once at execution — when several mapInPandas operators
+    compose in one job, the LAST one built wins for the whole job, so a
+    composed pipeline must pass the payload-heaviest stage's bound to
+    every operator in it (q118 does)."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
 

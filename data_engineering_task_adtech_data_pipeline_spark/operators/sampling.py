@@ -589,9 +589,14 @@ def stratified_exact_split(
     shuffle collapsing to ≤ strata·n_bins rows; a per-stratum cumulative
     window runs over ≤ n_bins pre-aggregated rows (bounded, the
     ``hist_quantile`` discipline). Phase 2 ranks ONLY inside each
-    stratum's boundary bin — expected n_s/n_bins rows — to place the
-    exact cut; every other row is classified by bin comparison alone
-    (a broadcast join against the ≤ 1-row-per-stratum boundary frame).
+    stratum's boundary bin: the boundary-bin rows (expected n_s/n_bins
+    per stratum) are FILTERED OUT first and ranked alone — the window
+    never shuffles or sorts the full frame (review r8) — while every
+    other row is classified map-side by bin comparison against the
+    broadcast ≤ 1-row-per-stratum boundary frame. The trade: the input
+    is scanned twice (edge filter + non-edge branch of the union); both
+    scans are map-only against the broadcast frame, which beats one
+    full-corpus (stratum, bin, hash, keys) shuffle-sort by far.
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
@@ -641,17 +646,29 @@ def stratified_exact_split(
         )
     )
     tagged = work.join(bframe, stratum_col, "left")
-    wedge = W.partitionBy(stratum_col, "__bin").orderBy("__h", *gcols)
     in_edge = F.col("__bin") == F.col("__bbin")
-    edge_rank = F.when(in_edge, F.row_number().over(wedge))
-    split = (
-        F.when(F.col("__bin") < F.col("__bbin"), F.lit("sample"))
-        .when(
-            in_edge & (edge_rank <= F.col("__k") - F.col("__below")),
-            F.lit("sample"),
-        )
-        .otherwise(F.lit("rest"))
+    # non-edge rows: classified map-side, never shuffled
+    non_edge = tagged.where(~in_edge).withColumn(
+        split_col,
+        F.when(F.col("__bin") < F.col("__bbin"), F.lit("sample")).otherwise(
+            F.lit("rest")
+        ),
     )
-    return tagged.withColumn(split_col, split).drop(
+    # edge rows: the ONLY windowed frame — expected n_s/n_bins rows per
+    # stratum, partitioned by stratum (bounded)
+    wedge = W.partitionBy(stratum_col).orderBy("__h", *gcols)
+    edge = (
+        tagged.where(in_edge)
+        .withColumn("__rn", F.row_number().over(wedge))
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("__rn") <= F.col("__k") - F.col("__below"),
+                F.lit("sample"),
+            ).otherwise(F.lit("rest")),
+        )
+        .drop("__rn")
+    )
+    return non_edge.unionByName(edge).drop(
         "__h", "__bin", "__bbin", "__k", "__below"
     )

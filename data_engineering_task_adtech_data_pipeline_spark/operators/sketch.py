@@ -420,6 +420,41 @@ def hist_quantile(
 # ---------------------------------------------------------------------------
 
 _THETA_FULL = 1 << 60  # exclusive upper bound of the md5-60 hash space
+# |xxhash64| bound: BIGINT can't hold 2^63, so the exact-regime sentinel
+# is 2^63 - 1 — it excludes only the single maximal hash value (an event
+# of probability 2^-63), and float(2^63 - 1) == float(2^63) EXACTLY in
+# double, so every estimate's scale is unaffected.
+_THETA_FULL_XX = (1 << 63) - 1
+
+
+def _theta_full(method: str) -> int:
+    """Exclusive upper bound of the hash space for ``method`` — the theta
+    scale every estimate divides by. The md5 family is 60-bit; the
+    xxhash64 family folds to [0, 2^63). Estimates computed at the wrong
+    scale are silently ~8x off (review r8), so every estimate-side
+    function takes ``method`` and derives the constant here."""
+    if method == "md5":
+        return _THETA_FULL
+    if method == "xxhash64":
+        return _THETA_FULL_XX
+    raise ValueError(f"unknown hash method: {method!r}")
+
+
+def _rank_trim(
+    df: DataFrame, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """(group, h) rows → the k smallest DISTINCT hashes per group with a
+    1-based ``rank`` — the shared trim kernel of ``kmv_sketch`` (final
+    stage), ``kmv_merge`` and ``streaming.read_kmv_sketch``, so the
+    batch and streaming paths cannot diverge."""
+    gcols = list(group_cols)
+    u = df.select(*gcols, "h").distinct()
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "h", "rank")
+    )
 
 
 def kmv_sketch(
@@ -452,7 +487,11 @@ def kmv_sketch(
     v = F.col(value_col).cast("string")
     h = (md5_long(v) if method == "md5"
          else F.abs(F.xxhash64(v))).alias("h")
-    distinct = df.select(*gcols, h).distinct()
+    # NULL values are NOT members of the distinct-value set (COUNT
+    # DISTINCT semantics); an unfiltered NULL hash would sort FIRST
+    # (ASC NULLS FIRST), steal a sketch slot, and diverge from the
+    # NULLS-LAST oracle (review r8).
+    distinct = df.where(v.isNotNull()).select(*gcols, h).distinct()
     w1 = Window.partitionBy(
         *gcols, F.pmod(F.col("h"), F.lit(salt_buckets))
     ).orderBy("h")
@@ -460,12 +499,7 @@ def kmv_sketch(
         distinct.withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)
     )
-    w2 = Window.partitionBy(*gcols).orderBy("h")
-    return (
-        cand.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(*gcols, "h", "rank")
-    )
+    return _rank_trim(cand, gcols, k)
 
 
 def kmv_merge(
@@ -479,41 +513,44 @@ def kmv_merge(
     exactly (property-tested). Distributive and idempotent: partial
     sketches per partition / day / source combine in any order."""
     gcols = list(group_cols)
-    u = a.select(*gcols, "h").unionByName(
-        b.select(*gcols, "h")
-    ).distinct()
-    w = Window.partitionBy(*gcols).orderBy("h")
-    return (
-        u.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(*gcols, "h", "rank")
+    return _rank_trim(
+        a.select(*gcols, "h").unionByName(b.select(*gcols, "h")), gcols, k
     )
 
 
-def _kmv_stats(sk: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+def _kmv_stats(
+    sk: DataFrame, group_cols: Sequence[str], k: int, method: str = "md5"
+) -> DataFrame:
     """Sketch rows → per-group ``(n, theta)``: n = retained hashes, theta
-    = the k-th smallest hash when the sketch is full, else 2^60 (the
-    sketch holds the ENTIRE distinct set — exact regime)."""
+    = the k-th smallest hash when the sketch is full, else the method's
+    full hash-space bound (the sketch holds the ENTIRE distinct set —
+    exact regime)."""
     gcols = list(group_cols)
     return sk.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.max(F.when(F.col("rank") == k, F.col("h"))),
-            F.lit(_THETA_FULL),
+            F.lit(_theta_full(method)),
         ).alias("theta"),
     )
 
 
 def kmv_estimate(
-    sk: DataFrame, group_cols: Sequence[str] = (), k: int = 64
+    sk: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 64,
+    method: str = "md5",
 ) -> DataFrame:
     """Sketch rows → ``(*group_cols, est_distinct)``. Full sketch: the
     classic unbiased KMV estimator (k-1) / theta-fraction — computed as
-    the exact integer (k-1)·2^60 divided by the BIGINT k-th minimum (ONE
-    double division, rounded 6 dp — bit-stable across engines). Partial
-    sketch (n < k): the sketch IS the value set — exact count."""
-    st = _kmv_stats(sk, group_cols, k)
-    scaled = F.lit(float((k - 1) << 60))  # exact: (k-1) × a power of two
+    the exact integer (k-1)·2^space divided by the BIGINT k-th minimum
+    (ONE double division, rounded 6 dp — bit-stable across engines).
+    Partial sketch (n < k): the sketch IS the value set — exact count.
+    ``method`` must match the one the sketch was built with (it sets the
+    hash-space scale; a mismatch is ~8x off)."""
+    st = _kmv_stats(sk, group_cols, k, method)
+    # exact: (k-1) × a power of two
+    scaled = F.lit(float((k - 1) * _theta_full(method)))
     est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
         F.round(scaled / F.col("theta").cast("double"), 6)
     )
@@ -521,26 +558,29 @@ def kmv_estimate(
 
 
 def kmv_intersect_pairs(
-    sk: DataFrame, group_col: str, k: int = 64
+    sk: DataFrame, group_col: str, k: int = 64, method: str = "md5"
 ) -> DataFrame:
     """All group pairs (a < b) → theta-sketch set-operation estimates:
 
     ``n_common``   exact count of shared retained hashes below the pair
                    theta (an integer — the sufficient statistic),
-    ``est_inter``  |A ∩ B| estimate = n_common · 2^60 / theta,
-    ``est_union``  |A ∪ B| estimate = n_up · 2^60 / theta over the
+    ``est_inter``  |A ∩ B| estimate = n_common · space / theta,
+    ``est_union``  |A ∪ B| estimate = n_up · space / theta over the
                    deduplicated retained hashes below theta,
     ``jaccard_est`` n_common / n_up (NULL when the union is empty).
+
+    ``method`` must match the sketch's hash method — it sets the
+    hash-space scale ``space`` (2^60 md5 / 2^63 xxhash64).
 
     theta = min(theta_a, theta_b) (Dasgupta et al.: after unioning, a
     theta sketch is valid at the smaller theta; hashes above it are
     discarded from BOTH sides before counting). When both groups are in
-    the exact regime (n < k), theta = 2^60 and every estimate collapses
+    the exact regime (n < k), theta = space and every estimate collapses
     to the exact integer count. The sketch join is sketch-sized (≤ k
     rows per group) — the raw data is never touched again, which is the
     entire point at 100 TB: one scan builds the sketches, every pairwise
     overlap after that is arithmetic."""
-    st = _kmv_stats(sk, [group_col], k)
+    st = _kmv_stats(sk, [group_col], k, method)
     a, b = "__ga", "__gb"
     pairs = (
         st.select(
@@ -579,7 +619,7 @@ def kmv_intersect_pairs(
         .groupBy(a, b)
         .agg(F.count_distinct(F.col("h")).alias("n_up"))
     )
-    full = F.lit(float(_THETA_FULL))
+    full = F.lit(float(_theta_full(method)))
     out = (
         pairs.join(up, [a, b], "left")
         .join(common, [a, b], "left")

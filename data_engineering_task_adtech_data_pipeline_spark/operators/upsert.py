@@ -78,45 +78,69 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _holder_is_stale(spark: SparkSession, lock: str) -> bool:
-    """True iff the lock token names THIS host and a PID that is
-    verifiably dead (r7 VERDICT #8: crash recovery without operator
-    intervention). Anything unknowable — missing/foreign host, unparsable
-    PID, cross-host holder — is NOT stale: the refuse-loudly default
-    stands and ``break_lock`` remains the manual override."""
+def _holder_is_stale(spark: SparkSession, lock: str) -> str | None:
+    """The dead holder's unique token id iff the lock token names THIS
+    host and a PID that is verifiably dead (r7 VERDICT #8: crash recovery
+    without operator intervention), else ``None``. Anything unknowable —
+    missing/foreign host, unparsable PID or id, cross-host holder — is
+    NOT stale: the refuse-loudly default stands and ``break_lock``
+    remains the manual override."""
     try:
         token = fs.read_text(spark, lock)
     except Exception:
-        return False  # lock vanished or unreadable — let the caller refuse
+        return None  # lock vanished or unreadable — let the caller refuse
     fields = dict(kv.split("=", 1) for kv in token.split() if "=" in kv)
     if fields.get("host") != socket.gethostname():
-        return False
+        return None
     pid_s = fields.get("pid", "")
     if not pid_s.isdigit() or int(pid_s) <= 0:
-        return False
-    return not _pid_alive(int(pid_s))
+        return None
+    holder_id = fields.get("id", "")
+    if not holder_id:
+        return None  # legacy token without an id — manual territory
+    return holder_id if not _pid_alive(int(pid_s)) else None
 
 
-def _claim_stale_lock(spark: SparkSession, lock: str) -> None:
-    """Atomically claim a stale lock by renaming it to a tombstone named
-    after the dead holder's unique token id. Rename (not delete+create):
-    with two concurrent recoverers, delete could destroy the WINNER's
-    fresh lock; rename to a DETERMINISTIC destination means exactly one
-    recoverer succeeds (Hadoop rename fails onto an existing dst) and the
-    loser falls back to the ordinary refuse path. The tombstone — one
-    ~100-byte file per actual writer crash — is left in place on purpose:
-    deleting it would reopen the race it exists to close."""
-    try:
-        fields = dict(
-            kv.split("=", 1)
-            for kv in fs.read_text(spark, lock).split()
-            if "=" in kv
-        )
-        holder_id = fields["id"]
-    except Exception:
-        return  # token unreadable/legacy — manual break_lock territory
-    with contextlib.suppress(Exception):
-        fs.rename(spark, lock, lock + ".stale." + holder_id)
+def _claim_stale_lock(spark: SparkSession, lock: str, expect_id: str) -> None:
+    """Claim a stale lock by renaming it to a tombstone named after the
+    dead holder's unique token id — but ONLY while the current token's id
+    still equals the one judged dead, re-verified under a same-host OS
+    flock mutex. The mutex is valid precisely because this path is
+    same-host-only by construction (``_holder_is_stale`` requires
+    host == gethostname()), so every possible concurrent claimer of this
+    lock runs on this machine: without it, a second recoverer that
+    passed the staleness check BEFORE the winner re-acquired could
+    re-read the WINNER's fresh token and rename the live lock away —
+    two writers inside the fence (review r8). With it, the loser's
+    read-verify-rename runs after the winner's rename (token missing →
+    return) or after the winner's re-acquire (id mismatch → return).
+    The tombstone — one ~100-byte file per actual writer crash — is left
+    in place on purpose; ids are per-fence uuids so destinations never
+    recur."""
+    import fcntl
+    import hashlib
+    import tempfile
+
+    mutex_path = os.path.join(
+        tempfile.gettempdir(),
+        ".spark_graft_claim_"
+        + hashlib.md5(lock.encode()).hexdigest()
+        + ".lock",
+    )
+    with open(mutex_path, "w") as mf:
+        fcntl.flock(mf, fcntl.LOCK_EX)
+        try:
+            fields = dict(
+                kv.split("=", 1)
+                for kv in fs.read_text(spark, lock).split()
+                if "=" in kv
+            )
+            if fields.get("id") != expect_id:
+                return  # someone already reclaimed and re-acquired
+        except Exception:
+            return  # token vanished (winner mid-claim) or unreadable
+        with contextlib.suppress(Exception):
+            fs.rename(spark, lock, lock + ".stale." + expect_id)
 
 
 @contextlib.contextmanager
@@ -140,11 +164,14 @@ def _write_fence(spark: SparkSession, path: str, op: str):
         f"t={time.time():.0f} id={uuid.uuid4().hex[:8]}"
     )
     acquired = fs.create_exclusive(spark, lock, token)
-    if not acquired and _holder_is_stale(spark, lock):
-        # same-host holder is verifiably dead: reclaim without operator
-        # intervention (atomic rename-claim; see _claim_stale_lock)
-        _claim_stale_lock(spark, lock)
-        acquired = fs.create_exclusive(spark, lock, token)
+    if not acquired:
+        stale_id = _holder_is_stale(spark, lock)
+        if stale_id is not None:
+            # same-host holder is verifiably dead: reclaim without
+            # operator intervention (id-verified rename under a same-host
+            # mutex; see _claim_stale_lock)
+            _claim_stale_lock(spark, lock, stale_id)
+            acquired = fs.create_exclusive(spark, lock, token)
     if not acquired:
         holder = "<unreadable>"
         with contextlib.suppress(Exception):

@@ -8,8 +8,11 @@ from . import battery_rel  # noqa: F401  (registers q22+ into REGISTRY)
 # The round driver value-checks only the FIRST 50 entries of
 # ``__spark_entry__.queries()``; the registry holds more. This list pins the
 # window to (a) the 10 reference-parity core queries, (b) every entry that
-# has never had a driver-green row, and (c) the longest-unverified stable
-# block, rotated back in. All entries keep full coverage in
+# had never had a driver-green row AS OF this round's rotation (entries
+# added after the window filled — q119+ — ride the recorded local gate,
+# ORACLE_FULL_r{N}.json, and lead next round's block (b)), and (c) the
+# longest-unverified stable block, rotated back in. All entries keep full
+# coverage in
 # ``tools/oracle_check.py`` (which checks the ENTIRE registry) regardless of
 # position. Rotation policy + per-query last-driver-verified round:
 # COVERAGE.md §"Driver window rotation".

@@ -4575,7 +4575,13 @@ def q118_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = multimodal.sample_frames(multimodal.synth_y4m(docs), every_n=2)
     fid = (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id")
-    hashes = multimodal.ahash_images(frames.select(fid, "payload"))
+    # batch_rows matches sample_frames': arrow.maxRecordsPerBatch is a
+    # SESSION conf read at execution, so the last operator built wins for
+    # the whole composed job — align it to the payload-heaviest stage's
+    # bound (review r8)
+    hashes = multimodal.ahash_images(
+        frames.select(fid, "payload"), batch_rows=64
+    )
     return (
         hashes.where(F.col("decode_ok"))
         .groupBy("ahash_bits")

@@ -1133,14 +1133,11 @@ def read_kmv_sketch(
 ) -> DataFrame:
     """Collapse the streamed sketch log to the current per-group sketch
     (distinct hashes re-ranked to the k minima — exact by the merge law);
-    feed to ``sketch.kmv_estimate`` / ``sketch.kmv_intersect_pairs``."""
-    from pyspark.sql import Window as W
+    feed to ``sketch.kmv_estimate`` / ``sketch.kmv_intersect_pairs``.
+    The trim is the SAME kernel the batch paths use
+    (``sketch._rank_trim``), so batch and streaming sketches cannot
+    diverge."""
+    from ..operators.sketch import _rank_trim
 
     gcols = group_cols or []
-    u = spark.read.parquet(sketch_path).select(*gcols, "h").distinct()
-    w = W.partitionBy(*gcols).orderBy("h")
-    return (
-        u.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(*gcols, "h", "rank")
-    )
+    return _rank_trim(spark.read.parquet(sketch_path), gcols, k)

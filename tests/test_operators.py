@@ -844,3 +844,46 @@ def test_zorder_value_is_deterministic_and_bounded(spark):
 
     with pytest.raises(ValueError, match=">= 2 columns"):
         catalog.zorder_value(["a"], [0], [31])
+
+
+def test_claim_stale_lock_refuses_changed_token(spark, tmp_path):
+    """The reclaim must be id-verified (review r8): if the lock's current
+    token no longer carries the id that was judged dead — i.e. another
+    recoverer already reclaimed and a LIVE writer re-acquired — the
+    claim is a no-op and the live lock survives."""
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        _claim_stale_lock,
+    )
+
+    lock = str(tmp_path / "t" / "_writer.lock")
+    assert fs.create_exclusive(
+        spark, lock, "merge pid=1 host=x t=0 id=livelive"
+    )
+    # judged-dead id 'deadbeef' no longer matches the current holder
+    _claim_stale_lock(spark, lock, "deadbeef")
+    assert fs.exists(spark, lock)  # live lock untouched
+    assert not fs.exists(spark, lock + ".stale.deadbeef")
+    assert "livelive" in fs.read_text(spark, lock)
+
+
+def test_kmv_xxhash64_scale_and_null_values(spark):
+    """Estimates must use the METHOD's hash-space scale (2^63 for
+    xxhash64, not md5's 2^60 — a mismatch is silently ~8x off), and NULL
+    values must not occupy sketch slots (COUNT DISTINCT semantics)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    df = spark.range(4_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    k = 256
+    sk = sketch.kmv_sketch(df, "v", ["g"], k=k, method="xxhash64")
+    est = sketch.kmv_estimate(sk, ["g"], k=k, method="xxhash64").collect()[0]
+    assert abs(est.est_distinct - 4_000) / 4_000 < 0.3, est
+    # NULLs: a group of 10 real values + NULLs sketches exactly 10
+    rows = [("a", str(i)) for i in range(10)] + [("a", None)] * 5
+    dfn = spark.createDataFrame(rows, "g string, v string")
+    skn = sketch.kmv_sketch(dfn, "v", ["g"], k=64)
+    assert skn.count() == 10
+    e = sketch.kmv_estimate(skn, ["g"], k=64).collect()[0]
+    assert e.est_distinct == 10.0

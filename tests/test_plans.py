@@ -536,3 +536,42 @@ def test_stratified_exact_split_no_global_window(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_stratified_exact_split_edge_only_window(spark):
+    """Review r8: the rank window must consume ONLY the boundary-bin rows
+    (a Filter sits below the Window's sort), never the full frame — the
+    full-frame variant shuffles and sorts the entire corpus."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        sampling,
+    )
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    docs = Testdata(spark, SF_ORACLE).documents
+    out = sampling.stratified_exact_split(
+        docs, 0.3, "source", ["doc_id"], method="md5"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # the edge-rank window is the one ordering by the row hash (__h);
+    # phase-1 cumulative windows order by __bin over HashAggregate
+    # output (bounded by n_bins) and are the acceptable class
+    rank_wins = [
+        i
+        for i, ln in enumerate(lines)
+        if "Window" in ln and "row_number" in ln and "__h" in ln
+    ]
+    assert rank_wins, plan[:1500]
+    for i in rank_wins:
+        below = "\n".join(lines[i:])
+        # a Filter on the boundary-bin equality must sit under the rank
+        # window (children render after the parent in the tree dump) —
+        # i.e. only edge rows are shuffled and sorted
+        assert "(__bin" in below and "__bbin" in below, below[:1500]
+    # and the phase-1 windows feed from aggregates, not raw rows
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "__cum" in ln:
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below[:2000], below[:1500]
