@@ -1417,3 +1417,140 @@ def q126_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ===========================================================================
+# q127 — sliding time-range window frame: 7-day trailing revenue per day
+# (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over the day ordinal) — the
+# window-frame family member q28's ROWS frames don't cover: a RANGE frame
+# over a time axis includes every row within the interval REGARDLESS of
+# row count, so days with no orders still shrink the trailing sum. Spark's
+# rangeBetween is numeric-only, so the day is projected to an integer
+# ordinal (datediff from epoch) — the same expression both engines run.
+# ===========================================================================
+
+@query(
+    "q127_trailing_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS d_ord,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT d,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (
+             ORDER BY d_ord
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM daily
+    """,
+    doc="Sliding 7-day trailing revenue via a RANGE window frame over the "
+    "integer day ordinal (gaps in the calendar correctly shrink the "
+    "window — a ROWS frame would include 7 PRIOR ORDER DAYS instead). "
+    "Decimal day sums; the global RANGE window runs over DAY-grain "
+    "pre-aggregated rows (bounded by the date span — the "
+    "hist_quantile/global-window discipline).",
+)
+def q127_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    daily = (
+        td.orders.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("d_ord"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = W.orderBy("d_ord").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("trailing_7d_revenue"),
+    )
+
+
+# ===========================================================================
+# q128 — TPC-H Q7 shape: volume shipping between two nations. lineitem
+# joined through BOTH its supplier-nation and (via orders) its
+# customer-nation, restricted to an unordered nation pair, revenue per
+# (supp_nation, cust_nation, ship year). Two independent dim chains hang
+# off one fact scan; both broadcast.
+# ===========================================================================
+
+@query(
+    "q128_nation_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(extract(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: revenue flowing between a nation pair per ship "
+    "year — the fact joins BOTH dim chains (supplier->nation and "
+    "orders->customer->nation), the unordered-pair predicate keeps both "
+    "directions, dims broadcast, one fact shuffle for the final rollup.",
+)
+def q128_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = Testdata(spark, sf_dir)
+    sn = td.nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = td.nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sup = td.supplier.join(
+        F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = td.customer.join(
+        F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey")
+    ).select("c_custkey", "cust_nation")
+    ord_cn = td.orders.join(
+        cust, F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        td.lineitem.join(
+            F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(ord_cn, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

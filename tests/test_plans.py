@@ -511,12 +511,19 @@ def test_r8_new_queries_plan_shapes(spark):
         "q119_large_volume_orders", "q120_dominant_suppliers",
         "q121_kmv_overlap", "q122_stratified_split",
         "q123_record_linkage", "q124_hot_key_join",
+        "q125_entity_clusters", "q126_top_supplier",
+        "q127_trailing_revenue", "q128_nation_trade_volume",
     ):
         plan = _exec_plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
     # the hot arm of the split join is a broadcast join by construction
     assert "BroadcastHashJoin" in _exec_plan(spark, "q124_hot_key_join")
+    # q127's global RANGE window is day-grain: its single-partition
+    # exchange must feed from the daily aggregate, never raw orders
+    _single_partition_exchanges_feed_from_aggregates(
+        _exec_plan(spark, "q127_trailing_revenue")
+    )
 
 
 def test_stratified_exact_split_no_global_window(spark):
