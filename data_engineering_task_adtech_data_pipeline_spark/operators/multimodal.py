@@ -1032,3 +1032,70 @@ def ahash_images(df: DataFrame, hash_size: int = 8,
             )
 
     return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    band_bits: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Visual NEAR-duplicate pairs from aHash fingerprints — the banded
+    LSH + verify recipe ``dedup.simhash_candidates`` applies to text,
+    applied to images (and, through ``sample_frames``, to video frames):
+    the 64-bit hash splits into ``64/band_bits`` substrings; images
+    sharing ANY band bucket together (two hashes within Hamming distance
+    d must agree on at least one band whenever d < n_bands — band_bits=16
+    guarantees recall for d <= 3 and catches most d <= 6); bucket-local
+    (id_a < id_b) pairs are then VERIFIED by exact Hamming distance over
+    the full 64 bits and kept at ``<= max_hamming``.
+
+    Scale shape: band rows explode 4x, buckets are band-local, and
+    degenerate buckets (a band value shared by > ``max_bucket`` images —
+    e.g. the all-black band) are DROPPED from pair generation, the same
+    deterministic hot-bucket contract as ``record_link_pairs``/
+    ``minhash_lsh_candidates``. The Hamming verify is one JVM-side
+    fold over the two bound hash attributes — no UDF.
+    """
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 64, got {band_bits}")
+    from pyspark.sql import functions as F
+
+    from .dedup import pairs_from_sorted_ids
+
+    n_bands = 64 // band_bits
+    h = hashes.select(F.col(id_col).alias("id"), "ahash_bits")
+    bands = h.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.substring(
+                        "ahash_bits", b * band_bits + 1, band_bits
+                    ).alias("band"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band_idx", "bb.band")
+    buckets = (
+        bands.groupBy("band_idx", "band")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = pairs_from_sorted_ids(buckets).distinct()
+    ha = h.select(F.col("id").alias("id_a"), F.col("ahash_bits").alias("__ba"))
+    hb = h.select(F.col("id").alias("id_b"), F.col("ahash_bits").alias("__bb"))
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "if(substr(__ba, i, 1) = substr(__bb, i, 1), 0, 1))"
+    )
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -4897,3 +4897,68 @@ def q125_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_records") > 1)
     )
+
+
+# ===========================================================================
+# q129 — visual NEAR-duplicate pairs (round 8): the banded-LSH + Hamming
+# verify that q113's doc promised "at scale" made real — band the 64-bit
+# aHash into 4x16-bit substrings, bucket-join band-locally (hot buckets
+# dropped at max_bucket=64 on BOTH engines), verify bucket-local pairs by
+# exact 64-bit Hamming distance <= 6. The simhash_candidates pattern
+# applied to images; composes with sample_frames for video frames.
+# ===========================================================================
+
+@query(
+    "q129_visual_near_dups",
+    oracle=f"""
+    WITH {_AHASH_CTES},
+    bands AS (
+      SELECT doc_id, CAST(b.b AS INTEGER) AS band_idx,
+             substr(ahash_bits, CAST(b.b * 16 + 1 AS INTEGER), 16) AS band
+      FROM hashes, UNNEST(range(0, 4)) b(b)
+    ),
+    keep AS (
+      SELECT band_idx, band FROM bands
+      GROUP BY band_idx, band
+      HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+    ),
+    pr AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a
+      JOIN keep k ON k.band_idx = a.band_idx AND k.band = a.band
+      JOIN bands c ON c.band_idx = a.band_idx AND c.band = a.band
+                  AND a.doc_id < c.doc_id
+    ),
+    ham AS (
+      SELECT p.id_a, p.id_b,
+             SUM(CASE WHEN substr(ha.ahash_bits, CAST(i AS INTEGER), 1)
+                       <> substr(hb.ahash_bits, CAST(i AS INTEGER), 1)
+                 THEN 1 ELSE 0 END) AS hamming
+      FROM pr p
+      JOIN hashes ha ON ha.doc_id = p.id_a
+      JOIN hashes hb ON hb.doc_id = p.id_b,
+      UNNEST(range(1, 65)) t(i)
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 6
+    """,
+    doc="Visual near-dup pairs over the real PPM decode path: aHash "
+    "fingerprints band into 4x16-bit substrings, images sharing a band "
+    "bucket together (buckets above 64 dropped — deterministic hot-"
+    "bucket contract, both engines), pairs verified by exact 64-bit "
+    "Hamming <= 6 via a JVM-side fold "
+    "(multimodal.ahash_near_dup_pairs).",
+)
+def q129_visual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    hashes = multimodal.ahash_images(multimodal.synth_ppm(docs)).where(
+        F.col("decode_ok")
+    )
+    return multimodal.ahash_near_dup_pairs(
+        hashes, max_hamming=6, band_bits=16, max_bucket=64
+    )
