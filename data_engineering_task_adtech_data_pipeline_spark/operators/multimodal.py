@@ -1099,3 +1099,84 @@ def ahash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, n_windows: int = 16, batch_rows: int = 256
+) -> DataFrame:
+    """Audio content fingerprints over REALLY-decoded PCM — the audio
+    member of the near-dup fingerprint family (text: simhash; image/video
+    frame: aHash; audio: this): the waveform splits into ``n_windows``
+    equal time windows, each window's integer ENERGY (sum of squared
+    samples — the robust, phase-insensitive statistic) compares against
+    the clip mean, and the bits concatenate into a '0'/'1' string.
+    Clips sharing a fingerprint are audio duplicates; near-dups band +
+    Hamming-verify exactly like ``ahash_near_dup_pairs``.
+
+    All integer math (energy·n_windows > total_energy — no division), so
+    an external SQL oracle re-deriving the samples reproduces every bit.
+    Window w covers frames [floor(w·L/n), floor((w+1)·L/n)); clips
+    shorter than ``n_windows`` frames leave trailing windows empty
+    (energy 0 → bit '0' on both engines). Same Arrow contract as
+    ``decode_audio``: corrupt WAV → decode_ok=False, non-RIFF raises."""
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("fp_bits", T.StringType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, False))
+                    continue
+                payload = bytes(payload)
+                if len(payload) < 12:
+                    rows.append((media_id, None, None, False))
+                    continue
+                if payload[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "only RIFF/WAVE PCM fingerprints offline; "
+                        "compressed audio needs an audio library "
+                        "(DEVIATIONS.md)"
+                    )
+                dec = _wav_decode(payload)
+                if dec is None:
+                    rows.append((media_id, None, None, False))
+                    continue
+                info, samples = dec
+                s = samples.astype("int64")
+                mono = s if s.ndim == 1 else s.sum(axis=1)
+                L = mono.size
+                if L == 0:
+                    rows.append((media_id, "0" * n_windows, 0, True))
+                    continue
+                idx = (np.arange(L) * n_windows) // L
+                # int64 bincount: energies sum exactly (s^2 < 2^30·L)
+                e = np.bincount(
+                    idx, weights=(mono * mono).astype("float64"),
+                    minlength=n_windows,
+                ).astype("int64")
+                total = int(e.sum())
+                bits = "".join(
+                    "1" if int(ew) * n_windows > total else "0"
+                    for ew in e
+                )
+                rows.append((media_id, bits, L, True))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)

@@ -4962,3 +4962,79 @@ def q129_visual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_near_dup_pairs(
         hashes, max_hamming=6, band_bits=16, max_bucket=64
     )
+
+
+# ===========================================================================
+# q130 — audio fingerprint duplicate clips (round 8): the audio member of
+# the cross-modal near-dup family (text simhash / image+video aHash /
+# audio THIS). Real WAV decode -> 16-window integer energy signature ->
+# identical-fingerprint groups. The oracle re-derives every PCM sample
+# from text (the q98 synth_wav contract), every energy sum and threshold
+# in exact integer arithmetic — bit-for-bit.
+# ===========================================================================
+
+@query(
+    "q130_audio_fingerprint_dups",
+    oracle="""
+    WITH au AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    s AS (
+      SELECT a.doc_id, a.L, CAST(t.i AS BIGINT) AS i,
+             ((unicode(substr(a.text, CAST(t.i AS INTEGER), 1)) * 257
+               + 7 * t.i) % 65536) - 32768 AS v
+      FROM au a, UNNEST(range(1, a.L + 1)) t(i)
+    ),
+    we AS (
+      SELECT doc_id, L, ((i - 1) * 16) // L AS wdx,
+             SUM(v * v) AS e
+      FROM s GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, SUM(e) AS te FROM we GROUP BY 1),
+    allw AS (
+      SELECT a.doc_id, CAST(w.w AS BIGINT) AS wdx,
+             COALESCE(we.e, 0) AS e
+      FROM au a
+      CROSS JOIN UNNEST(range(0, 16)) w(w)
+      LEFT JOIN we ON we.doc_id = a.doc_id AND we.wdx = w.w
+    ),
+    fp AS (
+      SELECT aw.doc_id,
+             string_agg(CASE WHEN aw.e * 16 > t.te THEN '1' ELSE '0' END,
+                        '' ORDER BY aw.wdx) AS fp_bits
+      FROM allw aw JOIN tot t USING (doc_id)
+      GROUP BY aw.doc_id
+    )
+    SELECT fp_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM fp
+    GROUP BY fp_bits
+    HAVING COUNT(*) > 1
+    """,
+    doc="Duplicate audio clips by content fingerprint over the REAL "
+    "RIFF/WAVE decode path: synth_wav -> _wav_decode -> 16-window "
+    "integer energy signature (energy*16 > total, no division) -> "
+    "identical-fingerprint groups (multimodal.audio_fingerprint). "
+    "Near-dups widen to band + Hamming verify exactly like "
+    "ahash_near_dup_pairs.",
+)
+def q130_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = Testdata(spark, sf_dir).documents.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    fp = multimodal.audio_fingerprint(multimodal.synth_wav(docs))
+    return (
+        fp.where(F.col("decode_ok"))
+        .groupBy("fp_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("media_id").alias("keep_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .where(F.col("n_clips") > 1)
+    )

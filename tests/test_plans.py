@@ -513,7 +513,7 @@ def test_r8_new_queries_plan_shapes(spark):
         "q123_record_linkage", "q124_hot_key_join",
         "q125_entity_clusters", "q126_top_supplier",
         "q127_trailing_revenue", "q128_nation_trade_volume",
-        "q129_visual_near_dups",
+        "q129_visual_near_dups", "q130_audio_fingerprint_dups",
     ):
         plan = _exec_plan(spark, name)
         assert "CartesianProduct" not in plan, name

@@ -70,7 +70,7 @@ QUERIES = [
     "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
     "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
     "q127_trailing_revenue", "q128_nation_trade_volume",
-    "q129_visual_near_dups",
+    "q129_visual_near_dups", "q130_audio_fingerprint_dups",
 ]
 
 
