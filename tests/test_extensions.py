@@ -2128,3 +2128,35 @@ def test_kmv_intersect_pairs_exact_and_estimated(spark):
     r2 = sketch.kmv_intersect_pairs(sk2, "g", k=256).collect()[0]
     assert abs(r2.est_inter - 2_000) / 2_000 < 0.4, r2
     assert abs(r2.est_union - 6_000) / 6_000 < 0.25, r2
+
+
+def test_audio_fingerprint_short_clip_and_contract(spark):
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        multimodal,
+    )
+
+    # 5-char text -> 5 frames < 16 windows: trailing windows are empty
+    # and must emit '0' bits (the oracle's COALESCE(e, 0) twin)
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcde"), (3, None)],
+        "doc_id long, text string",
+    )
+    fp = multimodal.audio_fingerprint(multimodal.synth_wav(docs)).collect()
+    by_id = {r.media_id: r for r in fp}
+    assert by_id[1].decode_ok and by_id[1].n_frames == 5
+    assert len(by_id[1].fp_bits) == 16
+    # frame i lands in window (i*16)//5: only {0,3,6,9,12} can be
+    # non-empty; every other window is empty and must emit '0'
+    occupied = {(i * 16) // 5 for i in range(5)}
+    for w in range(16):
+        if w not in occupied:
+            assert by_id[1].fp_bits[w] == "0", (w, by_id[1].fp_bits)
+    # identical clips -> identical fingerprints (the dup-group property)
+    assert by_id[1].fp_bits == by_id[2].fp_bits
+    assert not by_id[3].decode_ok
+    # corrupt payload: decode_ok=False, never a raise
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"RIFFxxxx"))], "media_id long, payload binary"
+    )
+    r = multimodal.audio_fingerprint(bad).collect()[0]
+    assert not r.decode_ok
