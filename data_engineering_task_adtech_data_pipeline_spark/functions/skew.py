@@ -28,6 +28,7 @@ def salted_agg(
     partials: dict[str, Column],
     merges: dict[str, Column],
     salt_buckets: int = 32,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over ``keys`` with a salt column.
 
@@ -35,18 +36,46 @@ def salted_agg(
     ``merges``: output-name -> aggregate over phase-1 partial columns
     (phase 2; reference partial columns by their output names).
 
+    The salt is a CONTENT hash (xxhash64 over ``salt_cols``, default all
+    columns), not ``monotonically_increasing_id``: results were already
+    layout-independent (phase 2 re-merges), but a partition-layout salt
+    made phase-1 TASK SHAPES irreproducible across different input
+    splits, which turns skew debugging into chasing ghosts (r8 review).
+    A content hash gives the same row → same bucket on every run and
+    every layout. Rows that are full duplicates share a bucket — only a
+    degenerate all-identical-rows input defeats the split.
+
     Example (count + max watermark per campaign)::
 
         salted_agg(events, ["campaign_id"],
             partials={"n": F.count(F.lit(1)), "wm": F.max("created_at")},
             merges={"n": F.sum("n"), "wm": F.max("wm")})
     """
-    salted = df.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    scols = list(salt_cols) if salt_cols is not None else df.columns
+    salted = df.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(salt_buckets)),
+    )
     phase1 = salted.groupBy(*keys, _SALT).agg(
         *[c.alias(name) for name, c in partials.items()]
     )
     return phase1.groupBy(*keys).agg(
         *[c.alias(name) for name, c in merges.items()]
+    )
+
+
+def hot_key_census(
+    fact: DataFrame, fact_key: str, hot_threshold: int = 1_000_000
+) -> DataFrame:
+    """Compute the hot-key set once (keys with > ``hot_threshold`` rows)
+    for reuse across several :func:`hot_key_split_join` calls of the same
+    fact — pass the (persisted) result as ``hot_keys`` so each join scans
+    the fact twice instead of three times."""
+    return (
+        fact.groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > hot_threshold)
+        .select(fact_key)
     )
 
 
@@ -57,6 +86,7 @@ def hot_key_split_join(
     dim_key: str,
     hot_threshold: int = 1_000_000,
     how: str = "inner",
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-safe fact⋈dim equi-join via HOT-KEY SPLIT: fact keys whose row
     count exceeds ``hot_threshold`` join through a BROADCAST arm (the hot
@@ -67,12 +97,16 @@ def hot_key_split_join(
     PLAN (deterministic task shapes, no runtime re-plan dependency) — and
     for ``how="left"`` where AQE's splitter declines outer sides.
 
-    Cost note: the hot-key census is one partial-agg count over the fact
-    key (map-side combine collapses each partition to its distinct keys)
-    — cheap relative to the join it de-skews, and reusable across joins
-    of the same fact. The broadcast arm is bounded: it carries only dim
-    rows matching hot keys (≤ distinct-hot-keys rows, a handful by
-    definition of "hot").
+    Cost note: without ``hot_keys`` the fact is scanned THREE times
+    (census count + semi-join hot arm + anti-join tail arm). Pass a
+    precomputed ``hot_keys`` frame (single column named ``fact_key``,
+    e.g. from a prior call's census or a maintained stats table) to skip
+    the census — then the fact is scanned twice, and repeated joins of
+    the same fact pay the census once. When computing it here, the
+    census is one partial-agg count over the fact key (map-side combine
+    collapses each partition to its distinct keys). Either way the
+    broadcast arm is bounded: it carries only dim rows matching hot keys
+    (≤ distinct-hot-keys rows, a handful by definition of "hot").
 
     ``how``: "inner" or "left" (left = fact-preserving; hot fact keys
     missing from dim still surface with NULL dim columns via the
@@ -86,8 +120,15 @@ def hot_key_split_join(
             "join condition references both sides by name); rename one "
             "side first"
         )
-    counts = fact.groupBy(fact_key).agg(F.count(F.lit(1)).alias("__n"))
-    hot = counts.where(F.col("__n") > hot_threshold).select(fact_key)
+    if hot_keys is not None:
+        if hot_keys.columns != [fact_key]:
+            raise ValueError(
+                f"hot_keys must be a single-column frame named "
+                f"{fact_key!r}, got columns {hot_keys.columns}"
+            )
+        hot = hot_keys
+    else:
+        hot = hot_key_census(fact, fact_key, hot_threshold)
     cond = F.col(fact_key) == F.col(dim_key)
     # hot arm: fact rows with hot keys x broadcast(dim ⋉ hot keys)
     hot_b = F.broadcast(hot)

@@ -559,19 +559,45 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id",
 # Y4M is the uncompressed interchange container (mjpegtools/ffmpeg
 # `-f yuv4mpeg`): one ASCII header line, then per-frame `FRAME\n` markers
 # followed by raw planes — parseable with numpy alone. Supported
-# colorspaces offline: `Cmono` (one Y plane/frame) and `C444` (Y,U,V
-# planes, no chroma subsampling — 4:2:0 would need interpolation, the
-# part a video library owns). Compressed video (MP4/MKV/AVI-MJPEG) raises
-# NotImplementedError inside the executor batch — the spot ffmpeg plugs
-# in (DEVIATIONS.md).
+# colorspaces offline: `Cmono` (one Y plane/frame), `C444` (Y,U,V planes,
+# no subsampling) and — since round 9 — the `C420` family (`420`,
+# `420jpeg`, `420mpeg2`, `420paldv`: identical plane layout, the tags
+# differ only in chroma SITING, which nearest-neighbor reconstruction is
+# agnostic to). 4:2:0 chroma is reconstructed by exact nearest-neighbor
+# upsample (each full-res pixel reads chroma block (x//2, y//2) — pure
+# integer indexing, so every decoded value stays oracle-derivable;
+# smooth bilinear siting-aware reconstruction is the video library's
+# refinement, not a correctness requirement). Compressed video
+# (MP4/MKV/AVI-MJPEG) raises NotImplementedError inside the executor
+# batch — the spot ffmpeg plugs in (DEVIATIONS.md).
 # ---------------------------------------------------------------------------
 
 
 def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
     """Encode (n, h, w) uint8 (mono) or (n, h, w, 3) uint8 (444) frames
-    as a YUV4MPEG2 payload."""
+    as a YUV4MPEG2 payload. For 4:2:0 pass ``frames`` as a tuple
+    ``(Y, U, V)`` of uint8 arrays shaped (n, h, w) / (n, h/2, w/2) /
+    (n, h/2, w/2) with even h, w — written with the ``C420`` tag."""
     import numpy as np
 
+    if isinstance(frames, tuple):
+        yp, up, vp = (np.asarray(p, dtype=np.uint8) for p in frames)
+        n, h, w = yp.shape
+        if h % 2 or w % 2:
+            raise ValueError("C420 requires even dimensions")
+        if up.shape != (n, h // 2, w // 2) or vp.shape != up.shape:
+            raise ValueError(
+                "C420 chroma planes must be (n, h/2, w/2), got "
+                f"{up.shape}/{vp.shape} for Y {yp.shape}"
+            )
+        out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\n"
+               % (w, h, fps_num, fps_den)]
+        for f in range(n):
+            out.append(b"FRAME\n")
+            out.append(yp[f].tobytes())
+            out.append(up[f].tobytes())
+            out.append(vp[f].tobytes())
+        return b"".join(out)
     arr = np.asarray(frames, dtype=np.uint8)
     mono = arr.ndim == 3
     if not mono and not (arr.ndim == 4 and arr.shape[-1] == 3):
@@ -592,11 +618,16 @@ def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
     return b"".join(out)
 
 
+_C420_TAGS = ("420", "420jpeg", "420mpeg2", "420paldv")
+
+
 def _y4m_decode(payload: bytes):
-    """Parse a YUV4MPEG2 payload (Cmono or C444). Returns
-    ``(info_dict, frames)`` — frames is (n, h, w) uint8 for mono or
-    (n, h, w, 3) uint8 planar-stacked for 444 — or ``None`` if the
-    payload is corrupt or an unsupported-colorspace sub-format."""
+    """Parse a YUV4MPEG2 payload (Cmono, C444, or the C420 family).
+    Returns ``(info_dict, frames)`` — frames is (n, h, w) uint8 for mono
+    or (n, h, w, 3) uint8 planar-stacked for 444/420 (420 chroma
+    reconstructed by exact nearest-neighbor upsample: full-res pixel
+    (x, y) reads chroma block (x//2, y//2)) — or ``None`` if the payload
+    is corrupt or an unsupported-colorspace sub-format."""
     import numpy as np
 
     try:
@@ -620,10 +651,14 @@ def _y4m_decode(payload: bytes):
                 cs = val
         if not w or not h or w <= 0 or h <= 0 or not fn or not fd:
             return None
-        if cs not in ("mono", "444"):
-            return None  # subsampled chroma: unsupported sub-format
+        sub420 = cs in _C420_TAGS
+        if cs not in ("mono", "444") and not sub420:
+            return None  # 4:2:2 / 4:1:1 / 16-bit: unsupported sub-format
+        if sub420 and (w % 2 or h % 2):
+            return None  # C420 plane split is ill-defined on odd dims
         planes = 1 if cs == "mono" else 3
-        fsize = w * h * planes
+        wh = w * h
+        fsize = wh + 2 * (wh // 4) if sub420 else wh * planes
         frames, pos, n = [], nl + 1, len(payload)
         while pos < n:
             fnl = payload.index(b"\n", pos)
@@ -635,6 +670,15 @@ def _y4m_decode(payload: bytes):
             raw = np.frombuffer(payload, np.uint8, count=fsize, offset=body)
             if planes == 1:
                 frames.append(raw.reshape(h, w))
+            elif sub420:
+                yp = raw[:wh].reshape(h, w)
+                cq = wh // 4
+                up = raw[wh:wh + cq].reshape(h // 2, w // 2)
+                vp = raw[wh + cq:].reshape(h // 2, w // 2)
+                # nearest-neighbor 2x upsample — exact integer indexing
+                uf = np.repeat(np.repeat(up, 2, axis=0), 2, axis=1)
+                vf = np.repeat(np.repeat(vp, 2, axis=0), 2, axis=1)
+                frames.append(np.stack([yp, uf, vf], axis=-1))
             else:
                 frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
             pos = body + fsize
@@ -801,15 +845,30 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", width: int = 16,
               height: int = 12) -> DataFrame:
     """Deterministic Y4M test fixture (the video member of the
-    ``synth_wav`` / ``synth_ppm`` family): a mono clip at 4 fps with
-    ``n_frames = (len(text) % 3) + 2`` frames, where frame f's pixel
+    ``synth_wav`` / ``synth_ppm`` family): a clip at 4 fps with
+    ``n_frames = (len(text) % 3) + 2`` frames, where frame f's Y pixel
     (x, y) derives from the text codepoint at index
     ``((f*height + y)*width + x) mod len(text)`` (0-based) as
     ``lum = (cp*3 + x + 5*y + 11*f) % 256`` — a pure function of the
     text, so an external SQL oracle can re-derive any frame pixel (and
     thus every decoded stat and every sampled-frame aHash) from the
-    source table. Returns (media_id, payload); NULL/empty text yields a
-    NULL payload."""
+    source table.
+
+    Colorspace arm (round 9): EVEN-length texts emit ``Cmono`` clips
+    (Y plane only, as before); ODD-length texts emit ``C420`` clips —
+    the dominant real-world Y4M colorspace — with the SAME Y plane plus
+    deterministic half-resolution chroma: at chroma coords (cx, cy),
+    ``u = (cp[ku]*7 + 3*cx + cy + 2*f) % 256`` with
+    ``ku = ((f*(height/2) + cy)*(width/2) + cx) mod len(text)`` and
+    ``v = (cp[kv]*11 + cx + 4*cy + 6*f) % 256`` with ``kv = ku + 1 mod
+    len(text)``. Because decode reconstructs chroma by nearest-neighbor
+    (full-res (x, y) reads block (x//2, y//2)), every decoded channel
+    value stays a pure integer function of the text — the oracle for the
+    sampled-frame hashes (q118) re-derives the chroma at block coords,
+    which VALUE-CHECKS the upsample indexing itself. Returns
+    (media_id, payload); NULL/empty text yields a NULL payload."""
+    if width % 2 or height % 2:
+        raise ValueError("width/height must be even (C420 arm)")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -823,6 +882,9 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id",
 
         x = np.arange(width)[None, None, :]
         y = np.arange(height)[None, :, None]
+        cw, ch = width // 2, height // 2
+        cx = np.arange(cw)[None, None, :]
+        cy = np.arange(ch)[None, :, None]
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
@@ -837,7 +899,19 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id",
                 k = (f * height + y) * width + x
                 cp = cps[k % len(cps)]
                 lum = ((cp * 3 + x + 5 * y + 11 * f) % 256).astype(np.uint8)
-                payloads.append(_y4m_encode(lum, fps_num=4, fps_den=1))
+                if len(t) % 2 == 0:
+                    payloads.append(_y4m_encode(lum, fps_num=4, fps_den=1))
+                    continue
+                # odd-length text: C420 clip — same Y plane, plus
+                # deterministic half-resolution chroma (docstring math)
+                ku = (f * ch + cy) * cw + cx
+                up = ((cps[ku % len(cps)] * 7 + 3 * cx + cy + 2 * f)
+                      % 256).astype(np.uint8)
+                vp = ((cps[(ku + 1) % len(cps)] * 11 + cx + 4 * cy + 6 * f)
+                      % 256).astype(np.uint8)
+                payloads.append(
+                    _y4m_encode((lum, up, vp), fps_num=4, fps_den=1)
+                )
             yield pd.DataFrame(
                 {"media_id": pdf[id_col], "payload": payloads}
             )
@@ -1164,11 +1238,21 @@ def audio_fingerprint(
                     rows.append((media_id, "0" * n_windows, 0, True))
                     continue
                 idx = (np.arange(L) * n_windows) // L
-                # int64 bincount: energies sum exactly (s^2 < 2^30·L)
-                e = np.bincount(
-                    idx, weights=(mono * mono).astype("float64"),
-                    minlength=n_windows,
-                ).astype("int64")
+                # EXACT int64 accumulation: bincount's float64 weights
+                # lose integer exactness past 2^53 total energy (~8M
+                # mono 16-bit samples; less multi-channel). idx is
+                # monotone, so window sums are int64 prefix-sum
+                # differences — exact while total energy < 2^63
+                # (~2^33 mono samples, hours of audio) (r8 advice).
+                sq = mono * mono  # int64; < 2^36 per sample (8ch 16-bit)
+                cs = np.concatenate(
+                    ([0], np.cumsum(sq, dtype="int64"))
+                )
+                w_ix = np.arange(n_windows)
+                e = (
+                    cs[np.searchsorted(idx, w_ix, side="right")]
+                    - cs[np.searchsorted(idx, w_ix, side="left")]
+                )
                 total = int(e.sum())
                 bits = "".join(
                     "1" if int(ew) * n_windows > total else "0"

@@ -582,6 +582,8 @@ def stratified_exact_split(
     :func:`stratified_deterministic_sample`'s Bernoulli cutoff only
     approximates. Deterministic: a pure function of the data, salt, and
     fraction; re-runs and engine replays select the identical rows.
+    A NULL ``stratum_col`` forms its own stratum (null-safe joins
+    throughout), so every input row receives a split label.
 
     Scale shape (100 TB): NO per-stratum global sort or single-partition
     window. Phase 1 bins the 60-bit hash space into ``n_bins`` prefix
@@ -606,7 +608,10 @@ def stratified_exact_split(
     bits = _MD5_FULL_BITS if method == "md5" else 63
     h = _hash_full(keys, salt, method)
     if method != "md5":
-        h = F.abs(h)  # xxhash64 is signed; fold to [0, 2^63)
+        # Mask, not abs: abs(Long.MIN_VALUE) stays negative in non-ANSI
+        # Spark and a negative hash shiftright's to a negative bin;
+        # & (2^63-1) folds every value into [0, 2^63) (r8 advice).
+        h = h.bitwiseAND(F.lit((1 << 63) - 1))
     shift = bits - n_bins.bit_length() + 1
     work = df.withColumn("__h", h).withColumn(
         "__bin", F.shiftright(F.col("__h"), shift)
@@ -631,21 +636,37 @@ def stratified_exact_split(
             F.max(k).alias("__k"),
         )
     )
+    # All three joins are NULL-SAFE (<=>): groupBy and the cumulative
+    # window already treat NULL as its own stratum, so a plain equi-join
+    # would silently drop NULL-stratum rows from BOTH branches (the edge
+    # filter and its negation evaluate to NULL) — violating the
+    # adds-split_col-to-every-row contract (r8 advice). EqualNullSafe is
+    # still an equi-join key, so the broadcast hash join is preserved.
+    sk = "__b_stratum"
     below = (
-        cum.join(boundary.select(stratum_col, "__bbin"), stratum_col)
+        cum.join(
+            boundary.select(F.col(stratum_col).alias(sk), "__bbin"),
+            F.col(stratum_col).eqNullSafe(F.col(sk)),
+        )
         .where(F.col("__bin") < F.col("__bbin"))
         .groupBy(stratum_col)
         .agg(F.sum("__c").alias("__below"))
     )
     bframe = F.broadcast(
-        boundary.join(below, stratum_col, "left").select(
-            stratum_col,
+        boundary.join(
+            below.select(F.col(stratum_col).alias(sk), "__below"),
+            F.col(stratum_col).eqNullSafe(F.col(sk)),
+            "left",
+        ).select(
+            F.col(stratum_col).alias(sk),
             "__bbin",
             "__k",
             F.coalesce("__below", F.lit(0)).alias("__below"),
         )
     )
-    tagged = work.join(bframe, stratum_col, "left")
+    tagged = work.join(
+        bframe, F.col(stratum_col).eqNullSafe(F.col(sk)), "left"
+    ).drop(sk)
     in_edge = F.col("__bin") == F.col("__bbin")
     # non-edge rows: classified map-side, never shuffled
     non_edge = tagged.where(~in_edge).withColumn(

@@ -485,8 +485,11 @@ def kmv_sketch(
 
     gcols = list(group_cols)
     v = F.col(value_col).cast("string")
+    # Mask, not abs: in non-ANSI Spark abs(Long.MIN_VALUE) stays
+    # negative, so a 2^-64-probability hash would sort FIRST and steal a
+    # sketch slot; & (2^63-1) maps MIN_VALUE to 0, branch-free (r8 advice).
     h = (md5_long(v) if method == "md5"
-         else F.abs(F.xxhash64(v))).alias("h")
+         else F.xxhash64(v).bitwiseAND(F.lit((1 << 63) - 1))).alias("h")
     # NULL values are NOT members of the distinct-value set (COUNT
     # DISTINCT semantics); an unfiltered NULL hash would sort FIRST
     # (ASC NULLS FIRST), steal a sketch slot, and diverge from the

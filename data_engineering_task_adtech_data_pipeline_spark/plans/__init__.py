@@ -23,29 +23,31 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) never-driver-verified: the 10 r7 post-window additions, the 9
-    # r5 entries that missed two windows in a row (r7 VERDICT #1 — they
-    # lead this block), and the 2 new-this-round video entries
-    "q19_token_features", "q21_doc_stats_by_source", "q36_hash_split",
-    "q41_curation_pipeline", "q48_jaccard_verify",
-    "q54_contamination_report", "q57_bigram_novelty",
-    "q62_quantile_filter", "q66_mixture_sample",
-    "q107_triangle_count", "q108_phrase_search", "q109_hist_quantiles",
-    "q110_audio_resample", "q111_cheapest_supplier", "q112_image_ahash",
-    "q113_image_dup_groups", "q114_variant_extract",
-    "q115_pseudonymized_join", "q116_temporal_split",
-    "q117_video_stats", "q118_video_frame_dups",
+    # (b) never-driver-verified: the 12 r8 post-window additions
+    # (q119–q130, recorded-local-gate-only until now) lead, per the
+    # rotation invariant
+    "q119_large_volume_orders", "q120_dominant_suppliers",
+    "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
+    "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
+    "q127_trailing_revenue", "q128_nation_trade_volume",
+    "q129_visual_near_dups", "q130_audio_fingerprint_dups",
     # (c) longest-unverified block: last driver-green r6 — the q75–q97
-    # family leads (19 of its 23 fit; q92/q95/q96/q97 plus the r6
-    # relational block q22–q34/q37/q39/q44/q46 stay on the recorded
-    # local gate and lead block (c) next round)
-    "q75_winnow_match_pairs", "q76_hard_negatives", "q77_budget_select",
-    "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
-    "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
-    "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
-    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
-    "q90_pagerank", "q91_window_ranks", "q93_weighted_sample",
-    "q94_bpe_tokenize",
+    # stragglers that missed the r8 window, then the full r6 relational
+    # block
+    "q92_scd2_history", "q95_small_quantity_revenue",
+    "q96_retention_cohorts", "q97_event_funnel",
+    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
+    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
+    "q28_window_calendar", "q29_asof_join", "q30_range_join",
+    "q31_sessionize", "q32_percentiles", "q33_profile",
+    "q34_json_extract", "q37_exists_anti",
+    "q39_order_count_distribution", "q44_string_functions",
+    "q46_array_agg",
+    # (d) fill: oldest r7-green entries (next-longest-unverified) —
+    # swapped out for new-this-round entries as they land
+    "q11_dedup_exact", "q12_ngram_jaccard", "q13_minhash_dedup",
+    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
+    "q17_text_features",
 ]
 
 

@@ -4488,12 +4488,15 @@ _VIDEO_VIDS_CTE = """
            CAST(SUM(v) AS BIGINT) AS lum_sum
     FROM lum GROUP BY doc_id, nf
     """,
-    doc="Real video decode: documents.text -> deterministic mono Y4M clip "
-    "(multimodal.synth_y4m, 2-4 frames at 4 fps) -> hand-rolled YUV4MPEG2 "
-    "parse (multimodal._y4m_decode) -> per-clip stream stats inside "
-    "Arrow-batched mapInPandas. The oracle rebuilds the exact Y samples "
-    "of every frame from text codepoints in SQL; peak/sum are pure "
-    "integer math, bit-for-bit.",
+    doc="Real video decode: documents.text -> deterministic Y4M clip "
+    "(multimodal.synth_y4m, 2-4 frames at 4 fps; even-length texts mono, "
+    "odd-length C420 with 4:2:0 subsampled chroma since round 9) -> "
+    "hand-rolled YUV4MPEG2 parse (multimodal._y4m_decode) -> per-clip "
+    "stream stats inside Arrow-batched mapInPandas. The oracle rebuilds "
+    "the exact Y samples of every frame from text codepoints in SQL "
+    "(identical for both colorspaces — a wrong C420 frame size or plane "
+    "offset would corrupt the Y stats); peak/sum are pure integer math, "
+    "bit-for-bit.",
 )
 def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
@@ -4534,13 +4537,32 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vids v, UNNEST(range(0, 4)) f(f)
       WHERE f.f < v.nf AND f.f % 2 = 0
     ),
-    lum AS (
-      SELECT fr.doc_id, fr.f, g.gy, g.gx,
+    chan AS (
+      SELECT fr.doc_id, fr.f, fr.L, fr.text, g.gy, g.gx, g.sy,
              ((unicode(substr(fr.text,
                  CAST((((fr.f * 12 + g.sy) * 16 + g.sx) % fr.L) + 1
                       AS INTEGER), 1)) * 3
-               + g.sx + 5 * g.sy + 11 * fr.f) % 256) AS v
+               + g.sx + 5 * g.sy + 11 * fr.f) % 256) AS yv,
+             -- C420 arm (odd-length text): chroma at block coords
+             -- (cx, cy) = (gx, sy // 2) — sx = 2*gx+1 so sx//2 = gx.
+             -- Re-deriving chroma AT BLOCK COORDS value-checks the
+             -- decoder's nearest-neighbor upsample indexing itself.
+             ((fr.f * 6 + g.sy // 2) * 8 + g.gx) % fr.L AS ku
       FROM fr, grid g
+    ),
+    lum AS (
+      SELECT doc_id, f, gy, gx,
+             CASE WHEN L % 2 = 1 THEN
+               (yv
+                + ((unicode(substr(text,
+                      CAST(ku + 1 AS INTEGER), 1)) * 7
+                    + 3 * gx + (sy // 2) + 2 * f) % 256)
+                + ((unicode(substr(text,
+                      CAST(((ku + 1) % L) + 1 AS INTEGER), 1)) * 11
+                    + gx + 4 * (sy // 2) + 6 * f) % 256)
+               ) // 3
+             ELSE yv END AS v
+      FROM chan
     ),
     m AS (SELECT doc_id, f, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id, f),
     hashes AS (
@@ -4562,10 +4584,14 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the real image fingerprint: synth_y4m -> sample_frames (every 2nd "
     "frame, re-encoded as true P6 payloads) -> ahash_images -> identical-"
     "hash groups across frames AND videos (keep_frame = min "
-    "media_id*16+frame_idx). The oracle re-derives only the 64 SAMPLED "
-    "pixels of each kept frame from the text — every value integer, "
-    "bit-for-bit. At scale, near-dup frames widen to substring bands + "
-    "hamming verify exactly like dedup.simhash_candidates.",
+    "media_id*16+frame_idx). Round 9: odd-length texts emit C420 clips "
+    "(4:2:0 subsampled chroma, the dominant real-world Y4M colorspace), "
+    "so the path exercises the decoder's nearest-neighbor chroma "
+    "upsample; the oracle re-derives the sampled pixels' chroma AT BLOCK "
+    "COORDS (sx//2, sy//2), value-checking the upsample indexing. Every "
+    "value integer, bit-for-bit. At scale, near-dup frames widen to "
+    "substring bands + hamming verify exactly like "
+    "dedup.simhash_candidates.",
 )
 def q118_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal

@@ -1969,7 +1969,7 @@ def test_y4m_roundtrip_and_decode_contract(spark):
     # 444 stats come from the Y plane only
     assert got[2].lum_sum == int(full[..., 0].astype("int64").sum())
     assert got[2].duration_ms == 2 * 1000 * 1001 // 30000
-    for bad in (3, 4, 5, 6):  # 4: default C420 = unsupported sub-format
+    for bad in (3, 4, 5, 6):  # 4: C420 default needs 6 bytes, has 4
         assert not got[bad].decode_ok, bad
     # foreign container magic raises inside the executor batch
     avi = spark.createDataFrame(
@@ -1978,6 +1978,52 @@ def test_y4m_roundtrip_and_decode_contract(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|Y4M|yuv4mpeg|YUV4MPEG2"):
         multimodal.decode_video(avi).collect()
+
+
+def test_y4m_c420_roundtrip_upsample_and_rejects():
+    """C420 codec (round 9): encode (Y, U, V) planes with VARYING chroma,
+    decode, and check (a) the Y plane survives bit-for-bit (the stats
+    path), (b) every full-res chroma value equals its half-res block
+    source — the exact nearest-neighbor upsample contract pixel (x, y)
+    <- block (x//2, y//2); (c) the 420 tag family all parse; (d) odd
+    dims and 4:2:2 stay rejected."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    n, h, w = 2, 6, 8
+    yp = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    up = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+    vp = rng.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+    p = multimodal._y4m_encode((yp, up, vp), fps_num=25, fps_den=1)
+    info, frames = multimodal._y4m_decode(p)
+    assert info["colorspace"] == "420" and info["n_frames"] == n
+    assert frames.shape == (n, h, w, 3)
+    assert (frames[..., 0] == yp).all()
+    for y in range(h):
+        for x in range(w):
+            assert (frames[:, y, x, 1] == up[:, y // 2, x // 2]).all()
+            assert (frames[:, y, x, 2] == vp[:, y // 2, x // 2]).all()
+    # tag family: same plane layout under every 420 siting variant
+    for tag in (b"420jpeg", b"420mpeg2", b"420paldv"):
+        alias = p.replace(b" C420\n", b" C" + tag + b"\n", 1)
+        info2, frames2 = multimodal._y4m_decode(alias)
+        assert (frames2 == frames).all() and info2["colorspace"] == tag.decode()
+    # odd dims: plane split ill-defined -> corrupt, not a crash
+    assert multimodal._y4m_decode(
+        b"YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + b"\x00" * 9
+    ) is None
+    # 4:2:2 remains an unsupported sub-format
+    assert multimodal._y4m_decode(
+        b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\x00" * 8
+    ) is None
+    import pytest
+
+    with pytest.raises(ValueError, match="even"):
+        multimodal._y4m_encode(
+            (yp[:, :5, :], up, vp)
+        )
 
 
 def test_sample_frames_decimation_and_ahash_compose(spark):

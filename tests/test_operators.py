@@ -778,6 +778,66 @@ def test_hot_key_split_join_equals_plain_join(spark):
         hot_key_split_join(fact, fact, "k", "k")
 
 
+def test_hot_key_split_join_precomputed_census(spark):
+    """A precomputed hot_keys frame (from hot_key_census) must produce the
+    identical join — and skip the in-call census, so repeated joins of
+    the same fact scan it twice, not three times (r8 review)."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.functions.skew import (
+        hot_key_census,
+        hot_key_split_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(7, i) for i in range(500)]
+        + [(k, i) for k in (1, 2, 99) for i in range(2)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(7, "hot"), (1, "a"), (2, "b")], "dk long, label string"
+    )
+    census = hot_key_census(fact, "k", hot_threshold=100)
+    assert [r.k for r in census.collect()] == [7]
+    plain = fact.join(dim, F.col("k") == F.col("dk"), "left")
+    for hk in (census, None):
+        split = hot_key_split_join(
+            fact, dim, "k", "dk", hot_threshold=100, how="left", hot_keys=hk
+        )
+        assert sorted(map(tuple, split.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    with pytest.raises(ValueError, match="single-column"):
+        hot_key_split_join(fact, dim, "k", "dk", hot_keys=fact)
+
+
+def test_stratified_exact_split_null_stratum(spark):
+    """NULL stratum forms its OWN stratum (null-safe joins): every input
+    row keeps a split label, and the NULL stratum gets exactly
+    ceil(frac * n_null) sample rows (r8 advice: rows used to vanish)."""
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, f"s{i % 2}" if i % 5 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, st string")
+    n_null = sum(1 for _, s in rows if s is None)
+    for method in ("md5", "xxhash64"):
+        out = sampling.stratified_exact_split(
+            df, 0.3, "st", ["id"], method=method
+        )
+        assert out.count() == 200  # no row vanishes
+        got = {
+            (r.st, r.split): r["count"]
+            for r in out.groupBy("st", "split").count().collect()
+        }
+        assert (
+            got.get((None, "sample"), 0) == math.ceil(0.3 * n_null)
+        ), got
+
+
 def test_write_zordered_clusters_both_columns(spark, tmp_path):
     """Z-order layout quality: per-file min/max envelopes on BOTH curve
     columns must be far tighter than the global range — that envelope IS
