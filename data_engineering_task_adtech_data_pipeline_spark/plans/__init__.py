@@ -43,9 +43,10 @@ DRIVER_WINDOW: list[str] = [
     "q34_json_extract", "q37_exists_anti",
     "q39_order_count_distribution", "q44_string_functions",
     "q46_array_agg",
-    # (d) fill: oldest r7-green entries (next-longest-unverified) —
-    # swapped out for new-this-round entries as they land
-    "q11_dedup_exact", "q12_ngram_jaccard", "q13_minhash_dedup",
+    # (d) new-this-round entries (never driver-verified) + fill: oldest
+    # r7-green entries, swapped out as new entries land
+    "q131_stream_daily_ingest",
+    "q12_ngram_jaccard", "q13_minhash_dedup",
     "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
     "q17_text_features",
 ]

@@ -5064,3 +5064,126 @@ def q130_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_clips") > 1)
     )
+
+
+# ===========================================================================
+# q131 — ORACLE-CHECKED STREAMING (round 9, r8 VERDICT #7): the streaming
+# surface gets a driver-gated value check. prepare() lands the events table
+# through the REAL Structured Streaming job (streaming.jobs.
+# stream_events_daily: file source -> watermarked day-grain agg ->
+# foreachBatch versioned upsert) in TWO availableNow runs sharing one
+# checkpoint — wave 2 re-touches almost every (campaign, day) group out of
+# order, exercising state recovery across restarts, the late-data upsert,
+# and the epoch-idempotent sink. The timed/checked query reads the LANDED
+# files through the latest-version dedup view; the oracle is the plain
+# batch GROUP BY over the same source rows. If the sink's idempotence,
+# the checkpointed state recovery, or the upsert versioning breaks, the
+# landed counts diverge and the driver's value-hash catches it — until
+# now streaming was pytest-only (batch-equivalence tests).
+# ===========================================================================
+
+_Q131_CAMPAIGNS = 50
+# lateness must cover the full 30-day event span so the value contract is
+# exact-total counts (nothing watermark-dropped); watermark DROP semantics
+# are covered by tests/test_streaming.py's 2-batch late-data test.
+_Q131_LATENESS = "40 days"
+
+
+def _q131_root(sf_dir: str) -> str:
+    """Per-(sf_dir, events fingerprint) cache root for the landed
+    streaming silver (the q86 recipe): any process may land it; later
+    processes reuse it; a regenerated testdata vintage misses the cache
+    instead of serving stale counts."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_q131", key)
+
+
+def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Land the streaming silver once per (sf_dir, vintage); no-op when
+    warm. bench.py runs this untimed in warm-up, so the timed entry
+    measures the SERVING read — the q86 split of concerns."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ..streaming.jobs import stream_events_daily
+
+    root = _q131_root(sf_dir)
+    marker = os.path.join(root, "_landed_ok")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(root, ignore_errors=True)  # partial prior attempt
+    input_dir = os.path.join(root, "incoming")
+    silver = os.path.join(root, "silver")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    ev = (
+        Testdata(spark, sf_dir).events.where(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        ).select(
+            F.col("event_id").alias("id"),
+            (F.col("user_id") % _Q131_CAMPAIGNS).alias("campaign_id"),
+            F.col("ts").alias("created_at"),
+        )
+    )
+    # two deterministic arrival waves; wave 2 (every 3rd id) interleaves
+    # across all days, so run 2 must bump nearly every group's version
+    for wave_filter in (F.col("id") % 3 != 0, F.col("id") % 3 == 0):
+        ev.where(wave_filter).coalesce(4).write.mode("append").parquet(
+            input_dir
+        )
+        q = stream_events_daily(
+            spark, input_dir, silver, ckpt,
+            lateness=_Q131_LATENESS, available_now=True,
+        )
+        q.awaitTermination()
+    Path(marker).write_text("ok")
+
+
+@query(
+    "q131_stream_daily_ingest",
+    oracle=f"""
+    SELECT CAST(user_id % {_Q131_CAMPAIGNS} AS BIGINT) AS rtm_campaign_id,
+           CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Oracle-checked Structured Streaming ingest: events land through "
+    "the REAL stream_events_daily job (file source, watermarked day "
+    "window, foreachBatch versioned upsert) in two availableNow runs "
+    "over one checkpoint — wave 2 re-touches groups out of order. The "
+    "checked query reads the LANDED silver via the latest-version dedup "
+    "view; the oracle is the batch GROUP BY over the source rows, so a "
+    "broken sink/state-recovery/upsert diverges the value hash. "
+    "Reference analog: the CH daily rollup tables the stream twin "
+    "mirrors (dags/track_delta.py day-grain agg).",
+    prepare=_q131_prepare,
+)
+def q131_stream_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.upsert import latest_version
+
+    _q131_prepare(spark, sf_dir)  # no-op when warm
+    silver = spark.read.parquet(os.path.join(_q131_root(sf_dir), "silver"))
+    return latest_version(
+        silver, ["rtm_campaign_id", "event_date"], "rtm_delta",
+        tiebreak=["event_count"],
+    ).select("rtm_campaign_id", "event_date", "event_count")
