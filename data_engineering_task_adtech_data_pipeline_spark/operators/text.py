@@ -1275,7 +1275,7 @@ def _bpe_merge_fold(s: Column, left: str, right: str, sep: str) -> Column:
     )
 
 
-def _bpe_safe_batch(cands, remaining: int):
+def _bpe_safe_batch(cands, remaining: int, full_table: bool = False):
     """Select the prefix of sorted pair candidates that can be merged in
     ONE round without diverging from strict greedy BPE (round-7 stretch;
     the regime note in :func:`bpe_learn_merges`).
@@ -1311,9 +1311,13 @@ def _bpe_safe_batch(cands, remaining: int):
         accepted.append(cand)
         used.update((cand.l, cand.r, merged))
     else:
-        # ran off the collected list: pairs below it are unseen, so
-        # bound by the last visible count (conservative)
-        c_bound = cands[-1].c if cands else None
+        # ran off the collected list without a conflict. If the list is
+        # the WHOLE pair table (full_table), no pair anywhere shares a
+        # symbol with any accepted candidate, so no merge can taint a
+        # count or spawn a cascade — the batch is fully independent and
+        # needs no bound. Otherwise pairs below the horizon are unseen:
+        # bound by the last visible count (conservative).
+        c_bound = None if full_table else (cands[-1].c if cands else None)
     accepted = accepted[:remaining]
     safe = [a for a in accepted if c_bound is None or a.c > c_bound]
     return safe if safe else accepted[:1]
@@ -1357,6 +1361,26 @@ def bpe_learn_merges(
     contested counts. Default stays the strict loop (the q88/q94 oracle
     unrolls are written against it).
 
+    SNAPSHOT MAXIMALITY (round 9, why the prefix rule is the batching
+    ceiling): from one pair-count snapshot, a candidate below the first
+    count-interacting entry cannot be batched soundly — merging any
+    accepted pair (l, r) taints every pair sharing a symbol with it
+    (count may drop) and spawns cascade pairs (x, l+r)/(l+r, y) bounded
+    only by the tainted counts, so the true next argmax below the bound
+    is unknowable without re-counting; and any candidate BELOW a
+    higher-count tainted entry cannot even be rank-ordered against it.
+    Bigger per-snapshot batches therefore require richer statistics
+    (symbol-triple counts), not a cleverer acceptance rule. The round-9
+    jobs/merge reduction instead removes per-round overhead: AQE is
+    disabled inside the loop (AQE materializes the dictionary-sized
+    shuffle as an EXTRA Spark job every round — one wasted driver
+    round-trip per merge round for a fixed 2-stage plan), the candidate
+    visibility window is floored at 256 rows (``take(2*remaining+2)``
+    alone shrinks as the budget drains, raising the invisible-pair
+    horizon bound and cutting tail-round batch sizes), and the periodic
+    re-rooting checkpoint is lazy (``eager=False``) so it rides the next
+    round's count job instead of paying its own.
+
     Merging is a LEFT FOLD over the symbol list (:func:`_bpe_merge_fold`):
     "if the accumulator's last symbol is ``l`` and the current symbol is
     ``r``, replace the tail with the merged symbol, else append" — which
@@ -1391,6 +1415,13 @@ def bpe_learn_merges(
     )
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
+    # AQE adds one extra job per round (shuffle-stage materialization)
+    # with zero benefit on a dictionary-sized fixed plan; scope it off
+    # for the iteration and restore the session's setting after.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key, "true")
+    if batch:
+        spark.conf.set(aqe_key, "false")
     try:
         cur = vocab
         pending_folds = 0
@@ -1418,11 +1449,17 @@ def bpe_learn_merges(
             remaining = n_merges - len(merges)
             if batch:
                 # top-M collect bounded by the remaining merge budget —
-                # model state, never vocabulary-sized
-                cands = ordered.take(2 * remaining + 2)
+                # model state, never vocabulary-sized. Floored at 256:
+                # the horizon bound (counts must exceed the last VISIBLE
+                # candidate's) means a shrinking window starves tail
+                # rounds of batchable candidates.
+                m = max(2 * remaining + 2, 256)
+                cands = ordered.take(m)
                 if not cands:
                     break
-                step = _bpe_safe_batch(cands, remaining)
+                step = _bpe_safe_batch(
+                    cands, remaining, full_table=len(cands) < m
+                )
             else:
                 best = ordered.first()
                 if best is None:
@@ -1435,10 +1472,13 @@ def bpe_learn_merges(
                 )
                 pending_folds += 1
             if checkpoint_every and pending_folds >= checkpoint_every:
-                cur = cur.localCheckpoint()
+                # lazy checkpoint: materializes inside the NEXT round's
+                # count job instead of paying its own driver round-trip
+                cur = cur.localCheckpoint(eager=False)
                 pending_folds = 0
     finally:
         vocab.unpersist()
+        spark.conf.set(aqe_key, aqe_prev)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count long",
