@@ -45,10 +45,9 @@ DRIVER_WINDOW: list[str] = [
     "q46_array_agg",
     # (d) new-this-round entries (never driver-verified) + fill: oldest
     # r7-green entries, swapped out as new entries land
-    "q131_stream_daily_ingest",
+    "q131_stream_daily_ingest", "q132_sq8_topk",
     "q12_ngram_jaccard", "q13_minhash_dedup",
     "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
-    "q17_text_features",
 ]
 
 

@@ -2206,3 +2206,64 @@ def test_audio_fingerprint_short_clip_and_contract(spark):
     )
     r = multimodal.audio_fingerprint(bad).collect()[0]
     assert not r.decode_ok
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_encode_hand_example(spark):
+    """Known vectors -> known scales and codes: dims with absmax 2.0 /
+    0.5 / 0.0; half-up rounding at the exact boundary (1.5/2.0*127+0.5
+    = 95.75 -> 95; 0.25/0.5*127 = 63.5 -> floor(64.0) = 64); a
+    constant-zero dimension encodes 0 (no div-by-zero); the corpus
+    absmax itself encodes +/-127."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.25, 0.0]), (2, [-1.5, -0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scales = similarity.sq8_scales(df)
+    assert scales == [2.0, 0.5, 0.0]
+    got = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id",
+            similarity.sq8_encode_expr(F.col("embedding"), scales).alias(
+                "code"
+            ),
+        ).collect()
+    }
+    assert got[1] == [127, 64, 0]
+    # -1.5/2*127+0.5 = -94.75 -> floor = -95; -0.5/0.5 -> -127+0.5 -> -127
+    assert got[2] == [-95, -127, 0]
+
+
+def test_sq8_topk_recall_floor_and_shortlist_contract(spark):
+    """sq8 top-k vs exact cosine on the real embeddings table: recall@5
+    must clear 0.9 with a shortlist of 4k (int8 over 64 dims is a fine
+    quantizer); rank/tie determinism matches the exact path's contract;
+    int8_dot is bounded by 127^2 * dim."""
+    from conftest import SF_ORACLE
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import similarity
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        Testdata,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    sq = similarity.sq8_topk(emb, q, k=5).collect()
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert len(sq) == 50 and len(exact) == 50
+    er = {(r.query_id, r.corpus_id) for r in exact}
+    sr = {(r.query_id, r.corpus_id) for r in sq}
+    assert len(er & sr) / len(er) >= 0.9
+    assert all(abs(r.int8_dot) <= 127 * 127 * 64 for r in sq)
+    # per-query ranks are 1..5 with no gaps
+    by_q = {}
+    for r in sq:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
