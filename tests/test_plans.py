@@ -583,3 +583,22 @@ def test_stratified_exact_split_edge_only_window(spark):
         if "Window" in ln and "__cum" in ln:
             below = "\n".join(lines[i:])
             assert "HashAggregate" in below[:2000], below[:1500]
+
+
+def test_sq8_shortlist_shuffle_is_codes_only(spark):
+    """q132's physical plan must keep the 100 TB serving shape: the
+    int8 shortlist window shuffles CODES-derived rows only (no
+    full-precision `embedding` / `__c_emb` column rides the exchange
+    into the shortlist rank), the query side is broadcast, and the
+    exact re-rank joins are broadcast joins (shortlist-sized sets) —
+    never a sort-merge join over the corpus."""
+    plan = _plan(spark, "q132_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the shortlist exchange (hashpartitioning on query_id for the
+    # srank window) must not carry an embedding array column
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and "query_id" in ln:
+            assert "emb" not in ln, ln

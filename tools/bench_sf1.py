@@ -71,6 +71,18 @@ QUERIES = [
     "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
     "q127_trailing_revenue", "q128_nation_trade_volume",
     "q129_visual_near_dups", "q130_audio_fingerprint_dups",
+    # appended r9 (r8 VERDICT #2: the expensive ANN/dedup family — the
+    # 12 slowest sf0.1 bench entries — plus every remaining query >=2 s
+    # at sf0.1 and the new r9 entries); first measured in BENCH_SF1_r09
+    "q78_ivf_pq_topk", "q85_crossmodal_curation", "q55_ivf_lsh_topk",
+    "q67_collapse_duplicates", "q35_minhash_dedup_transitive",
+    "q72_pq_adc_topk", "q50_ivf_topk", "q49_embedding_dup_pairs",
+    "q19_token_features", "q80_rank_metrics", "q70_dedup_against_corpus",
+    "q16_lsh_topk", "q14_simhash_candidates", "q12_ngram_jaccard",
+    "q54_contamination_report", "q17_text_features",
+    "q74_corpus_datacard", "q71_bm25_topk", "q75_winnow_match_pairs",
+    "q48_jaccard_verify", "q53_decontaminate", "q15_cosine_topk",
+    "q64_hll_distinct", "q65_cm_heavy_hitters", "q132_sq8_topk",
 ]
 
 
