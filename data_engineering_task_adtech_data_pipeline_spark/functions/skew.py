@@ -29,6 +29,7 @@ def salted_agg(
     merges: dict[str, Column],
     salt_buckets: int = 32,
     salt_cols: Sequence[str] | None = None,
+    layout_salt: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation over ``keys`` with a salt column.
 
@@ -36,14 +37,24 @@ def salted_agg(
     ``merges``: output-name -> aggregate over phase-1 partial columns
     (phase 2; reference partial columns by their output names).
 
-    The salt is a CONTENT hash (xxhash64 over ``salt_cols``, default all
-    columns), not ``monotonically_increasing_id``: results were already
-    layout-independent (phase 2 re-merges), but a partition-layout salt
-    made phase-1 TASK SHAPES irreproducible across different input
-    splits, which turns skew debugging into chasing ghosts (r8 review).
-    A content hash gives the same row → same bucket on every run and
-    every layout. Rows that are full duplicates share a bucket — only a
-    degenerate all-identical-rows input defeats the split.
+    The default salt is a CONTENT hash (xxhash64 over ``salt_cols``,
+    default all columns), not ``monotonically_increasing_id``: results
+    were already layout-independent (phase 2 re-merges), but a
+    partition-layout salt made phase-1 TASK SHAPES irreproducible across
+    different input splits, which turns skew debugging into chasing
+    ghosts (r8 review). A content hash gives the same row → same bucket
+    on every run and every layout — BUT duplicate rows (over
+    ``salt_cols``) share a bucket, so a hot key whose rows carry few
+    distinct contents (e.g. a projected low-cardinality frame like
+    ``(campaign_id, event_type)``) splits across at most
+    n-distinct-contents buckets, not ``salt_buckets`` (round-9 review).
+    When the frame going in is a narrow projection, either pass
+    ``salt_cols`` naming a high-entropy column (an id, a timestamp) or
+    set ``layout_salt=True`` to salt by
+    ``monotonically_increasing_id`` — that arm ALWAYS splits evenly but
+    gives up reproducible phase-1 task shapes. The split is the
+    operator's purpose; prefer ``layout_salt=True`` over a degenerate
+    content salt.
 
     Example (count + max watermark per campaign)::
 
@@ -51,11 +62,14 @@ def salted_agg(
             partials={"n": F.count(F.lit(1)), "wm": F.max("created_at")},
             merges={"n": F.sum("n"), "wm": F.max("wm")})
     """
-    scols = list(salt_cols) if salt_cols is not None else df.columns
-    salted = df.withColumn(
-        _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(salt_buckets)),
-    )
+    if layout_salt:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    else:
+        scols = list(salt_cols) if salt_cols is not None else df.columns
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in scols]), F.lit(salt_buckets)
+        )
+    salted = df.withColumn(_SALT, salt)
     phase1 = salted.groupBy(*keys, _SALT).agg(
         *[c.alias(name) for name, c in partials.items()]
     )

@@ -5114,7 +5114,18 @@ def _q131_root(sf_dir: str) -> str:
 def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     """Land the streaming silver once per (sf_dir, vintage); no-op when
     warm. bench.py runs this untimed in warm-up, so the timed entry
-    measures the SERVING read — the q86 split of concerns."""
+    measures the SERVING read — the q86 split of concerns.
+
+    Concurrency (round-9 review): the landing is built in a
+    PROCESS-PRIVATE staging dir (marker written INSIDE it) and published
+    by one atomic ``os.rename`` onto the cache root — the root therefore
+    only ever exists as a COMPLETE landing. Two concurrent first-touch
+    processes each build their own stage; the loser's rename fails, it
+    discards its stage and reuses the winner's. (The previous protocol
+    — check marker, rmtree the shared root, land in place — let process
+    B rmtree mid-landing-of-A and then count A's wave files on top of
+    its own: a silently double-counted silver persisted under the
+    marker.)"""
     import os
     import shutil
     from pathlib import Path
@@ -5125,10 +5136,11 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     marker = os.path.join(root, "_landed_ok")
     if os.path.exists(marker):
         return
-    shutil.rmtree(root, ignore_errors=True)  # partial prior attempt
-    input_dir = os.path.join(root, "incoming")
-    silver = os.path.join(root, "silver")
-    ckpt = os.path.join(root, "ckpt")
+    stage = f"{root}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
+    input_dir = os.path.join(stage, "incoming")
+    silver = os.path.join(stage, "silver")
+    ckpt = os.path.join(stage, "ckpt")
     os.makedirs(input_dir, exist_ok=True)
     ev = (
         Testdata(spark, sf_dir).events.where(
@@ -5152,7 +5164,33 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
             lateness=_Q131_LATENESS, available_now=True,
         )
         q.awaitTermination()
-    Path(marker).write_text("ok")
+    Path(os.path.join(stage, "_landed_ok")).write_text("ok")
+    try:
+        os.rename(stage, root)  # atomic claim: complete stage -> root
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):  # lost the race to a complete landing
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    # a marker-less root can only be pre-protocol debris (the new
+    # protocol never publishes without the marker inside): move it
+    # aside under a unique name and retry the claim once
+    debris = f"{root}.stale.{os.getpid()}"
+    try:
+        os.rename(root, debris)
+    except OSError:
+        pass
+    shutil.rmtree(debris, ignore_errors=True)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"q131 landing claim failed twice for {root}; "
+                "remove the directory and retry"
+            )
 
 
 @query(
@@ -5197,7 +5235,7 @@ def q131_stream_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q132_sq8_topk",
     oracle=f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     sc AS (
@@ -5206,7 +5244,7 @@ def q131_stream_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY i
     ),
     sv AS (SELECT list(s ORDER BY i) AS sv FROM sc),
-    codes AS (
+    codes AS MATERIALIZED (
       SELECT vec_id,
              list_transform(list_zip(e, sv), t -> CASE WHEN t[2] > 0
                THEN GREATEST(-127, LEAST(127,

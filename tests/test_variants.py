@@ -52,6 +52,62 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def test_salted_agg_layout_salt_splits_duplicate_content(spark):
+    """Round-9 review: on a narrow projection whose hot key carries few
+    distinct row contents, the content-hash salt degenerates (duplicates
+    share a bucket) — layout_salt=True must (a) still merge to exactly
+    the plain aggregate and (b) actually split the hot key across
+    buckets in phase 1."""
+    from data_engineering_task_adtech_data_pipeline_spark.functions import skew
+
+    # hot key 'h': 10k rows but only 2 distinct contents
+    df = (
+        spark.range(10_000)
+        .select(
+            F.lit("h").alias("k"), (F.col("id") % 2).cast("int").alias("t")
+        )
+        .union(
+            spark.range(100).select(
+                F.lit("cold").alias("k"), F.col("id").cast("int").alias("t")
+            )
+        )
+        .repartition(8)
+    )
+    plain = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for kwargs in ({"layout_salt": True}, {}):
+        got = {
+            r.k: r.n
+            for r in salted_agg(
+                df, ["k"],
+                partials={"n": F.count(F.lit(1))},
+                merges={"n": F.sum("n").cast("long")},
+                salt_buckets=16, **kwargs,
+            ).collect()
+        }
+        assert got == plain, kwargs
+    # phase-1 split width: content salt collapses 'h' to 2 buckets,
+    # layout salt spreads it
+    def n_buckets(layout: bool):
+        scols = df.columns
+        salt = (
+            F.pmod(F.monotonically_increasing_id(), F.lit(16))
+            if layout
+            else F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(16))
+        )
+        return (
+            df.where(F.col("k") == "h")
+            .select(salt.alias("s"))
+            .distinct()
+            .count()
+        )
+
+    assert n_buckets(layout=False) == 2
+    assert n_buckets(layout=True) >= 8
+
+
 def test_session_window_matches_composition(spark):
     ev = Testdata(spark, SF_ORACLE).events
     composed = joins.sessionize(ev, key=["user_id"], ts_col="ts", gap_seconds=1800)
