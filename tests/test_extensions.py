@@ -2267,3 +2267,34 @@ def test_sq8_topk_recall_floor_and_shortlist_contract(spark):
     for r in sq:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_bpe_batched_equals_strict_random_corpora(spark):
+    """Round-9 regression pin for the batcher's full_table fast path and
+    visibility floor: seeded-random corpora over a 3-letter alphabet
+    (maximal tie/interaction density — nearly every top pair shares a
+    symbol, and small counts tie constantly) must reproduce the strict
+    learner rank-for-rank. These corpora are small enough that every
+    round sees the WHOLE pair table, so the no-conflict-anywhere
+    independence argument (c_bound=None) is exactly the path exercised."""
+    import random
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 30))
+        ]
+        corpus = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id long, text string"
+        )
+        n = rng.randint(2, 9)
+        strict = [tuple(r) for r in
+                  bpe_learn_merges(corpus, n_merges=n).collect()]
+        batched = [tuple(r) for r in
+                   bpe_learn_merges(corpus, n_merges=n, batch=True).collect()]
+        assert batched == strict, (seed, n, words, strict, batched)

@@ -121,6 +121,17 @@ def main() -> None:
                 planes=16, max_hamming=h, dim=64,
             ),
         )
+    # int8 scalar quantization (round 9): shortlist is the recall lever —
+    # integer dots rank so close to exact cosine that small shortlists
+    # already saturate; wall measures the codes-only scan + tiny re-rank.
+    for shortlist in [k, 2 * k, 4 * k]:
+        row(
+            "sq8_topk",
+            f"shortlist={shortlist}",
+            lambda s=shortlist: similarity.sq8_topk(
+                emb, queries, k=k, shortlist=s
+            ),
+        )
     # IVF-PQ funnel: ADC shortlist re-ranked by exact cosine — recall here
     # measures the whole funnel against the cosine ground truth. ADC is an
     # L2 structure, so the corpus is L2-NORMALIZED first (unit sphere:
