@@ -849,3 +849,87 @@ def test_stream_kmv_monitor_matches_batch_sketch(spark, tmp_path):
     }
     for g in ("even", "odd"):
         assert abs(est[g] - 2000) / 2000 < 0.35, est
+
+
+def test_q131_landing_protocol_branches(spark, tmp_path):
+    """Round-9 review hardening: the q131 streaming-landing cache must
+    (a) land cold via the atomic staged claim and serve counts equal to
+    the batch GROUP BY, (b) no-op when warm (no file churn), and
+    (c) recover from pre-protocol debris — a marker-less root — by
+    moving it aside and re-landing. Runs against a synthetic tmp sf_dir
+    so the real testdata cache keys are untouched."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.plans.battery_ext import (
+        _Q131_CAMPAIGNS,
+        _q131_prepare,
+        _q131_root,
+    )
+
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir)
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    # span must stay inside _Q131_LATENESS (40 days) so the exact-total
+    # contract holds: 400 events x 1h = ~17 days
+    rows = [
+        (i, t0 + timedelta(hours=i), i * 7 % 90, "click", 1.0, "{}")
+        for i in range(400)
+    ] + [(None, t0, 1, "bad", 0.0, "{}")]  # null event_id filtered out
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def landed_counts():
+        silver = spark.read.parquet(
+            os.path.join(_q131_root(sf_dir), "silver")
+        )
+        from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+            latest_version,
+        )
+
+        out = latest_version(
+            silver, ["rtm_campaign_id", "event_date"], "rtm_delta",
+            tiebreak=["event_count"],
+        )
+        return {
+            (r.rtm_campaign_id, str(r.event_date)): r.event_count
+            for r in out.collect()
+        }
+
+    expect = {
+        (r.c, str(r.d)): r.n
+        for r in spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where(F.col("event_id").isNotNull())
+        .groupBy(
+            (F.col("user_id") % _Q131_CAMPAIGNS).alias("c"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+
+    # (a) cold landing
+    _q131_prepare(spark, sf_dir)
+    root = _q131_root(sf_dir)
+    assert os.path.exists(os.path.join(root, "_landed_ok"))
+    assert not os.path.exists(f"{root}.stage.{os.getpid()}")
+    assert landed_counts() == expect
+
+    # (b) warm no-op: silver file set untouched
+    silver_dir = os.path.join(root, "silver")
+    before = sorted(os.listdir(silver_dir))
+    _q131_prepare(spark, sf_dir)
+    assert sorted(os.listdir(silver_dir)) == before
+
+    # (c) marker-less debris root: moved aside, fresh landing claims
+    os.remove(os.path.join(root, "_landed_ok"))
+    _q131_prepare(spark, sf_dir)
+    assert os.path.exists(os.path.join(root, "_landed_ok"))
+    assert landed_counts() == expect
+    shutil.rmtree(root, ignore_errors=True)
