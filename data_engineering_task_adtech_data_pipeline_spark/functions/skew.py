@@ -49,12 +49,19 @@ def salted_agg(
     ``(campaign_id, event_type)``) splits across at most
     n-distinct-contents buckets, not ``salt_buckets`` (round-9 review).
     When the frame going in is a narrow projection, either pass
-    ``salt_cols`` naming a high-entropy column (an id, a timestamp) or
-    set ``layout_salt=True`` to salt by
-    ``monotonically_increasing_id`` — that arm ALWAYS splits evenly but
-    gives up reproducible phase-1 task shapes. The split is the
-    operator's purpose; prefer ``layout_salt=True`` over a degenerate
-    content salt.
+    ``salt_cols`` naming a high-entropy column (an id, a timestamp — the
+    PREFERRED fix: deterministic AND splits) or set ``layout_salt=True``
+    to salt by ``monotonically_increasing_id`` — that arm ALWAYS splits
+    evenly but is row-order-dependent: besides irreproducible phase-1
+    task shapes, a mid-shuffle executor loss makes the map stage
+    INDETERMINATE (rows re-bucket on re-run). Spark 3+ detects this and
+    rolls back / re-runs the dependent stages rather than silently
+    merging mismatched attempts (SPARK-25341 indeterminate-stage
+    handling; where rollback is impossible the job fails loudly), so
+    the failure mode is wasted work or an abort, not a wrong total —
+    but only the content-hash arms are replay-deterministic. The split
+    is the operator's purpose; prefer an entropy-bearing ``salt_cols``
+    first and ``layout_salt=True`` over a degenerate content salt.
 
     Example (count + max watermark per campaign)::
 

@@ -5118,14 +5118,19 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
 
     Concurrency (round-9 review): the landing is built in a
     PROCESS-PRIVATE staging dir (marker written INSIDE it) and published
-    by one atomic ``os.rename`` onto the cache root — the root therefore
-    only ever exists as a COMPLETE landing. Two concurrent first-touch
-    processes each build their own stage; the loser's rename fails, it
-    discards its stage and reuses the winner's. (The previous protocol
-    — check marker, rmtree the shared root, land in place — let process
-    B rmtree mid-landing-of-A and then count A's wave files on top of
-    its own: a silently double-counted silver persisted under the
-    marker.)"""
+    by one atomic ``os.rename`` onto the cache root — the protocol never
+    publishes an incomplete root. Two concurrent first-touch processes
+    each build their own stage; the loser's rename fails, it discards
+    its stage and reuses the winner's. Marker-less debris (pre-protocol
+    or a crashed aside) is moved aside before the retry; if the aside
+    TOCTOU-steals a landing a racer published in the interim, the
+    marker inside betrays it and it is renamed straight back (a
+    microsecond aside window — readers retry a listing, never read
+    partial data). Dead-pid stage/stale leftovers are swept on entry
+    (``_q131_sweep_dead``). (The previous protocol — check marker,
+    rmtree the shared root, land in place — let process B rmtree
+    mid-landing-of-A and then count A's wave files on top of its own:
+    a silently double-counted silver persisted under the marker.)"""
     import os
     import shutil
     from pathlib import Path
@@ -5136,6 +5141,7 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     marker = os.path.join(root, "_landed_ok")
     if os.path.exists(marker):
         return
+    _q131_sweep_dead(root)
     stage = f"{root}.stage.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
     input_dir = os.path.join(stage, "incoming")
@@ -5173,14 +5179,26 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     if os.path.exists(marker):  # lost the race to a complete landing
         shutil.rmtree(stage, ignore_errors=True)
         return
-    # a marker-less root can only be pre-protocol debris (the new
-    # protocol never publishes without the marker inside): move it
-    # aside under a unique name and retry the claim once
+    # a marker-less root can only be pre-protocol debris or a crashed
+    # move-aside (the protocol never publishes without the marker
+    # inside): move it aside under a unique pre-cleared name and retry
+    # the claim once. If a concurrent process published a COMPLETE
+    # landing between the marker re-check and the rename (TOCTOU), the
+    # moved-aside dir carries the marker — rename it straight back and
+    # discard our stage instead of deleting a live landing.
     debris = f"{root}.stale.{os.getpid()}"
+    shutil.rmtree(debris, ignore_errors=True)  # pid-reuse leftover
     try:
         os.rename(root, debris)
     except OSError:
         pass
+    if os.path.exists(os.path.join(debris, "_landed_ok")):
+        try:
+            os.rename(debris, root)  # stole a complete landing: restore
+        except OSError:
+            shutil.rmtree(debris, ignore_errors=True)  # root re-published
+        shutil.rmtree(stage, ignore_errors=True)
+        return
     shutil.rmtree(debris, ignore_errors=True)
     try:
         os.rename(stage, root)
@@ -5191,6 +5209,35 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
                 f"q131 landing claim failed twice for {root}; "
                 "remove the directory and retry"
             )
+
+
+def _q131_sweep_dead(root: str) -> None:
+    """Reclaim stage/stale dirs left by CRASHED landings (round-9
+    review): a SIGKILLed process leaks its ``{root}.stage.{pid}`` parquet
+    tree forever — sweep siblings whose pid suffix is no longer alive
+    (the write-fence PID-liveness idiom, ``operators/upsert.py``)."""
+    import os
+    import shutil
+
+    parent, base = os.path.dirname(root), os.path.basename(root)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        for tag in (".stage.", ".stale."):
+            prefix = base + tag
+            if name.startswith(prefix):
+                pid_s = name[len(prefix):]
+                if pid_s.isdigit() and int(pid_s) != os.getpid():
+                    try:
+                        os.kill(int(pid_s), 0)
+                    except ProcessLookupError:
+                        shutil.rmtree(
+                            os.path.join(parent, name), ignore_errors=True
+                        )
+                    except OSError:
+                        pass  # alive but not ours (EPERM): leave it
 
 
 @query(

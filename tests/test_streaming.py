@@ -932,4 +932,22 @@ def test_q131_landing_protocol_branches(spark, tmp_path):
     _q131_prepare(spark, sf_dir)
     assert os.path.exists(os.path.join(root, "_landed_ok"))
     assert landed_counts() == expect
+
+    # (d) dead-pid stage/stale leftovers are swept on the next entry;
+    # live-pid stages are left alone
+    import subprocess
+
+    dead_pid = subprocess.run(
+        ["sh", "-c", "echo $$"], capture_output=True, text=True
+    ).stdout.strip()
+    dead_stage = f"{root}.stage.{dead_pid}"
+    live_stage = f"{root}.stage.1"  # pid 1: alive, never ours
+    os.makedirs(dead_stage, exist_ok=True)
+    os.makedirs(live_stage, exist_ok=True)
+    os.remove(os.path.join(root, "_landed_ok"))  # force past the fast path
+    _q131_prepare(spark, sf_dir)
+    assert not os.path.exists(dead_stage)
+    assert os.path.exists(live_stage)  # a live foreign landing is not swept
+    assert landed_counts() == expect
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(live_stage, ignore_errors=True)

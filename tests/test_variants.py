@@ -57,9 +57,9 @@ def test_salted_agg_layout_salt_splits_duplicate_content(spark):
     distinct row contents, the content-hash salt degenerates (duplicates
     share a bucket) — layout_salt=True must (a) still merge to exactly
     the plain aggregate and (b) actually split the hot key across
-    buckets in phase 1."""
-    from data_engineering_task_adtech_data_pipeline_spark.functions import skew
-
+    buckets in phase 1. Split width is measured THROUGH salted_agg
+    itself (a phase-2 partial count = how many salt buckets the key
+    landed in), so a regression in the layout_salt branch fails here."""
     # hot key 'h': 10k rows but only 2 distinct contents
     df = (
         spark.range(10_000)
@@ -77,35 +77,30 @@ def test_salted_agg_layout_salt_splits_duplicate_content(spark):
         r.k: r.n
         for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    for kwargs in ({"layout_salt": True}, {}):
-        got = {
-            r.k: r.n
+    # 'parts' counts phase-1 partial rows per key in phase 2 == the
+    # number of distinct salt buckets the key's rows landed in
+    def agg(**kwargs):
+        return {
+            r.k: (r.n, r.parts)
             for r in salted_agg(
                 df, ["k"],
                 partials={"n": F.count(F.lit(1))},
-                merges={"n": F.sum("n").cast("long")},
+                merges={
+                    "n": F.sum("n").cast("long"),
+                    "parts": F.count(F.lit(1)).cast("long"),
+                },
                 salt_buckets=16, **kwargs,
             ).collect()
         }
-        assert got == plain, kwargs
-    # phase-1 split width: content salt collapses 'h' to 2 buckets,
-    # layout salt spreads it
-    def n_buckets(layout: bool):
-        scols = df.columns
-        salt = (
-            F.pmod(F.monotonically_increasing_id(), F.lit(16))
-            if layout
-            else F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(16))
-        )
-        return (
-            df.where(F.col("k") == "h")
-            .select(salt.alias("s"))
-            .distinct()
-            .count()
-        )
 
-    assert n_buckets(layout=False) == 2
-    assert n_buckets(layout=True) >= 8
+    content = agg()
+    layout = agg(layout_salt=True)
+    for got, kwargs in ((content, "content"), (layout, "layout")):
+        assert {k: v[0] for k, v in got.items()} == plain, kwargs
+    # content salt collapses the degenerate hot key to its 2 distinct
+    # contents; the layout salt spreads it across the buckets
+    assert content["h"][1] == 2
+    assert layout["h"][1] >= 8
 
 
 def test_session_window_matches_composition(spark):
