@@ -1939,3 +1939,106 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "corpus_id", "int8_dot", "cosine_sim", "rank")
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    literal_max: int = LITERAL_CELL_MAX,
+) -> DataFrame:
+    """IVF + int8 scalar quantization — the full FAISS ``IVF,SQ8``
+    serving shape (round 9, pulled forward from the round-10 list): the
+    corpus is k-means-partitioned ONCE and stored as (cell, int8 codes);
+    a query probes its ``n_probe`` nearest cells, shortlists by exact
+    integer dot product over the CODES of the probed cells only, and
+    re-ranks the shortlist by exact double cosine. Composes the two
+    orthogonal levers: cells prune WHICH rows are scanned
+    (corpus×n_probe/n_cells), int8 codes shrink WHAT the scan reads
+    (8x less bandwidth than float64); ``shortlist`` (default 4k) is the
+    recall dial on top (SCALING.md sq8 sweep: saturates by ~4k).
+
+    Scale shape: the probed-cell equi-join carries codes only — the
+    full-precision vectors never enter the shuffle (same plan contract
+    as ``sq8_topk``, the codes-only exchange); the exact re-rank
+    broadcast-joins the shortlist back to the corpus. In a persisted
+    deployment the (cell, codes) frame is the stored index —
+    cell-partitioned like ``ivf_index_write``'s layout, with the scales
+    vector as model state beside the centroids."""
+    if shortlist is None:
+        shortlist = 4 * k
+    scales = sq8_scales(corpus, emb_col)
+    centroids = kmeans_fit(
+        corpus, n_cells, n_iter, id_col, emb_col, dim,
+        literal_max=literal_max,
+    )
+    c_codes = _with_cell(
+        with_double_embedding(corpus, emb_col).select(
+            F.col(id_col).alias("corpus_id"),
+            sq8_encode_expr(F.col(emb_col), scales).alias("__c_code"),
+            F.col(emb_col).alias("__c_emb"),
+        ),
+        "__c_emb",
+        centroids,
+        literal_max,
+    ).select("cell", "corpus_id", "__c_code")
+    q = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__q_emb"),
+        sq8_encode_expr(F.col(emb_col), scales).alias("__q_code"),
+    )
+    probed = _with_probed_cells(
+        q.select("query_id", "__q_emb", "__q_code"),
+        "__q_emb", centroids, n_probe, literal_max,
+    ).select("cell", "query_id", "__q_code")
+    idot = F.aggregate(
+        F.zip_with(F.col("__q_code"), F.col("__c_code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(c_codes, "cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", idot.alias("int8_dot"))
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("int8_dot").desc(), F.col("corpus_id").asc()
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= shortlist)
+        .select("query_id", "corpus_id", "int8_dot")
+    )
+    c_emb = with_double_embedding(corpus, emb_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
+    )
+    q_emb = with_double_embedding(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
+    )
+    reranked = (
+        F.broadcast(short)
+        .join(c_emb, "corpus_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            "int8_dot",
+            cosine(F.col("__q_emb"), F.col("__c_emb")).alias("cosine_sim"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "int8_dot", "cosine_sim", "rank")
+    )

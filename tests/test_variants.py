@@ -671,3 +671,39 @@ def test_ivf_index_search_filtered(spark, tmp_path):
     )
     pushed = [seg[:120] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("label" in seg for seg in pushed), pushed
+
+
+def test_ivf_sq8_reduces_to_flat_sq8_and_recall_floor(spark):
+    """The IVF,SQ8 composition must (a) reduce EXACTLY to the flat
+    sq8_topk when every cell is probed (cells prune which rows are
+    scanned; probing all of them removes the prune, leaving the same
+    integer-dot shortlist + exact re-rank), and (b) keep recall@5 >= 0.8
+    vs exact cosine at a realistic probe fraction on the near-uniform
+    testdata embeddings (IVF's worst case)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_sq8_topk,
+        sq8_topk,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    flat = {
+        (r.query_id, r.corpus_id, r.int8_dot, r.rank, round(r.cosine_sim, 9))
+        for r in sq8_topk(emb, q, k=5, shortlist=20).collect()
+    }
+    all_probed = {
+        (r.query_id, r.corpus_id, r.int8_dot, r.rank, round(r.cosine_sim, 9))
+        for r in ivf_sq8_topk(
+            emb, q, k=5, n_cells=4, n_probe=4, shortlist=20
+        ).collect()
+    }
+    assert all_probed == flat
+
+    truth = {(r.query_id, r.corpus_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {(r.query_id, r.corpus_id)
+           for r in ivf_sq8_topk(
+               emb, q, k=5, n_cells=4, n_probe=2, shortlist=40
+           ).collect()}
+    assert len(got & truth) / len(truth) >= 0.8
