@@ -70,6 +70,16 @@ def salted_agg(
             merges={"n": F.sum("n"), "wm": F.max("wm")})
     """
     if layout_salt:
+        if salt_cols is not None:
+            # r9 ADVICE: the two salt selectors are mutually exclusive —
+            # silently dropping the caller's deterministic salt_cols for
+            # the row-order-dependent arm hid exactly the reproducibility
+            # trade-off this docstring spells out.
+            raise ValueError(
+                "salt_cols and layout_salt=True are mutually exclusive: "
+                "layout_salt ignores salt_cols and salts by row position "
+                "(irreproducible task shapes). Pick one."
+            )
         salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     else:
         scols = list(salt_cols) if salt_cols is not None else df.columns

@@ -1864,6 +1864,27 @@ def sq8_encode_expr(emb: Column, scales: list[float]) -> Column:
     )
 
 
+def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
+    """Enforce the small-query-side contract of the quantized top-k scans:
+    their shortlist stage is a broadcast nested-loop (or broadcast hash
+    join) of corpus x queries BY DESIGN — correct and fast for
+    serving-sized query sets, quadratic if a caller hands it a second
+    corpus. The contract was advisory (docstring only) until round 10
+    (r9 VERDICT #7); now it raises. ``max_queries=None`` opts out for
+    callers that have already bounded the frame."""
+    if max_queries is None:
+        return
+    n = queries.count()
+    if n > max_queries:
+        raise ValueError(
+            f"queries has {n} rows, above max_queries={max_queries}: the "
+            "shortlist stage broadcasts the query side and scores corpus x "
+            "queries, which is only sane for serving-sized query sets. "
+            "Split the query frame, or pass max_queries=None if the blowup "
+            "is intended."
+        )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1871,6 +1892,7 @@ def sq8_topk(
     shortlist: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """int8 scalar-quantized top-k: quantize corpus and queries with the
     CORPUS absmax scales (``sq8_scales``), shortlist ``shortlist``
@@ -1884,9 +1906,13 @@ def sq8_topk(
     queries are broadcast; the integer-dot stage is the only full scan
     and carries codes only; the exact re-rank touches ``shortlist``
     rows per query. Recall is governed by ``shortlist`` (default 4k);
-    the recall-floor test pins it against exact cosine."""
+    the recall-floor test pins it against exact cosine. The query side
+    must be serving-sized: ``max_queries`` (one cheap count job)
+    enforces the broadcast contract with a loud error instead of a
+    silent quadratic scan."""
     if shortlist is None:
         shortlist = 4 * k
+    _guard_query_count(queries, max_queries)
     scales = sq8_scales(corpus, emb_col)
     c_codes = with_double_embedding(corpus, emb_col).select(
         F.col(id_col).alias("corpus_id"),
@@ -1952,7 +1978,11 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int | None = None,
+    train_fraction: float | None = None,
+    train_salt: int = 42,
+    train_hash_method: str = "xxhash64",
     literal_max: int = LITERAL_CELL_MAX,
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """IVF + int8 scalar quantization — the full FAISS ``IVF,SQ8``
     serving shape (round 9, pulled forward from the round-10 list): the
@@ -1971,13 +2001,22 @@ def ivf_sq8_topk(
     broadcast-joins the shortlist back to the corpus. In a persisted
     deployment the (cell, codes) frame is the stored index —
     cell-partitioned like ``ivf_index_write``'s layout, with the scales
-    vector as model state beside the centroids."""
+    vector as model state beside the centroids.
+
+    ``train_fraction``/``train_salt``/``train_hash_method`` pass through
+    to :func:`kmeans_fit`'s deterministic hash-sample training contract
+    (same as :func:`ivf_topk` — with ``"md5"`` the whole trained
+    pipeline stays SQL-oracle-expressible, which is what backs q133).
+    ``max_queries`` enforces the broadcast small-query-side contract as
+    in :func:`sq8_topk`."""
     if shortlist is None:
         shortlist = 4 * k
+    _guard_query_count(queries, max_queries)
     scales = sq8_scales(corpus, emb_col)
     centroids = kmeans_fit(
         corpus, n_cells, n_iter, id_col, emb_col, dim,
-        literal_max=literal_max,
+        train_fraction=train_fraction, train_salt=train_salt,
+        train_hash_method=train_hash_method, literal_max=literal_max,
     )
     c_codes = _with_cell(
         with_double_embedding(corpus, emb_col).select(

@@ -8,6 +8,8 @@ every one of them is expressible as ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1323,6 +1325,34 @@ def _bpe_safe_batch(cands, remaining: int, full_table: bool = False):
     return safe if safe else accepted[:1]
 
 
+# Reentrancy-safe AQE off-switch for the BPE batch loop (r9 ADVICE): AQE
+# is session conf, so overlapping save/restore pairs on one session could
+# restore a value set by another in-flight call. Depth-count per session:
+# the outermost enter snapshots, the matching exit restores.
+_AQE_KEY = "spark.sql.adaptive.enabled"
+_aqe_state_lock = threading.Lock()
+_aqe_state: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, prev)
+
+
+def _aqe_off_enter(spark) -> None:
+    with _aqe_state_lock:
+        depth, prev = _aqe_state.get(id(spark), (0, "true"))
+        if depth == 0:
+            prev = spark.conf.get(_AQE_KEY, "true")
+            spark.conf.set(_AQE_KEY, "false")
+        _aqe_state[id(spark)] = (depth + 1, prev)
+
+
+def _aqe_off_exit(spark) -> None:
+    with _aqe_state_lock:
+        depth, prev = _aqe_state[id(spark)]
+        if depth == 1:
+            spark.conf.set(_AQE_KEY, prev)
+            del _aqe_state[id(spark)]
+        else:
+            _aqe_state[id(spark)] = (depth - 1, prev)
+
+
 def bpe_learn_merges(
     df: DataFrame,
     n_merges: int = 5,
@@ -1418,10 +1448,20 @@ def bpe_learn_merges(
     # AQE adds one extra job per round (shuffle-stage materialization)
     # with zero benefit on a dictionary-sized fixed plan; scope it off
     # for the iteration and restore the session's setting after.
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_prev = spark.conf.get(aqe_key, "true")
+    #
+    # SESSION-SCOPED SIDE EFFECT (documented per r9 ADVICE): AQE has no
+    # per-plan switch — `spark.sql.adaptive.enabled` is session conf —
+    # so while the batch loop runs, OTHER queries issued concurrently on
+    # the same SparkSession also execute with AQE off (they still run
+    # correctly; they lose runtime re-planning for that window). Callers
+    # who cannot tolerate that should run batch-mode BPE on its own
+    # `spark.newSession()`. The save/restore itself is made safe against
+    # overlapping bpe_learn_merges calls on one session by a depth
+    # counter: only the OUTERMOST call snapshots and restores, so an
+    # inner call can no longer "restore" the off-value the outer call
+    # set (the wrong-prior race).
     if batch:
-        spark.conf.set(aqe_key, "false")
+        _aqe_off_enter(spark)
     try:
         cur = vocab
         pending_folds = 0
@@ -1478,7 +1518,8 @@ def bpe_learn_merges(
                 pending_folds = 0
     finally:
         vocab.unpersist()
-        spark.conf.set(aqe_key, aqe_prev)
+        if batch:
+            _aqe_off_exit(spark)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count long",

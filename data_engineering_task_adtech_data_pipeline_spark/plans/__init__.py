@@ -23,31 +23,31 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) never-driver-verified: the 12 r8 post-window additions
-    # (q119–q130, recorded-local-gate-only until now) lead, per the
-    # rotation invariant
-    "q119_large_volume_orders", "q120_dominant_suppliers",
-    "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
-    "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
-    "q127_trailing_revenue", "q128_nation_trade_volume",
-    "q129_visual_near_dups", "q130_audio_fingerprint_dups",
-    # (c) longest-unverified block: last driver-green r6 — the q75–q97
-    # stragglers that missed the r8 window, then the full r6 relational
-    # block
-    "q92_scd2_history", "q95_small_quantity_revenue",
-    "q96_retention_cohorts", "q97_event_funnel",
-    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
-    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
-    "q28_window_calendar", "q29_asof_join", "q30_range_join",
-    "q31_sessionize", "q32_percentiles", "q33_profile",
-    "q34_json_extract", "q37_exists_anti",
-    "q39_order_count_distribution", "q44_string_functions",
-    "q46_array_agg",
-    # (d) new-this-round entries (never driver-verified) + fill: oldest
-    # r7-green entries, swapped out as new entries land
-    "q131_stream_daily_ingest", "q132_sq8_topk",
-    "q12_ngram_jaccard", "q13_minhash_dedup",
-    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
+    # (b) new this round, never driver-verified: the IVF,SQ8 promotion
+    # (r9 VERDICT #1)
+    "q133_ivf_sq8_topk",
+    # (c) longest-unverified block: last driver-green r7 (q12–q16 were
+    # re-verified in r9's fill and stay out) — 35 entries, the full
+    # r7-green family per COVERAGE.md's rotation table
+    "q11_dedup_exact", "q17_text_features",
+    "q98_wav_stats", "q99_supplier_value_share",
+    "q100_inactive_customer_balance", "q101_waiting_suppliers",
+    "q102_gopher_gate", "q103_hybrid_rrf", "q104_char_entropy",
+    "q105_dsir_weights", "q106_bigram_lm_nll",
+    "q35_minhash_dedup_transitive", "q40_multimodal_features",
+    "q42_chunking", "q43_sequence_packing",
+    "q49_embedding_dup_pairs", "q50_ivf_topk", "q51_domain_cap",
+    "q53_decontaminate", "q55_ivf_lsh_topk", "q56_pii_redaction",
+    "q58_greedy_pack_sharded", "q60_duplicate_spans", "q61_export_shards",
+    "q63_tfidf_topk", "q64_hll_distinct", "q65_cm_heavy_hitters",
+    "q67_collapse_duplicates", "q68_semantic_dedup", "q69_inverted_index",
+    "q70_dedup_against_corpus", "q71_bm25_topk", "q72_pq_adc_topk",
+    "q73_salted_agg", "q74_corpus_datacard",
+    # (d) fill: 4 of the oldest r8-green entries (the r5 stragglers),
+    # pulled forward so round 11's 40-entry r8-green re-certification
+    # block gets 4 slots of slack
+    "q19_token_features", "q21_doc_stats_by_source",
+    "q36_hash_split", "q41_curation_pipeline",
 ]
 
 

@@ -5138,6 +5138,7 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     from ..streaming.jobs import stream_events_daily
 
     root = _q131_root(sf_dir)
+    _q131_sweep_vintages(root, sf_dir)
     marker = os.path.join(root, "_landed_ok")
     if os.path.exists(marker):
         return
@@ -5170,6 +5171,9 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
             lateness=_Q131_LATENESS, available_now=True,
         )
         q.awaitTermination()
+    # breadcrumb BEFORE the marker: marker implies a complete landing
+    # including the _source the vintage sweep keys on
+    Path(os.path.join(stage, "_source")).write_text(sf_dir.rstrip("/"))
     Path(os.path.join(stage, "_landed_ok")).write_text("ok")
     try:
         os.rename(stage, root)  # atomic claim: complete stage -> root
@@ -5209,6 +5213,45 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
                 f"q131 landing claim failed twice for {root}; "
                 "remove the directory and retry"
             )
+
+
+def _q131_sweep_vintages(root: str, sf_dir: str) -> None:
+    """Reclaim cache roots of OLD VINTAGES of the same ``sf_dir`` (r9
+    ADVICE): regenerated testdata changes the fingerprint key, so the
+    previous landing can never be reused — without this sweep each
+    regeneration leaks a parquet tree in tempdir indefinitely. Every
+    landing records its sf_dir in a ``_source`` breadcrumb (written
+    before the marker, so marker implies breadcrumb); a sibling key dir
+    with the SAME source but a different key is definitively an
+    orphaned vintage. Keys of OTHER sf_dirs (a concurrent sf0.001 run
+    beside this sf0.01 one) are live caches and are left alone — which
+    is why a blanket different-key sweep would be wrong. Pre-breadcrumb
+    key dirs are aged out after a day instead (source unknowable)."""
+    import os
+    import shutil
+    import time
+
+    parent, cur = os.path.dirname(root), os.path.basename(root)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        # stage/stale siblings carry a ".": _q131_sweep_dead's job
+        if name == cur or "." in name:
+            continue
+        path = os.path.join(parent, name)
+        src = os.path.join(path, "_source")
+        try:
+            if os.path.exists(src):
+                with open(src) as fh:
+                    same = fh.read() == sf_dir.rstrip("/")
+                if same:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif time.time() - os.path.getmtime(path) > 86400:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _q131_sweep_dead(root: str) -> None:
@@ -5338,5 +5381,119 @@ def q132_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Testdata(spark, sf_dir).embeddings
     out = similarity.sq8_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, shortlist=20
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# q133 — IVF + int8 scalar quantization (round 10, r9 VERDICT #1): the
+# full FAISS ``IVF,SQ8`` serving shape, promoted from tests-only to the
+# battery. The oracle is the promised composition: q50's trained-IVF CTE
+# chain (md5 hash-sample training, Lloyd rounds with 6-dp rounding, cell
+# assignment, n_probe routing) feeding q132's SQ8 CTEs (absmax scales,
+# half-up int8 codes, integer-dot shortlist, exact cosine re-rank) —
+# every stage of the trained, quantized, pruned pipeline value-checked.
+def _ivf_sq8_oracle(
+    n_cells: int, n_iter: int, n_probe: int, k: int, shortlist: int,
+    dim: int, train_cutoff: int = 500000, train_salt: int = 42,
+) -> str:
+    final = f"c{n_iter}"
+    its = ",".join(_ivf_iter_ctes(i, dim) for i in range(1, n_iter + 1))
+    train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
+    corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
+    query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
+    # v, codes and the per-iteration CTEs are multiply referenced —
+    # MATERIALIZED per the known DuckDB re-evaluation pitfall.
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    {train},
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             list_transform(e, x -> round(x, 6)) AS c
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
+    ),{its},
+    sc AS (
+      SELECT i, max(abs(x)) AS s
+      FROM (SELECT UNNEST(e) AS x, UNNEST(range(1, len(e) + 1)) AS i FROM v)
+      GROUP BY i
+    ),
+    sv AS (SELECT list(s ORDER BY i) AS sv FROM sc),
+    codes AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(list_zip(e, sv), t -> CASE WHEN t[2] > 0
+               THEN GREATEST(-127, LEAST(127,
+                    CAST(FLOOR(t[1] / t[2] * 127.0 + 0.5) AS BIGINT)))
+               ELSE 0 END) AS code
+      FROM v, sv
+    ),
+    corpus_cells AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {corpus_dist} ASC, {final}.cell ASC) AS rn
+        FROM v, {final}
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, {final}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {query_dist} ASC, {final}.cell ASC) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < 10) q, {final}
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, cc.vec_id AS corpus_id,
+             CAST(list_sum(list_transform(list_zip(qc.code, c.code),
+                  t -> t[1] * t[2])) AS BIGINT) AS int8_dot
+      FROM probe p
+      JOIN corpus_cells cc USING (cell)
+      JOIN codes qc ON qc.vec_id = p.query_id
+      JOIN codes c ON c.vec_id = cc.vec_id
+      WHERE p.query_id <> cc.vec_id
+    ),
+    short AS (
+      SELECT query_id, corpus_id, int8_dot FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY int8_dot DESC, corpus_id ASC
+        ) AS srank FROM scored
+      ) WHERE srank <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.corpus_id, s.int8_dot,
+             {_COSINE_SQL.format(a='qv.e', b='cv.e')} AS cosine_sim
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.corpus_id
+    )
+    SELECT query_id, corpus_id, int8_dot, cosine_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC
+      ) AS INTEGER) AS rank FROM rer
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "q133_ivf_sq8_topk",
+    oracle=_ivf_sq8_oracle(
+        n_cells=8, n_iter=3, n_probe=2, k=5, shortlist=20, dim=64
+    ),
+    doc="IVF + int8 scalar quantization (the FAISS IVF,SQ8 serving shape): "
+    "8 k-means cells trained in 3 deterministic Lloyd rounds on a 50% md5 "
+    "hash-sample, 2-cell probe, exact integer dot-product shortlist of 20 "
+    "over the probed cells' CODES ONLY (cells prune which rows are "
+    "scanned, int8 shrinks what the scan reads — 8x less bandwidth), "
+    "exact cosine re-rank. The oracle composes q50's trained-IVF chain "
+    "with q132's SQ8 chain, so training, routing, quantization, the "
+    "integer shortlist and both rank stages are all value-checked.",
+)
+def q133_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.ivf_sq8_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        n_cells=8, n_iter=3, n_probe=2, shortlist=20, dim=64,
+        train_fraction=0.5, train_hash_method="md5",
     )
     return out.withColumn("rank", F.col("rank").cast("int"))

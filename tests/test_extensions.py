@@ -2269,6 +2269,27 @@ def test_sq8_topk_recall_floor_and_shortlist_contract(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
 
 
+def test_aqe_off_switch_is_reentrancy_safe(spark):
+    """r9 ADVICE: overlapping bpe_learn_merges(batch=True) calls on one
+    session could restore the wrong prior AQE value (the inner call's
+    'prev' is the outer call's 'false'). The depth counter makes only
+    the outermost enter snapshot and only the matching exit restore."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        _AQE_KEY,
+        _aqe_off_enter,
+        _aqe_off_exit,
+    )
+
+    prev = spark.conf.get(_AQE_KEY, "true")
+    _aqe_off_enter(spark)
+    assert spark.conf.get(_AQE_KEY) == "false"
+    _aqe_off_enter(spark)  # overlapping second call
+    _aqe_off_exit(spark)  # inner exit must NOT restore yet
+    assert spark.conf.get(_AQE_KEY) == "false"
+    _aqe_off_exit(spark)
+    assert spark.conf.get(_AQE_KEY) == prev
+
+
 def test_bpe_batched_equals_strict_random_corpora(spark):
     """Round-9 regression pin for the batcher's full_table fast path and
     visibility floor: seeded-random corpora over a 3-letter alphabet

@@ -949,5 +949,31 @@ def test_q131_landing_protocol_branches(spark, tmp_path):
     assert not os.path.exists(dead_stage)
     assert os.path.exists(live_stage)  # a live foreign landing is not swept
     assert landed_counts() == expect
+
+    # (e) r9 ADVICE — orphaned-vintage GC: a sibling KEY dir whose
+    # _source breadcrumb names the SAME sf_dir is a dead old vintage
+    # (regenerated testdata) and is swept on entry; a sibling sourced
+    # from a DIFFERENT sf_dir is another live cache and is kept; a
+    # breadcrumb-less fresh dir (concurrent pre-r10 landing) is kept.
+    parent = os.path.dirname(root)
+    same_src = os.path.join(parent, "feeddead0001")
+    other_src = os.path.join(parent, "feeddead0002")
+    no_crumb = os.path.join(parent, "feeddead0003")
+    for d in (same_src, other_src, no_crumb):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    with open(os.path.join(same_src, "_source"), "w") as fh:
+        fh.write(sf_dir.rstrip("/"))
+    with open(os.path.join(other_src, "_source"), "w") as fh:
+        fh.write("/somewhere/else/sf9")
+    _q131_prepare(spark, sf_dir)  # warm entry still sweeps vintages
+    assert not os.path.exists(same_src)
+    assert os.path.exists(other_src)
+    assert os.path.exists(no_crumb)
+    # the landing itself recorded its breadcrumb
+    with open(os.path.join(root, "_source")) as fh:
+        assert fh.read() == sf_dir.rstrip("/")
+    shutil.rmtree(other_src, ignore_errors=True)
+    shutil.rmtree(no_crumb, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(live_stage, ignore_errors=True)
