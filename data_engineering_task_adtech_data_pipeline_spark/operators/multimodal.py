@@ -560,11 +560,13 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id",
 # `-f yuv4mpeg`): one ASCII header line, then per-frame `FRAME\n` markers
 # followed by raw planes — parseable with numpy alone. Supported
 # colorspaces offline: `Cmono` (one Y plane/frame), `C444` (Y,U,V planes,
-# no subsampling) and — since round 9 — the `C420` family (`420`,
-# `420jpeg`, `420mpeg2`, `420paldv`: identical plane layout, the tags
-# differ only in chroma SITING, which nearest-neighbor reconstruction is
-# agnostic to). 4:2:0 chroma is reconstructed by exact nearest-neighbor
-# upsample (each full-res pixel reads chroma block (x//2, y//2) — pure
+# no subsampling), the `C420` family since round 9 (`420`, `420jpeg`,
+# `420mpeg2`, `420paldv`: identical plane layout, the tags differ only
+# in chroma SITING, which nearest-neighbor reconstruction is agnostic
+# to), and `C422` since round 10 (horizontal-only subsampling — the
+# broadcast/capture interchange format). Subsampled chroma is
+# reconstructed by exact nearest-neighbor upsample (4:2:0: full-res
+# pixel reads chroma block (x//2, y//2); 4:2:2: (x//2, y) — pure
 # integer indexing, so every decoded value stays oracle-derivable;
 # smooth bilinear siting-aware reconstruction is the video library's
 # refinement, not a correctness requirement). Compressed video
@@ -575,23 +577,36 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id",
 
 def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
     """Encode (n, h, w) uint8 (mono) or (n, h, w, 3) uint8 (444) frames
-    as a YUV4MPEG2 payload. For 4:2:0 pass ``frames`` as a tuple
-    ``(Y, U, V)`` of uint8 arrays shaped (n, h, w) / (n, h/2, w/2) /
-    (n, h/2, w/2) with even h, w — written with the ``C420`` tag."""
+    as a YUV4MPEG2 payload. For subsampled chroma pass ``frames`` as a
+    tuple ``(Y, U, V)`` of uint8 arrays with Y shaped (n, h, w); the
+    chroma shape selects the tag — (n, h/2, w/2) writes ``C420``
+    (even h, w), (n, h, w/2) writes ``C422`` (even w)."""
     import numpy as np
 
     if isinstance(frames, tuple):
         yp, up, vp = (np.asarray(p, dtype=np.uint8) for p in frames)
         n, h, w = yp.shape
-        if h % 2 or w % 2:
-            raise ValueError("C420 requires even dimensions")
-        if up.shape != (n, h // 2, w // 2) or vp.shape != up.shape:
+        if vp.shape != up.shape:
             raise ValueError(
-                "C420 chroma planes must be (n, h/2, w/2), got "
-                f"{up.shape}/{vp.shape} for Y {yp.shape}"
+                f"chroma planes must match: U {up.shape} vs V {vp.shape}"
             )
-        out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\n"
-               % (w, h, fps_num, fps_den)]
+        if up.shape == (n, h, w // 2):
+            if w % 2:
+                raise ValueError("C422 requires even width")
+            cs = b"422"
+        elif h % 2 or w % 2:
+            # not the 422 layout; the only other subsampled layout (420)
+            # is ill-defined on odd dims
+            raise ValueError("C420 requires even dimensions")
+        elif up.shape == (n, h // 2, w // 2):
+            cs = b"420"
+        else:
+            raise ValueError(
+                "chroma planes must be (n, h/2, w/2) [C420] or "
+                f"(n, h, w/2) [C422], got {up.shape} for Y {yp.shape}"
+            )
+        out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+               % (w, h, fps_num, fps_den, cs)]
         for f in range(n):
             out.append(b"FRAME\n")
             out.append(yp[f].tobytes())
@@ -622,12 +637,13 @@ _C420_TAGS = ("420", "420jpeg", "420mpeg2", "420paldv")
 
 
 def _y4m_decode(payload: bytes):
-    """Parse a YUV4MPEG2 payload (Cmono, C444, or the C420 family).
-    Returns ``(info_dict, frames)`` — frames is (n, h, w) uint8 for mono
-    or (n, h, w, 3) uint8 planar-stacked for 444/420 (420 chroma
-    reconstructed by exact nearest-neighbor upsample: full-res pixel
-    (x, y) reads chroma block (x//2, y//2)) — or ``None`` if the payload
-    is corrupt or an unsupported-colorspace sub-format."""
+    """Parse a YUV4MPEG2 payload (Cmono, C444, C422, or the C420
+    family). Returns ``(info_dict, frames)`` — frames is (n, h, w) uint8
+    for mono or (n, h, w, 3) uint8 planar-stacked for 444/422/420
+    (subsampled chroma reconstructed by exact nearest-neighbor upsample:
+    full-res pixel (x, y) reads chroma block (x//2, y//2) for 420,
+    (x//2, y) for 422) — or ``None`` if the payload is corrupt or an
+    unsupported-colorspace sub-format."""
     import numpy as np
 
     try:
@@ -652,13 +668,22 @@ def _y4m_decode(payload: bytes):
         if not w or not h or w <= 0 or h <= 0 or not fn or not fd:
             return None
         sub420 = cs in _C420_TAGS
-        if cs not in ("mono", "444") and not sub420:
-            return None  # 4:2:2 / 4:1:1 / 16-bit: unsupported sub-format
+        sub422 = cs == "422"
+        if cs not in ("mono", "444") and not sub420 and not sub422:
+            return None  # 4:1:1 / 16-bit: unsupported sub-format
         if sub420 and (w % 2 or h % 2):
             return None  # C420 plane split is ill-defined on odd dims
+        if sub422 and w % 2:
+            return None  # C422 subsamples horizontally only
         planes = 1 if cs == "mono" else 3
         wh = w * h
-        fsize = wh + 2 * (wh // 4) if sub420 else wh * planes
+        if sub420:
+            csize = wh // 4  # (h/2) x (w/2) per chroma plane
+        elif sub422:
+            csize = h * (w // 2)  # full-height, half-width
+        else:
+            csize = wh
+        fsize = wh if planes == 1 else wh + 2 * csize
         frames, pos, n = [], nl + 1, len(payload)
         while pos < n:
             fnl = payload.index(b"\n", pos)
@@ -670,14 +695,18 @@ def _y4m_decode(payload: bytes):
             raw = np.frombuffer(payload, np.uint8, count=fsize, offset=body)
             if planes == 1:
                 frames.append(raw.reshape(h, w))
-            elif sub420:
+            elif sub420 or sub422:
                 yp = raw[:wh].reshape(h, w)
-                cq = wh // 4
-                up = raw[wh:wh + cq].reshape(h // 2, w // 2)
-                vp = raw[wh + cq:].reshape(h // 2, w // 2)
-                # nearest-neighbor 2x upsample — exact integer indexing
-                uf = np.repeat(np.repeat(up, 2, axis=0), 2, axis=1)
-                vf = np.repeat(np.repeat(vp, 2, axis=0), 2, axis=1)
+                ch_h = h // 2 if sub420 else h
+                up = raw[wh:wh + csize].reshape(ch_h, w // 2)
+                vp = raw[wh + csize:].reshape(ch_h, w // 2)
+                # nearest-neighbor upsample — exact integer indexing
+                # (420: 2x both axes; 422: 2x horizontal only)
+                if sub420:
+                    up = np.repeat(up, 2, axis=0)
+                    vp = np.repeat(vp, 2, axis=0)
+                uf = np.repeat(up, 2, axis=1)
+                vf = np.repeat(vp, 2, axis=1)
                 frames.append(np.stack([yp, uf, vf], axis=-1))
             else:
                 frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
@@ -854,19 +883,25 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id",
     thus every decoded stat and every sampled-frame aHash) from the
     source table.
 
-    Colorspace arm (round 9): EVEN-length texts emit ``Cmono`` clips
-    (Y plane only, as before); ODD-length texts emit ``C420`` clips —
-    the dominant real-world Y4M colorspace — with the SAME Y plane plus
-    deterministic half-resolution chroma: at chroma coords (cx, cy),
+    Colorspace arms (round 9, widened round 10): EVEN-length texts emit
+    ``Cmono`` clips (Y plane only, as before); ODD-length texts carry
+    deterministic subsampled chroma on top of the SAME Y plane —
+    ``len % 4 == 1`` emits ``C420`` (half-resolution both axes, the
+    dominant real-world colorspace), ``len % 4 == 3`` emits ``C422``
+    (half-width full-height, the broadcast/capture interchange format).
+    Chroma at chroma coords (cx, cy):
     ``u = (cp[ku]*7 + 3*cx + cy + 2*f) % 256`` with
-    ``ku = ((f*(height/2) + cy)*(width/2) + cx) mod len(text)`` and
+    ``ku = ((f*ch + cy)*(width/2) + cx) mod len(text)`` and
     ``v = (cp[kv]*11 + cx + 4*cy + 6*f) % 256`` with ``kv = ku + 1 mod
-    len(text)``. Because decode reconstructs chroma by nearest-neighbor
-    (full-res (x, y) reads block (x//2, y//2)), every decoded channel
-    value stays a pure integer function of the text — the oracle for the
-    sampled-frame hashes (q118) re-derives the chroma at block coords,
-    which VALUE-CHECKS the upsample indexing itself. Returns
-    (media_id, payload); NULL/empty text yields a NULL payload."""
+    len(text)``, where the chroma-plane height ``ch`` is ``height/2``
+    for 420 and ``height`` for 422 — the SAME formulas, so the arms
+    differ only in plane geometry. Because decode reconstructs chroma by
+    nearest-neighbor (full-res (x, y) reads block (x//2, y//2) for 420,
+    (x//2, y) for 422), every decoded channel value stays a pure integer
+    function of the text — the oracle for the sampled-frame hashes
+    (q118) re-derives the chroma at block coords, which VALUE-CHECKS
+    each arm's upsample indexing itself. Returns (media_id, payload);
+    NULL/empty text yields a NULL payload."""
     if width % 2 or height % 2:
         raise ValueError("width/height must be even (C420 arm)")
     out_schema = T.StructType(
@@ -902,12 +937,18 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id",
                 if len(t) % 2 == 0:
                     payloads.append(_y4m_encode(lum, fps_num=4, fps_den=1))
                     continue
-                # odd-length text: C420 clip — same Y plane, plus
-                # deterministic half-resolution chroma (docstring math)
-                ku = (f * ch + cy) * cw + cx
-                up = ((cps[ku % len(cps)] * 7 + 3 * cx + cy + 2 * f)
+                # odd-length text: subsampled-chroma clip — same Y plane
+                # plus deterministic chroma (docstring math); len%4==1 is
+                # C420 (h/2 x w/2), len%4==3 is C422 (h x w/2): identical
+                # formulas, only the chroma-plane geometry differs
+                if len(t) % 4 == 1:
+                    cyk, chh = cy, ch
+                else:
+                    cyk, chh = y, height  # 422: full-height chroma rows
+                ku = (f * chh + cyk) * cw + cx
+                up = ((cps[ku % len(cps)] * 7 + 3 * cx + cyk + 2 * f)
                       % 256).astype(np.uint8)
-                vp = ((cps[(ku + 1) % len(cps)] * 11 + cx + 4 * cy + 6 * f)
+                vp = ((cps[(ku + 1) % len(cps)] * 11 + cx + 4 * cyk + 6 * f)
                       % 256).astype(np.uint8)
                 payloads.append(
                     _y4m_encode((lum, up, vp), fps_num=4, fps_den=1)

@@ -4489,14 +4489,14 @@ _VIDEO_VIDS_CTE = """
     FROM lum GROUP BY doc_id, nf
     """,
     doc="Real video decode: documents.text -> deterministic Y4M clip "
-    "(multimodal.synth_y4m, 2-4 frames at 4 fps; even-length texts mono, "
-    "odd-length C420 with 4:2:0 subsampled chroma since round 9) -> "
-    "hand-rolled YUV4MPEG2 parse (multimodal._y4m_decode) -> per-clip "
-    "stream stats inside Arrow-batched mapInPandas. The oracle rebuilds "
-    "the exact Y samples of every frame from text codepoints in SQL "
-    "(identical for both colorspaces — a wrong C420 frame size or plane "
-    "offset would corrupt the Y stats); peak/sum are pure integer math, "
-    "bit-for-bit.",
+    "(multimodal.synth_y4m, 2-4 frames at 4 fps; even-length texts "
+    "mono, odd-length subsampled chroma — C420 for len%4==1, C422 for "
+    "len%4==3 since round 10) -> hand-rolled YUV4MPEG2 parse "
+    "(multimodal._y4m_decode) -> per-clip stream stats inside "
+    "Arrow-batched mapInPandas. The oracle rebuilds the exact Y samples "
+    "of every frame from text codepoints in SQL (identical for all "
+    "colorspaces — a wrong 420/422 frame size or plane offset would "
+    "corrupt the Y stats); peak/sum are pure integer math, bit-for-bit.",
 )
 def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
@@ -4543,12 +4543,19 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST((((fr.f * 12 + g.sy) * 16 + g.sx) % fr.L) + 1
                       AS INTEGER), 1)) * 3
                + g.sx + 5 * g.sy + 11 * fr.f) % 256) AS yv,
-             -- C420 arm (odd-length text): chroma at block coords
-             -- (cx, cy) = (gx, sy // 2) — sx = 2*gx+1 so sx//2 = gx.
-             -- Re-deriving chroma AT BLOCK COORDS value-checks the
-             -- decoder's nearest-neighbor upsample indexing itself.
-             ((fr.f * 6 + g.sy // 2) * 8 + g.gx) % fr.L AS ku
+             -- subsampled-chroma arms (odd-length text): the sampled
+             -- pixel (sx, sy) reads chroma at block coords — C420
+             -- (L%4=1): (sx//2, sy//2) in a 6-row plane; C422 (L%4=3):
+             -- (sx//2, sy) in a 12-row plane; sx = 2*gx+1 so sx//2 =
+             -- gx either way. Re-deriving chroma AT BLOCK COORDS
+             -- value-checks each arm's nearest-neighbor upsample
+             -- indexing itself.
+             CASE WHEN fr.L % 4 = 1 THEN g.sy // 2 ELSE g.sy END AS cc,
+             CASE WHEN fr.L % 4 = 1 THEN 6 ELSE 12 END AS chh
       FROM fr, grid g
+    ),
+    chan2 AS (
+      SELECT *, ((f * chh + cc) * 8 + gx) % L AS ku FROM chan
     ),
     lum AS (
       SELECT doc_id, f, gy, gx,
@@ -4556,13 +4563,13 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                (yv
                 + ((unicode(substr(text,
                       CAST(ku + 1 AS INTEGER), 1)) * 7
-                    + 3 * gx + (sy // 2) + 2 * f) % 256)
+                    + 3 * gx + cc + 2 * f) % 256)
                 + ((unicode(substr(text,
                       CAST(((ku + 1) % L) + 1 AS INTEGER), 1)) * 11
-                    + gx + 4 * (sy // 2) + 6 * f) % 256)
+                    + gx + 4 * cc + 6 * f) % 256)
                ) // 3
              ELSE yv END AS v
-      FROM chan
+      FROM chan2
     ),
     m AS (SELECT doc_id, f, SUM(v) // 64 AS mean FROM lum GROUP BY doc_id, f),
     hashes AS (
@@ -4584,14 +4591,14 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the real image fingerprint: synth_y4m -> sample_frames (every 2nd "
     "frame, re-encoded as true P6 payloads) -> ahash_images -> identical-"
     "hash groups across frames AND videos (keep_frame = min "
-    "media_id*16+frame_idx). Round 9: odd-length texts emit C420 clips "
-    "(4:2:0 subsampled chroma, the dominant real-world Y4M colorspace), "
-    "so the path exercises the decoder's nearest-neighbor chroma "
-    "upsample; the oracle re-derives the sampled pixels' chroma AT BLOCK "
-    "COORDS (sx//2, sy//2), value-checking the upsample indexing. Every "
-    "value integer, bit-for-bit. At scale, near-dup frames widen to "
-    "substring bands + hamming verify exactly like "
-    "dedup.simhash_candidates.",
+    "media_id*16+frame_idx). Odd-length texts carry subsampled chroma — "
+    "C420 for len%4==1 (round 9), C422 for len%4==3 (round 10) — so the "
+    "path exercises BOTH nearest-neighbor chroma upsample geometries; "
+    "the oracle re-derives the sampled pixels' chroma AT BLOCK COORDS "
+    "((sx//2, sy//2) for 420, (sx//2, sy) for 422), value-checking each "
+    "arm's upsample indexing. Every value integer, bit-for-bit. At "
+    "scale, near-dup frames widen to substring bands + hamming verify "
+    "exactly like dedup.simhash_candidates.",
 )
 def q118_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal

@@ -1986,7 +1986,7 @@ def test_y4m_c420_roundtrip_upsample_and_rejects():
     path), (b) every full-res chroma value equals its half-res block
     source — the exact nearest-neighbor upsample contract pixel (x, y)
     <- block (x//2, y//2); (c) the 420 tag family all parse; (d) odd
-    dims and 4:2:2 stay rejected."""
+    dims and 4:1:1 stay rejected."""
     import numpy as np
 
     from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
@@ -2014,15 +2014,56 @@ def test_y4m_c420_roundtrip_upsample_and_rejects():
     assert multimodal._y4m_decode(
         b"YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + b"\x00" * 9
     ) is None
-    # 4:2:2 remains an unsupported sub-format
+    # 4:1:1 remains an unsupported sub-format
     assert multimodal._y4m_decode(
-        b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\x00" * 8
+        b"YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n" + b"\x00" * 12
     ) is None
     import pytest
 
     with pytest.raises(ValueError, match="even"):
         multimodal._y4m_encode(
             (yp[:, :5, :], up, vp)
+        )
+
+
+def test_y4m_c422_roundtrip_upsample_and_rejects():
+    """C422 codec (round 10, r9 VERDICT #6): encode (Y, U, V) with
+    half-WIDTH full-height chroma, decode, and check (a) the Y plane
+    survives bit-for-bit, (b) every full-res chroma value equals its
+    block source — the horizontal-only nearest-neighbor contract pixel
+    (x, y) <- block (x//2, y): no vertical mixing, which is what
+    distinguishes 4:2:2 from 4:2:0, (c) ODD HEIGHT is legal (only the
+    width is subsampled), (d) odd width stays rejected on both encode
+    and decode."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(11)
+    n, h, w = 2, 5, 8  # odd height on purpose — legal for 422
+    yp = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    up = rng.integers(0, 256, (n, h, w // 2), dtype=np.uint8)
+    vp = rng.integers(0, 256, (n, h, w // 2), dtype=np.uint8)
+    p = multimodal._y4m_encode((yp, up, vp), fps_num=25, fps_den=1)
+    info, frames = multimodal._y4m_decode(p)
+    assert info["colorspace"] == "422" and info["n_frames"] == n
+    assert frames.shape == (n, h, w, 3)
+    assert (frames[..., 0] == yp).all()
+    for y in range(h):
+        for x in range(w):
+            assert (frames[:, y, x, 1] == up[:, y, x // 2]).all()
+            assert (frames[:, y, x, 2] == vp[:, y, x // 2]).all()
+    # odd width: rejected by decode (corrupt, not a crash) and encode
+    assert multimodal._y4m_decode(
+        b"YUV4MPEG2 W3 H2 F25:1 C422\nFRAME\n" + b"\x00" * 10
+    ) is None
+    with pytest.raises(ValueError, match="even width"):
+        multimodal._y4m_encode((yp[:, :, :7], up[:, :, :3], vp[:, :, :3]))
+    # a chroma shape that is neither 420 nor 422 is rejected loudly
+    with pytest.raises(ValueError, match="chroma planes"):
+        multimodal._y4m_encode(
+            (yp[:, :4, :], up[:, :3, :], vp[:, :3, :])
         )
 
 
