@@ -977,3 +977,107 @@ def test_q131_landing_protocol_branches(spark, tmp_path):
     shutil.rmtree(no_crumb, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(live_stage, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_events_daily_soak_bounded_state(spark, tmp_path):
+    """r9 VERDICT #9 (stretch) — processingTime-trigger SOAK: one
+    long-running micro-batch query (then a restart from the same
+    checkpoint) while a concurrent writer lands 10 waves of event files
+    with strictly advancing days; each wave also re-touches the previous
+    wave's last day inside the lateness bound, so versions keep bumping
+    across micro-batches AND across the restart. Asserts:
+
+    (a) exactness across the restart — the landed silver's latest-version
+        dedup view equals the batch GROUP BY over every event written
+        (days advance monotonically and re-touches stay inside the 4-day
+        lateness, so the watermark never drops a row);
+    (b) BOUNDED STATE — the aggregation state (numRowsTotal from the
+        stateOperators progress metrics) is capped by the watermark
+        horizon (~days-in-lateness x campaigns), a fraction of the
+        (campaign, day) groups ever streamed: eviction works, the query
+        can run forever. The measured sizes go into SCALING.md."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    input_dir = str(tmp_path / "in")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    t0 = datetime(2024, 5, 1, tzinfo=timezone.utc)
+    campaigns, per_day, wave_days, n_waves = 5, 30, 3, 10
+
+    def write_wave(k: int) -> None:
+        rows = []
+        days = list(range(k * wave_days, (k + 1) * wave_days))
+        if k > 0:
+            days.append(k * wave_days - 1)  # re-touch: bumps versions
+        for d in days:
+            for i in range(per_day):
+                eid = (d * 10_000 + i) if d in range(
+                    k * wave_days, (k + 1) * wave_days
+                ) else (d * 10_000 + 5_000 + i)  # re-touch rows: new ids
+                rows.append(
+                    (eid, eid % campaigns, t0 + timedelta(days=d, minutes=i))
+                )
+        spark.createDataFrame(
+            rows, "id long, campaign_id long, created_at timestamp"
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    state_sizes: list[int] = []
+
+    def run_waves(q, ks) -> None:
+        for k in ks:
+            write_wave(k)  # concurrent writer: the query is live
+            q.processAllAvailable()
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                state_sizes.append(p["stateOperators"][0]["numRowsTotal"])
+
+    q = stream_events_daily(
+        spark, input_dir, silver, ckpt,
+        lateness="4 days", available_now=False, processing_time="1 seconds",
+    )
+    try:
+        run_waves(q, range(0, 5))
+    finally:
+        q.stop()
+    # restart from the same checkpoint mid-soak; keep landing waves
+    q2 = stream_events_daily(
+        spark, input_dir, silver, ckpt,
+        lateness="4 days", available_now=False, processing_time="1 seconds",
+    )
+    try:
+        run_waves(q2, range(5, n_waves))
+    finally:
+        q2.stop()
+
+    # (a) exact totals through the dedup view, across the restart
+    expect = {
+        (r.c, str(r.d)): r.n
+        for r in spark.read.parquet(input_dir)
+        .groupBy(
+            F.col("campaign_id").alias("c"),
+            F.col("created_at").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.rtm_campaign_id, str(r.event_date)): r.event_count
+        for r in latest_version(
+            spark.read.parquet(silver), KEYS, "rtm_delta",
+            tiebreak=["event_count"],
+        ).collect()
+    }
+    assert got == expect
+    n_groups_total = len(expect)  # 30 days x 5 campaigns = 150
+    assert n_groups_total == n_waves * wave_days * campaigns
+
+    # (b) bounded state: the watermark horizon is 4 days + the current
+    # wave's 3 -> at most ~8 day-grain groups per campaign alive; far
+    # below the 30-day total. Cap both the END state and the PEAK.
+    assert state_sizes, "no stateOperators progress captured"
+    bound = 9 * campaigns
+    assert max(state_sizes) <= bound, state_sizes
+    assert state_sizes[-1] <= bound, state_sizes

@@ -83,6 +83,25 @@ QUERIES = [
     "q74_corpus_datacard", "q71_bm25_topk", "q75_winnow_match_pairs",
     "q48_jaccard_verify", "q53_decontaminate", "q15_cosine_topk",
     "q64_hll_distinct", "q65_cm_heavy_hitters", "q132_sq8_topk",
+    # appended r10 (r9 VERDICT #3: the remaining sub-2 s tail — the full
+    # battery is now trended) + the r10 addition q133; first measured in
+    # BENCH_SF1_r10
+    "q11_dedup_exact", "q21_doc_stats_by_source", "q36_hash_split",
+    "q40_multimodal_features", "q41_curation_pipeline", "q42_chunking",
+    "q43_sequence_packing", "q58_greedy_pack_sharded", "q51_domain_cap",
+    "q56_pii_redaction", "q57_bigram_novelty", "q61_export_shards",
+    "q62_quantile_filter", "q63_tfidf_topk", "q66_mixture_sample",
+    "q69_inverted_index", "q73_salted_agg", "q76_hard_negatives",
+    "q77_budget_select", "q79_bpe_pair_counts", "q81_zipf_fit",
+    "q82_curriculum_stages", "q83_validate", "q84_snapshot_diff",
+    "q131_stream_daily_ingest", "q133_ivf_sq8_topk",
+    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
+    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
+    "q28_window_calendar", "q29_asof_join", "q30_range_join",
+    "q31_sessionize", "q32_percentiles", "q33_profile",
+    "q34_json_extract", "q37_exists_anti",
+    "q39_order_count_distribution", "q44_string_functions",
+    "q46_array_agg",
 ]
 
 

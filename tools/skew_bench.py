@@ -14,6 +14,17 @@ for two aggregate classes:
   - holistic   (collect_list size): partial state is O(rows-per-key), the hot
     key's list rides one reduce task; salting splits it 32 ways.
 
+Round 10 (r9 VERDICT #8) adds the JOIN section: fact(rows, one hot key
+at `hot_share`) ⟕ dim(2M rows — too large to broadcast), comparing
+
+  a. plain shuffle join              -- AQE's call (left-outer skew)
+  b. hot_key_split_join              -- census computed inline (3 scans)
+  c. hot_key_split_join(hot_keys=..) -- precomputed census (2 scans)
+
+and ASSERTS the split plan's shape (hot arm BroadcastHashJoin + tail arm
+shuffle join) before timing, so the table can't silently measure a
+collapsed plan.
+
 Usage: python tools/skew_bench.py [rows] [hot_share]
 Appends nothing; prints a JSON line — copy results into SCALING.md.
 """
@@ -30,6 +41,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from data_engineering_task_adtech_data_pipeline_spark.functions.skew import (  # noqa: E402
+    hot_key_census,
+    hot_key_split_join,
     salted_agg,
 )
 from data_engineering_task_adtech_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -88,6 +101,50 @@ def main() -> None:
             merges={"n_ids": F.sum("n_ids")},
         ).write.mode("overwrite").format("noop").save()
     )
+
+    # ---- hot-key split join (r9 VERDICT #8) ------------------------------
+    # dim too large to broadcast (2M rows x 2 cols >> the 10 MB
+    # autoBroadcast threshold), keyed over the fact's key space so the
+    # hot key matches; left join = the arm AQE's skew splitter is most
+    # constrained on.
+    dim = spark.range(2_000_000).select(
+        F.col("id").alias("dim_key"), (F.col("id") % 97).alias("attr")
+    )
+    dim.write.mode("overwrite").parquet("/tmp/skew_bench_dim")
+    dim = spark.read.parquet("/tmp/skew_bench_dim")
+
+    census = hot_key_census(df, "campaign_id", hot_threshold=1_000_000)
+    census = census.persist()
+    n_hot = census.count()  # materialize the census outside the timers
+    res["n_hot_keys"] = n_hot
+
+    split = hot_key_split_join(
+        df, dim, "campaign_id", "dim_key", hot_threshold=1_000_000,
+        how="left",
+    )
+    # plan assertion BEFORE timing: hot arm broadcast, tail arm shuffle —
+    # a collapsed plan would make the comparison meaningless
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+
+    res["join_plain"] = t(
+        lambda: df.join(
+            dim, df.campaign_id == dim.dim_key, "left"
+        ).write.mode("overwrite").format("noop").save()
+    )
+    res["join_split_inline_census"] = t(
+        lambda: hot_key_split_join(
+            df, dim, "campaign_id", "dim_key", hot_threshold=1_000_000,
+            how="left",
+        ).write.mode("overwrite").format("noop").save()
+    )
+    res["join_split_precomputed_census"] = t(
+        lambda: hot_key_split_join(
+            df, dim, "campaign_id", "dim_key", how="left", hot_keys=census,
+        ).write.mode("overwrite").format("noop").save()
+    )
+    census.unpersist()
 
     print(json.dumps({"rows": rows, "hot_share": hot_share, **res}))
 
