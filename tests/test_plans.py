@@ -602,3 +602,22 @@ def test_sq8_shortlist_shuffle_is_codes_only(spark):
     for i, ln in enumerate(lines):
         if "Exchange hashpartitioning" in ln and "query_id" in ln:
             assert "emb" not in ln, ln
+
+
+def test_ivf_sq8_keeps_codes_only_exchange_and_broadcasts(spark):
+    """q133 (the IVF,SQ8 composition) must keep BOTH scale contracts:
+    the probed-cell equi-join is a broadcast join of the (tiny) probed
+    query frame against the cell-coded corpus — never a shuffle join —
+    and the shortlist exchange carries codes-derived rows only (no
+    full-precision embedding array rides into the srank window), same
+    as flat sq8 (q132). Cells prune WHICH rows are scanned; codes
+    shrink WHAT the scan reads — this test pins that neither lever
+    collapses in the physical plan."""
+    plan = _plan(spark, "q133_ivf_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # probed-cell join + re-rank joins
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and "query_id" in ln:
+            assert "emb" not in ln, ln
