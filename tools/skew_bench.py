@@ -103,12 +103,17 @@ def main() -> None:
     )
 
     # ---- hot-key split join (r9 VERDICT #8) ------------------------------
-    # dim too large to broadcast (2M rows x 2 cols >> the 10 MB
-    # autoBroadcast threshold), keyed over the fact's key space so the
-    # hot key matches; left join = the arm AQE's skew splitter is most
+    # dim genuinely too large to broadcast (10M rows with a 64-char
+    # payload: ~700 MB on disk — 2M skinny rows compressed UNDER the
+    # 10 MB autoBroadcast file-size estimate and got broadcast, which
+    # is the right plan there but not the scenario this section
+    # measures), keyed over the fact's key space so the hot key
+    # matches; left join = the arm AQE's skew splitter is most
     # constrained on.
-    dim = spark.range(2_000_000).select(
-        F.col("id").alias("dim_key"), (F.col("id") % 97).alias("attr")
+    dim = spark.range(10_000_000).select(
+        F.col("id").alias("dim_key"),
+        (F.col("id") % 97).alias("attr"),
+        F.repeat(F.md5(F.col("id").cast("string")), 2).alias("pad"),
     )
     dim.write.mode("overwrite").parquet("/tmp/skew_bench_dim")
     dim = spark.read.parquet("/tmp/skew_bench_dim")
