@@ -563,10 +563,11 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id",
 # no subsampling), the `C420` family since round 9 (`420`, `420jpeg`,
 # `420mpeg2`, `420paldv`: identical plane layout, the tags differ only
 # in chroma SITING, which nearest-neighbor reconstruction is agnostic
-# to), and `C422` since round 10 (horizontal-only subsampling — the
-# broadcast/capture interchange format). Subsampled chroma is
-# reconstructed by exact nearest-neighbor upsample (4:2:0: full-res
-# pixel reads chroma block (x//2, y//2); 4:2:2: (x//2, y) — pure
+# to), and `C422`/`C411` since round 10 (horizontal-only subsampling at
+# 1/2 and 1/4 width — the broadcast/capture and DV interchange formats).
+# Subsampled chroma is reconstructed by exact nearest-neighbor upsample
+# (4:2:0: full-res pixel reads chroma block (x//2, y//2); 4:2:2:
+# (x//2, y); 4:1:1: (x//4, y) — pure
 # integer indexing, so every decoded value stays oracle-derivable;
 # smooth bilinear siting-aware reconstruction is the video library's
 # refinement, not a correctness requirement). Compressed video
@@ -580,7 +581,8 @@ def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
     as a YUV4MPEG2 payload. For subsampled chroma pass ``frames`` as a
     tuple ``(Y, U, V)`` of uint8 arrays with Y shaped (n, h, w); the
     chroma shape selects the tag — (n, h/2, w/2) writes ``C420``
-    (even h, w), (n, h, w/2) writes ``C422`` (even w)."""
+    (even h, w), (n, h, w/2) writes ``C422`` (even w), (n, h, w/4)
+    writes ``C411`` (w divisible by 4)."""
     import numpy as np
 
     if isinstance(frames, tuple):
@@ -594,16 +596,21 @@ def _y4m_encode(frames, fps_num: int = 4, fps_den: int = 1) -> bytes:
             if w % 2:
                 raise ValueError("C422 requires even width")
             cs = b"422"
+        elif w >= 4 and up.shape == (n, h, w // 4):
+            if w % 4:
+                raise ValueError("C411 requires width divisible by 4")
+            cs = b"411"
         elif h % 2 or w % 2:
-            # not the 422 layout; the only other subsampled layout (420)
-            # is ill-defined on odd dims
+            # not a horizontal-only layout; the only other subsampled
+            # layout (420) is ill-defined on odd dims
             raise ValueError("C420 requires even dimensions")
         elif up.shape == (n, h // 2, w // 2):
             cs = b"420"
         else:
             raise ValueError(
-                "chroma planes must be (n, h/2, w/2) [C420] or "
-                f"(n, h, w/2) [C422], got {up.shape} for Y {yp.shape}"
+                "chroma planes must be (n, h/2, w/2) [C420], "
+                f"(n, h, w/2) [C422] or (n, h, w/4) [C411], got "
+                f"{up.shape} for Y {yp.shape}"
             )
         out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
                % (w, h, fps_num, fps_den, cs)]
@@ -637,13 +644,13 @@ _C420_TAGS = ("420", "420jpeg", "420mpeg2", "420paldv")
 
 
 def _y4m_decode(payload: bytes):
-    """Parse a YUV4MPEG2 payload (Cmono, C444, C422, or the C420
+    """Parse a YUV4MPEG2 payload (Cmono, C444, C422, C411, or the C420
     family). Returns ``(info_dict, frames)`` — frames is (n, h, w) uint8
-    for mono or (n, h, w, 3) uint8 planar-stacked for 444/422/420
+    for mono or (n, h, w, 3) uint8 planar-stacked for 444/422/411/420
     (subsampled chroma reconstructed by exact nearest-neighbor upsample:
     full-res pixel (x, y) reads chroma block (x//2, y//2) for 420,
-    (x//2, y) for 422) — or ``None`` if the payload is corrupt or an
-    unsupported-colorspace sub-format."""
+    (x//2, y) for 422, (x//4, y) for 411) — or ``None`` if the payload
+    is corrupt or an unsupported-colorspace sub-format."""
     import numpy as np
 
     try:
@@ -669,18 +676,23 @@ def _y4m_decode(payload: bytes):
             return None
         sub420 = cs in _C420_TAGS
         sub422 = cs == "422"
-        if cs not in ("mono", "444") and not sub420 and not sub422:
-            return None  # 4:1:1 / 16-bit: unsupported sub-format
+        sub411 = cs == "411"
+        if cs not in ("mono", "444") and not (sub420 or sub422 or sub411):
+            return None  # 16-bit planes (e.g. C420p10): unsupported
         if sub420 and (w % 2 or h % 2):
             return None  # C420 plane split is ill-defined on odd dims
         if sub422 and w % 2:
             return None  # C422 subsamples horizontally only
+        if sub411 and w % 4:
+            return None  # C411 subsamples width by 4
         planes = 1 if cs == "mono" else 3
         wh = w * h
         if sub420:
             csize = wh // 4  # (h/2) x (w/2) per chroma plane
         elif sub422:
             csize = h * (w // 2)  # full-height, half-width
+        elif sub411:
+            csize = h * (w // 4)  # full-height, quarter-width
         else:
             csize = wh
         fsize = wh if planes == 1 else wh + 2 * csize
@@ -695,18 +707,21 @@ def _y4m_decode(payload: bytes):
             raw = np.frombuffer(payload, np.uint8, count=fsize, offset=body)
             if planes == 1:
                 frames.append(raw.reshape(h, w))
-            elif sub420 or sub422:
+            elif sub420 or sub422 or sub411:
                 yp = raw[:wh].reshape(h, w)
                 ch_h = h // 2 if sub420 else h
-                up = raw[wh:wh + csize].reshape(ch_h, w // 2)
-                vp = raw[wh + csize:].reshape(ch_h, w // 2)
+                ch_w = w // 4 if sub411 else w // 2
+                up = raw[wh:wh + csize].reshape(ch_h, ch_w)
+                vp = raw[wh + csize:].reshape(ch_h, ch_w)
                 # nearest-neighbor upsample — exact integer indexing
-                # (420: 2x both axes; 422: 2x horizontal only)
+                # (420: 2x both axes; 422: 2x horizontal; 411: 4x
+                # horizontal)
                 if sub420:
                     up = np.repeat(up, 2, axis=0)
                     vp = np.repeat(vp, 2, axis=0)
-                uf = np.repeat(up, 2, axis=1)
-                vf = np.repeat(vp, 2, axis=1)
+                hx = 4 if sub411 else 2
+                uf = np.repeat(up, hx, axis=1)
+                vf = np.repeat(vp, hx, axis=1)
                 frames.append(np.stack([yp, uf, vf], axis=-1))
             else:
                 frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))

@@ -1986,7 +1986,7 @@ def test_y4m_c420_roundtrip_upsample_and_rejects():
     path), (b) every full-res chroma value equals its half-res block
     source — the exact nearest-neighbor upsample contract pixel (x, y)
     <- block (x//2, y//2); (c) the 420 tag family all parse; (d) odd
-    dims and 4:1:1 stay rejected."""
+    dims and 16-bit planes stay rejected."""
     import numpy as np
 
     from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
@@ -2014,9 +2014,9 @@ def test_y4m_c420_roundtrip_upsample_and_rejects():
     assert multimodal._y4m_decode(
         b"YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + b"\x00" * 9
     ) is None
-    # 4:1:1 remains an unsupported sub-format
+    # 16-bit planes remain an unsupported sub-format
     assert multimodal._y4m_decode(
-        b"YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n" + b"\x00" * 12
+        b"YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n" + b"\x00" * 12
     ) is None
     import pytest
 
@@ -2060,10 +2060,48 @@ def test_y4m_c422_roundtrip_upsample_and_rejects():
     ) is None
     with pytest.raises(ValueError, match="even width"):
         multimodal._y4m_encode((yp[:, :, :7], up[:, :, :3], vp[:, :, :3]))
-    # a chroma shape that is neither 420 nor 422 is rejected loudly
+    # a chroma shape that matches no supported layout is rejected loudly
     with pytest.raises(ValueError, match="chroma planes"):
         multimodal._y4m_encode(
             (yp[:, :4, :], up[:, :3, :], vp[:, :3, :])
+        )
+
+
+def test_y4m_c411_roundtrip_upsample_and_rejects():
+    """C411 codec (round 10, completing the horizontal-subsample family):
+    quarter-width full-height chroma, exact nearest-neighbor contract
+    pixel (x, y) <- block (x//4, y); odd height legal; width not
+    divisible by 4 rejected on both encode and decode."""
+    import numpy as np
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(13)
+    n, h, w = 2, 3, 8  # odd height on purpose — legal for 411
+    yp = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    up = rng.integers(0, 256, (n, h, w // 4), dtype=np.uint8)
+    vp = rng.integers(0, 256, (n, h, w // 4), dtype=np.uint8)
+    p = multimodal._y4m_encode((yp, up, vp), fps_num=25, fps_den=1)
+    info, frames = multimodal._y4m_decode(p)
+    assert info["colorspace"] == "411" and info["n_frames"] == n
+    assert frames.shape == (n, h, w, 3)
+    assert (frames[..., 0] == yp).all()
+    for y in range(h):
+        for x in range(w):
+            assert (frames[:, y, x, 1] == up[:, y, x // 4]).all()
+            assert (frames[:, y, x, 2] == vp[:, y, x // 4]).all()
+    # width not divisible by 4: decode -> corrupt; encode -> loud error
+    assert multimodal._y4m_decode(
+        b"YUV4MPEG2 W6 H2 F25:1 C411\nFRAME\n" + b"\x00" * 18
+    ) is None
+    with pytest.raises(ValueError, match="divisible by 4"):
+        multimodal._y4m_encode(
+            (
+                rng.integers(0, 256, (1, 2, 12), dtype=np.uint8)[:, :, :6],
+                rng.integers(0, 256, (1, 2, 1), dtype=np.uint8),
+                rng.integers(0, 256, (1, 2, 1), dtype=np.uint8),
+            )
         )
 
 
