@@ -76,10 +76,14 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast (the typical
     search shape: small query set against a huge corpus); ranking is
-    deterministic — ties broken by corpus id."""
+    deterministic — ties broken by corpus id. ``max_queries`` enforces
+    the broadcast small-query-side contract (see ``_guard_query_count``
+    — round 10 extended the sq8 guard to every flat-scan entry point)."""
+    _guard_query_count(queries, max_queries)
     c = with_double_embedding(corpus, emb_col).select(
         F.col(id_col).alias("corpus_id"), F.col(emb_col).alias("__c_emb")
     )
@@ -1133,6 +1137,7 @@ def pq_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     codes_col: str = "codes",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: for each query, precompute the
     m x n_codes lookup table of squared L2 distances from its subvectors
@@ -1148,7 +1153,10 @@ def pq_topk(
     embedding, and stays whole-stage codegen. Compose with the IVF cell
     routing (``_with_cell`` / probed cells) for IVF-PQ, and re-rank the
     top candidates against true embeddings when exactness matters.
+    ``max_queries`` enforces the broadcast small-query-side contract
+    (``_guard_query_count``, round 10).
     """
+    _guard_query_count(queries, max_queries)
     sub = len(codebooks[0][0])
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
@@ -1865,19 +1873,29 @@ def sq8_encode_expr(emb: Column, scales: list[float]) -> Column:
 
 
 def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
-    """Enforce the small-query-side contract of the quantized top-k scans:
-    their shortlist stage is a broadcast nested-loop (or broadcast hash
+    """Enforce the small-query-side contract of the flat-scan top-k entry
+    points (``brute_force_topk``, ``pq_topk``, ``sq8_topk``,
+    ``ivf_sq8_topk`` — every public path whose scoring stage reads
+    corpus x broadcast(queries)):
+    the shortlist stage is a broadcast nested-loop (or broadcast hash
     join) of corpus x queries BY DESIGN — correct and fast for
     serving-sized query sets, quadratic if a caller hands it a second
     corpus. The contract was advisory (docstring only) until round 10
     (r9 VERDICT #7); now it raises. ``max_queries=None`` opts out for
-    callers that have already bounded the frame."""
+    callers that have already bounded the frame.
+
+    The probe is ``limit(max+1).count()``, not a full count (round-10
+    review): the accept/reject decision is identical, but the one case
+    the guard exists for — a corpus-sized query frame — would otherwise
+    pay a complete scan (and recompute of whatever pipeline produced
+    it) just to learn it is too big; the limit stops the scan after
+    ``max_queries + 1`` rows either way."""
     if max_queries is None:
         return
-    n = queries.count()
+    n = queries.limit(max_queries + 1).count()
     if n > max_queries:
         raise ValueError(
-            f"queries has {n} rows, above max_queries={max_queries}: the "
+            f"queries has more than max_queries={max_queries} rows: the "
             "shortlist stage broadcasts the query side and scores corpus x "
             "queries, which is only sane for serving-sized query sets. "
             "Split the query frame, or pass max_queries=None if the blowup "

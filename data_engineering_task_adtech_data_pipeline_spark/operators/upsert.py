@@ -395,7 +395,18 @@ def _merge_upsert_delta(
     ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW`` on duplicate source
     keys, and an initial load would land both rows — the same dup-key
     bug the parquet arm's property test caught (round 5), fixed here the
-    same way (``latest_version`` over the source first)."""
+    same way (``latest_version`` over the source first).
+
+    The matched-update condition applies ``latest_version``'s FULL
+    ordering against the target, not just the version (round-10 review):
+    a bare ``s.ver >= t.ver`` let the source win exact-version ties even
+    when the target carried a higher ``tiebreak`` — the parquet arm's
+    window (version desc, tiebreaks desc) would have kept the target
+    row, so the two backends disagreed on tie batches. The condition is
+    the lexicographic expansion of that ordering; on a FULL tie (version
+    and every tiebreak equal) the source wins, which is within the
+    parquet arm's contract (row_number over fully-tied rows is
+    arbitrary there)."""
     try:
         from delta.tables import DeltaTable
     except ImportError as exc:  # pragma: no cover - env-blocked
@@ -408,11 +419,18 @@ def _merge_upsert_delta(
         src.write.format("delta").save(path)
         return
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    arms = [f"s.{version} > t.{version}"]
+    eq = f"s.{version} = t.{version}"
+    for tb in tiebreak:
+        arms.append(f"{eq} AND s.{tb} > t.{tb}")
+        eq += f" AND s.{tb} = t.{tb}"
+    arms.append(eq)  # full tie: source wins (== the old >= with no tbs)
+    update_cond = " OR ".join(f"({a})" for a in arms)
     (
         DeltaTable.forPath(spark, path)
         .alias("t")
         .merge(src.alias("s"), cond)
-        .whenMatchedUpdateAll(condition=f"s.{version} >= t.{version}")
+        .whenMatchedUpdateAll(condition=update_cond)
         .whenNotMatchedInsertAll()
         .execute()
     )

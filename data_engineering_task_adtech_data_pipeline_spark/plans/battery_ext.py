@@ -470,6 +470,13 @@ _IVF_TRAIN = """
 
 
 def _ivf_iter_ctes(i: int, dim: int) -> str:
+    # c{i} is referenced TWICE downstream (a{i+1}'s distance expression
+    # and c{i+1}'s COALESCE/FROM — or corpus_cells + probe at the end),
+    # so a plain CTE re-evaluates the whole training chain ~2^n_iter
+    # times (the documented DuckDB pitfall, found live in q133's gate
+    # time, round-10 review) — MATERIALIZED pins each Lloyd round to one
+    # evaluation for every oracle built on this chain (q50/q55/q78/q86/
+    # q133).
     prev = f"c{i - 1}"
     dist = _IVF_DIST.format(e="t.e", c=f"{prev}.c")
     return f"""
@@ -485,7 +492,7 @@ def _ivf_iter_ctes(i: int, dim: int) -> str:
       SELECT cell, i, round(avg(e[i]), 6) AS m
       FROM a{i}, generate_series(1, {dim}) t(i) GROUP BY cell, i
     ),
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE(n.c, {prev}.c) AS c
       FROM {prev} LEFT JOIN (
         SELECT cell, list(m ORDER BY i) AS c FROM m{i} GROUP BY cell
@@ -5148,6 +5155,16 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
     _q131_sweep_vintages(root, sf_dir)
     marker = os.path.join(root, "_landed_ok")
     if os.path.exists(marker):
+        # backfill the vintage-sweep breadcrumb into pre-breadcrumb
+        # landings (round-10 review): without it, a live pre-r10 cache
+        # keeps aging toward the 1-day fallback sweep on every entry —
+        # one warm touch by its owner makes it sweep-proof instead.
+        src_mark = os.path.join(root, "_source")
+        if not os.path.exists(src_mark):
+            try:
+                Path(src_mark).write_text(sf_dir.rstrip("/"))
+            except OSError:
+                pass
         return
     _q131_sweep_dead(root)
     stage = f"{root}.stage.{os.getpid()}"
@@ -5329,12 +5346,14 @@ def q131_stream_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE math, so the ENTIRE pipeline — per-dimension absmax scales,
 # half-up int8 codes, integer dot-product shortlist, exact cosine
 # re-rank — is SQL-derivable and value-checked end to end.
-@query(
-    "q132_sq8_topk",
-    oracle=f"""
-    WITH v AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ),
+#
+# The SQ8 fragments are shared with the IVF,SQ8 composition (q133) so
+# a quantization-rule fix can never silently diverge between the two
+# oracles (round-10 review): ``_SQ8_CODES_CTES`` assumes a CTE
+# ``v(vec_id, e)`` is in scope and emits sc/sv/codes (absmax scales,
+# half-up int8 codes, both engines' exact shape); ``_INT8_DOT_SQL`` is
+# the exact integer dot product over two code lists.
+_SQ8_CODES_CTES = """
     sc AS (
       SELECT i, max(abs(x)) AS s
       FROM (SELECT UNNEST(e) AS x, UNNEST(range(1, len(e) + 1)) AS i FROM v)
@@ -5348,13 +5367,26 @@ def q131_stream_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(FLOOR(t[1] / t[2] * 127.0 + 0.5) AS BIGINT)))
                ELSE 0 END) AS code
       FROM v, sv
+    )"""
+
+_INT8_DOT_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " t -> t[1] * t[2])) AS BIGINT)"
+)
+
+
+@query(
+    "q132_sq8_topk",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
+    {_SQ8_CODES_CTES},
     qc AS (SELECT vec_id AS query_id, code AS q_code FROM codes
            WHERE vec_id < 10),
     scored AS (
       SELECT qc.query_id, c.vec_id AS corpus_id,
-             CAST(list_sum(list_transform(list_zip(qc.q_code, c.code),
-                  t -> t[1] * t[2])) AS BIGINT) AS int8_dot
+             {_INT8_DOT_SQL.format(a='qc.q_code', b='c.code')} AS int8_dot
       FROM qc, codes c WHERE qc.query_id <> c.vec_id
     ),
     short AS (
@@ -5408,8 +5440,10 @@ def _ivf_sq8_oracle(
     train = _IVF_TRAIN.format(salt=train_salt, cutoff=train_cutoff)
     corpus_dist = _IVF_DIST.format(e="v.e", c=f"{final}.c")
     query_dist = _IVF_DIST.format(e="q.e", c=f"{final}.c")
-    # v, codes and the per-iteration CTEs are multiply referenced —
-    # MATERIALIZED per the known DuckDB re-evaluation pitfall.
+    # v, codes, corpus_cells and the c0 seed are multiply referenced —
+    # MATERIALIZED per the known DuckDB re-evaluation pitfall; the
+    # per-iteration c{i} chain gets the same treatment inside
+    # _ivf_iter_ctes itself (round-10 review).
     return f"""
     WITH v AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -5420,20 +5454,7 @@ def _ivf_sq8_oracle(
              list_transform(e, x -> round(x, 6)) AS c
       FROM (SELECT * FROM t ORDER BY vec_id LIMIT {n_cells})
     ),{its},
-    sc AS (
-      SELECT i, max(abs(x)) AS s
-      FROM (SELECT UNNEST(e) AS x, UNNEST(range(1, len(e) + 1)) AS i FROM v)
-      GROUP BY i
-    ),
-    sv AS (SELECT list(s ORDER BY i) AS sv FROM sc),
-    codes AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(list_zip(e, sv), t -> CASE WHEN t[2] > 0
-               THEN GREATEST(-127, LEAST(127,
-                    CAST(FLOOR(t[1] / t[2] * 127.0 + 0.5) AS BIGINT)))
-               ELSE 0 END) AS code
-      FROM v, sv
-    ),
+    {_SQ8_CODES_CTES},
     corpus_cells AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, {final}.cell,
@@ -5452,8 +5473,7 @@ def _ivf_sq8_oracle(
     ),
     scored AS (
       SELECT p.query_id, cc.vec_id AS corpus_id,
-             CAST(list_sum(list_transform(list_zip(qc.code, c.code),
-                  t -> t[1] * t[2])) AS BIGINT) AS int8_dot
+             {_INT8_DOT_SQL.format(a='qc.code', b='c.code')} AS int8_dot
       FROM probe p
       JOIN corpus_cells cc USING (cell)
       JOIN codes qc ON qc.vec_id = p.query_id

@@ -2359,14 +2359,22 @@ def test_aqe_off_switch_is_reentrancy_safe(spark):
         _aqe_off_exit,
     )
 
+    from data_engineering_task_adtech_data_pipeline_spark.operators import text as text_mod
+
     prev = spark.conf.get(_AQE_KEY, "true")
-    _aqe_off_enter(spark)
-    assert spark.conf.get(_AQE_KEY) == "false"
-    _aqe_off_enter(spark)  # overlapping second call
-    _aqe_off_exit(spark)  # inner exit must NOT restore yet
-    assert spark.conf.get(_AQE_KEY) == "false"
-    _aqe_off_exit(spark)
-    assert spark.conf.get(_AQE_KEY) == prev
+    try:
+        _aqe_off_enter(spark)
+        assert spark.conf.get(_AQE_KEY) == "false"
+        _aqe_off_enter(spark)  # overlapping second call
+        _aqe_off_exit(spark)  # inner exit must NOT restore yet
+        assert spark.conf.get(_AQE_KEY) == "false"
+        _aqe_off_exit(spark)
+        assert spark.conf.get(_AQE_KEY) == prev
+    finally:
+        # a mid-test assertion failure must not leave the SHARED session
+        # fixture with AQE off + a stale depth entry (round-10 review)
+        text_mod._aqe_state.pop(id(spark), None)
+        spark.conf.set(_AQE_KEY, prev)
 
 
 def test_bpe_batched_equals_strict_random_corpora(spark):

@@ -431,7 +431,25 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     merge_call = calls[3]
     assert merge_call[1] == "t.k = s.k"
     assert merge_call[2] == deduped  # within-batch dedup reached the MERGE
-    assert calls[4] == ("whenMatchedUpdateAll", "s.ver >= t.ver")
+    # no tiebreak: the condition reduces to the old s.ver >= t.ver
+    assert calls[4] == (
+        "whenMatchedUpdateAll", "(s.ver > t.ver) OR (s.ver = t.ver)"
+    )
+
+    # scenario 3: with a tiebreak the update condition must be the FULL
+    # lexicographic expansion of latest_version's ordering — a bare
+    # version >= let the source win exact-version ties the parquet arm's
+    # (version desc, tiebreak desc) window would give to the target
+    calls.clear()
+    merge_upsert(
+        src, path, keys=["k"], version="ver", tiebreak=["val"],
+        table_format="delta",
+    )
+    assert calls[4] == (
+        "whenMatchedUpdateAll",
+        "(s.ver > t.ver) OR (s.ver = t.ver AND s.val > t.val) "
+        "OR (s.ver = t.ver AND s.val = t.val)",
+    )
 
 
 def test_orc_round_trip_with_pushdown(spark, tmp_path):

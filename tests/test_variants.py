@@ -127,9 +127,19 @@ def test_quantized_topk_query_side_guard(spark):
     import pytest
 
     emb = Testdata(spark, SF_ORACLE).embeddings
-    for fn in (similarity.sq8_topk, similarity.ivf_sq8_topk):
+    for fn in (
+        similarity.sq8_topk,
+        similarity.ivf_sq8_topk,
+        similarity.brute_force_topk,  # guard extended r10 review
+    ):
         with pytest.raises(ValueError, match="max_queries"):
             fn(emb, emb, k=5, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.pq_topk(
+            emb.select("vec_id", F.array(F.lit(0), F.lit(1)).alias("codes")),
+            emb, codebooks=[[[0.0] * 32, [1.0] * 32]] * 2,
+            k=5, max_queries=10,
+        )
     # opting out (or a frame under the cap) proceeds as before
     q = emb.where(F.col("vec_id") < 3)
     out = similarity.sq8_topk(emb, q, k=3, max_queries=None).collect()

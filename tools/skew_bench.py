@@ -15,7 +15,10 @@ for two aggregate classes:
     key's list rides one reduce task; salting splits it 32 ways.
 
 Round 10 (r9 VERDICT #8) adds the JOIN section: fact(rows, one hot key
-at `hot_share`) ⟕ dim(2M rows — too large to broadcast), comparing
+at `hot_share`) ⟕ dim(10M rows with a 64-char payload — genuinely too
+large to broadcast; a skinny 2M-row dim compresses UNDER the 10 MB
+autoBroadcast file-size estimate and Spark rightly just broadcasts it),
+comparing
 
   a. plain shuffle join              -- AQE's call (left-outer skew)
   b. hot_key_split_join              -- census computed inline (3 scans)
