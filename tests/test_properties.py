@@ -698,3 +698,72 @@ def test_ngram_jaccard_hot_shingle_bounded_pairs(spark):
 
     with pytest.raises(ValueError, match="max_df"):
         ngram_jaccard_pairs(docs, max_df=1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    geometry=st.sampled_from(["mono", "444", "420", "422", "411"]),
+    n=st.integers(1, 3),
+)
+def test_y4m_codec_roundtrip_property(data, geometry, n):
+    """Y4M codec invariant across EVERY supported chroma geometry: for
+    random plane contents and random legal dimensions, encode→decode
+    returns the exact Y plane and, for subsampled geometries, every
+    full-res chroma pixel equals its nearest-neighbor block source —
+    (x//2, y//2) for 420, (x//2, y) for 422, (x//4, y) for 411 — with
+    the header dims/colorspace/frame count intact. No Spark session:
+    the codec is plain numpy, so hypothesis can hammer it cheaply."""
+    import numpy as np
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import multimodal
+
+    # legal dims per geometry (keep tiny: correctness, not volume)
+    if geometry == "420":
+        h = 2 * data.draw(st.integers(1, 4))
+        w = 2 * data.draw(st.integers(1, 4))
+    elif geometry == "422":
+        h = data.draw(st.integers(1, 8))
+        w = 2 * data.draw(st.integers(1, 4))
+    elif geometry == "411":
+        h = data.draw(st.integers(1, 8))
+        w = 4 * data.draw(st.integers(1, 2))
+    else:
+        h = data.draw(st.integers(1, 8))
+        w = data.draw(st.integers(1, 8))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+
+    if geometry == "mono":
+        frames_in = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        payload = multimodal._y4m_encode(frames_in)
+    elif geometry == "444":
+        frames_in = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        payload = multimodal._y4m_encode(frames_in)
+    else:
+        cw = w // 4 if geometry == "411" else w // 2
+        ch = h // 2 if geometry == "420" else h
+        yp = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        up = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+        vp = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+        payload = multimodal._y4m_encode((yp, up, vp))
+
+    out = multimodal._y4m_decode(payload)
+    assert out is not None
+    info, frames = out
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+    assert info["colorspace"] == ("mono" if geometry == "mono" else geometry)
+    if geometry == "mono":
+        assert frames.shape == (n, h, w)
+        assert (frames == frames_in).all()
+    elif geometry == "444":
+        assert frames.shape == (n, h, w, 3)
+        assert (frames == frames_in).all()
+    else:
+        assert frames.shape == (n, h, w, 3)
+        assert (frames[..., 0] == yp).all()
+        xs = np.arange(w)
+        ys = np.arange(h)
+        cx = xs // 4 if geometry == "411" else xs // 2
+        cy = ys // 2 if geometry == "420" else ys
+        assert (frames[..., 1] == up[:, cy[:, None], cx[None, :]]).all()
+        assert (frames[..., 2] == vp[:, cy[:, None], cx[None, :]]).all()
