@@ -1434,6 +1434,25 @@ def ivf_model_read(spark, path: str) -> list[list[float]]:
     return [list(r.centroid) for r in rows]
 
 
+def sq8_scales_write(spark, scales: list[float], path: str) -> None:
+    """Persist the per-dimension SQ8 absmax scales as a tiny parquet model
+    table beside the centroids (dim doubles — model state, like
+    ``ivf_model_write``)."""
+    rows = [(i, float(s)) for i, s in enumerate(scales)]
+    spark.createDataFrame(rows, "pos int, s double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def sq8_scales_read(spark, path: str) -> list[float]:
+    """Load the stored SQ8 scales back into the list form
+    ``sq8_encode_expr`` consumes."""
+    rows = spark.read.parquet(path).orderBy("pos").collect()
+    if [r.pos for r in rows] != list(range(len(rows))):
+        raise ValueError(f"corrupt SQ8 scales at {path}: non-dense dims")
+    return [r.s for r in rows]
+
+
 GENERATION_MARKER = "generation"
 
 
@@ -1467,6 +1486,7 @@ def ivf_index_write(
     dim: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     pq_residual: bool = True,
+    sq8: list[float] | None = None,
 ) -> None:
     """Build the persisted index: assign every corpus row its nearest cell
     (one pass, no shuffle — assignment is a projection) and write
@@ -1489,11 +1509,28 @@ def ivf_index_write(
     ``pq_residual`` (default, the FAISS design) encodes
     ``x - centroid[cell]``; like the sketch parameters it is caller-
     managed — pass the same value to the search (and the codebooks must
-    have been trained on residuals, as ``ivf_pq_topk`` does)."""
+    have been trained on residuals, as ``ivf_pq_topk`` does).
+
+    With ``sq8`` set (the per-dimension absmax scales from
+    :func:`sq8_scales`), each row also stores its int8 code array in an
+    ``sq8_code`` column and the scales persist as model state at
+    ``<root>/sq8_scales`` — the persisted FAISS ``IVF,SQ8`` layout
+    (round 10): ``ivf_index_search(sq8=True)`` then serves q133's plan
+    against the stored index, the probed partitions' scan reading 1
+    "byte"/dim of codes instead of the embedding column (parquet column
+    pruning makes storing BOTH the embedding and the codes free at scan
+    time — the re-rank alone touches the wide column, by id, for
+    shortlist rows only)."""
     spark = corpus.sparkSession
     ivf_model_write(spark, centroids, fs.join(root, "model"))
+    if sq8 is not None:
+        sq8_scales_write(spark, sq8, fs.join(root, "sq8_scales"))
     fs.write_text(spark, fs.join(root, GENERATION_MARKER), "0")
     work = with_double_embedding(corpus, emb_col)
+    if sq8 is not None:
+        work = work.withColumn(
+            "sq8_code", sq8_encode_expr(F.col(emb_col), sq8)
+        )
     if planes is not None:
         work = work.withColumn(
             "sig",
@@ -1635,6 +1672,9 @@ def ivf_index_search(
     pq_residual: bool = True,
     predicate: "Column | str | None" = None,
     centroids: "list[list[float]] | None" = None,
+    sq8: bool = False,
+    sq8_scales_vec: "list[float] | None" = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a PERSISTED index — the serving path: no training,
     no corpus assignment at query time. Routes each query to its
@@ -1665,7 +1705,24 @@ def ivf_index_search(
     ``centroids``: pass the model (from ``ivf_model_read`` or the
     training call) to skip the per-search model-table read — what a
     resident query server does with its loaded model state; when None the
-    model is read from the index root (must match the index's)."""
+    model is read from the index root (must match the index's).
+
+    With ``sq8=True`` (requires an index written with ``sq8=scales``, so
+    an ``sq8_code`` column and the ``<root>/sq8_scales`` model table
+    exist), serves the persisted FAISS ``IVF,SQ8`` plan of
+    :func:`ivf_sq8_topk` (round 10): queries encode with the STORED
+    scales, the probed partitions' scan reads (id, cell, sq8_code) only,
+    the exact integer dot product shortlists ``shortlist`` candidates
+    per query (default ``4 * k``), and true embeddings join back BY ID
+    for the exact cosine re-rank of the shortlist alone. Output schema
+    matches ``ivf_sq8_topk``: (query_id, corpus_id, int8_dot,
+    cosine_sim, rank). ``sq8_scales_vec`` skips the per-search scales
+    read the way ``centroids`` does for the model."""
+    if sq8 and (codebooks is not None or max_hamming is not None):
+        raise ValueError(
+            "sq8=True is its own serving plan: combine it with neither "
+            "codebooks (IVF-PQ) nor max_hamming (hybrid sketch prune)"
+        )
     if centroids is None:
         centroids = ivf_model_read(spark, fs.join(root, "model"))
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1706,6 +1763,67 @@ def ivf_index_search(
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
+
+    if sq8:
+        # IVF,SQ8 serving (round 10): same stages as ivf_sq8_topk, every
+        # model input read from (or passed alongside) the stored index.
+        scales = (
+            sq8_scales_vec
+            if sq8_scales_vec is not None
+            else sq8_scales_read(spark, fs.join(root, "sq8_scales"))
+        )
+        if shortlist is None:
+            shortlist = 4 * k
+        probed = _with_probed_cells(
+            q, "__q_emb", centroids, n_probe, literal_max
+        ).select(
+            "query_id",
+            "cell",
+            sq8_encode_expr(F.col("__q_emb"), scales).alias("__q_code"),
+        )
+        c_codes = read_index([corpus_id, F.col("cell"), F.col("sq8_code")])
+        idot = F.aggregate(
+            F.zip_with(
+                F.col("__q_code"), F.col("sq8_code"), lambda a, b: a * b
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            F.broadcast(probed)
+            .join(c_codes, "cell")
+            .where(F.col("query_id") != F.col("corpus_id"))
+            .select("query_id", "corpus_id", idot.alias("int8_dot"))
+        )
+        w_short = W.partitionBy("query_id").orderBy(
+            F.col("int8_dot").desc(), F.col("corpus_id").asc()
+        )
+        short = (
+            scored.withColumn("srank", F.row_number().over(w_short))
+            .where(F.col("srank") <= shortlist)
+            .select("query_id", "corpus_id", "int8_dot")
+        )
+        reranked = (
+            F.broadcast(short)
+            .join(read_index(c_emb_cols), "corpus_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                "int8_dot",
+                cosine(F.col("__q_emb"), F.col("__c_emb")).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        w_rank = W.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+        )
+        return (
+            reranked.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "int8_dot", "cosine_sim", "rank")
+        )
 
     if codebooks is not None:
         # IVF-PQ serving: the probed partitions' scan reads (id, cell,

@@ -456,6 +456,7 @@ def stream_ivf_ingest(
     index_root: "str | None" = None,
     codebooks: "list | None" = None,
     pq_residual: bool = True,
+    sq8_scales_vec: "list | None" = None,
 ):
     """Streaming ANN ingestion: new embedding parquet files land → each row
     is routed to its nearest trained IVF centroid cell (the same
@@ -471,7 +472,11 @@ def stream_ivf_ingest(
     delta rows carry the stored ``sig`` sketch — ``ivf_index_search``
     fails loudly if a hybrid search finds delta rows without it. Growing
     an IVF-PQ index likewise: pass the SAME ``codebooks`` (and
-    ``pq_residual``) so delta rows carry stored ``codes``.
+    ``pq_residual``) so delta rows carry stored ``codes``; growing an
+    IVF,SQ8 index (round 10), pass the STORED scales as
+    ``sq8_scales_vec`` (``similarity.sq8_scales_read``) so delta rows
+    carry ``sq8_code`` — re-deriving scales from arriving data would
+    silently re-quantize the delta against a different model.
 
     ``schema`` overrides the default ``EMBEDDING_SCHEMA`` when the landing
     files carry different column names (streaming file sources require an
@@ -540,6 +545,12 @@ def stream_ivf_ingest(
             hyperplane_signature(
                 F.col(emb_col), planes, sig_seed, sig_hash_method, dim
             ),
+        )
+    if sq8_scales_vec is not None:
+        from ..operators.similarity import sq8_encode_expr
+
+        work = work.withColumn(
+            "sq8_code", sq8_encode_expr(F.col(emb_col), sq8_scales_vec)
         )
     assigned = _with_cell(work, emb_col, centroids)
     if codebooks is not None:

@@ -303,6 +303,66 @@ def test_stream_ingested_index_is_searchable(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_sq8_persisted_index_serves_and_streams(spark, tmp_path):
+    """Persisted FAISS IVF,SQ8 (round 10): an index written with
+    ``sq8=scales`` + a streamed delta carrying ``sq8_code`` serves
+    ``ivf_index_search(sq8=True)`` with EXACTLY ivf_sq8_topk's results
+    for the same model; the scales model table round-trips; passing the
+    model state (centroids + scales) skips the per-search reads without
+    changing results; the sq8/PQ/hybrid arms are mutually exclusive; and
+    the plan keeps both scale contracts — dynamic partition pruning on
+    the probed cells and no embedding column in the shortlist exchange."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    scales = similarity.sq8_scales(emb)
+    similarity.ivf_index_write(
+        emb.where(F.col("vec_id") % 2 == 0), cents, d + "/ivf", sq8=scales
+    )
+    assert similarity.sq8_scales_read(spark, d + "/ivf/sq8_scales") == scales
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        d + "/landing"
+    )
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, d + "/ivf/stream_index", d + "/ckpt",
+        sq8_scales_vec=scales,
+    ).awaitTermination(120)
+
+    q = emb.where(F.col("vec_id") < 6)
+    search = similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=3, n_probe=2, sq8=True, shortlist=20
+    )
+    got = sorted(map(tuple, search.collect()))
+    want = sorted(map(tuple, similarity.ivf_sq8_topk(
+        emb, q, k=3, n_cells=4, n_iter=2, n_probe=2, shortlist=20, dim=64,
+    ).collect()))
+    assert got == want
+
+    # resident-server model passthrough: no model/scales table reads
+    got2 = sorted(map(tuple, similarity.ivf_index_search(
+        spark, d + "/ivf", q, k=3, n_probe=2, sq8=True, shortlist=20,
+        centroids=cents, sq8_scales_vec=scales,
+    ).collect()))
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="its own serving plan"):
+        similarity.ivf_index_search(
+            spark, d + "/ivf", q, sq8=True, max_hamming=2
+        )
+
+    plan = search._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "query_id" in ln:
+            assert "emb" not in ln, ln
+
+
 def test_ivf_index_compact_folds_delta(spark, tmp_path):
     """After compaction the delta directory is gone, the base holds the
     union, and search results are unchanged."""
