@@ -5165,6 +5165,14 @@ def _q131_prepare(spark: SparkSession, sf_dir: str) -> None:
                 Path(src_mark).write_text(sf_dir.rstrip("/"))
             except OSError:
                 pass
+        # refresh the dir mtime on every warm read (r10 ADVICE): an
+        # actively-read cache keeps renewing its age-out clock, so the
+        # 1-day fallback sweep can only ever claim genuinely idle
+        # pre-breadcrumb leftovers
+        try:
+            os.utime(root, None)
+        except OSError:
+            pass
         return
     _q131_sweep_dead(root)
     stage = f"{root}.stage.{os.getpid()}"
@@ -5524,3 +5532,348 @@ def q133_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_fraction=0.5, train_hash_method="md5",
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q134 — PERSISTED IVF,SQ8 SERVING (round 11, r10 VERDICT #1): q133 times
+# the inline train+quantize pipeline for oracle depth; this entry times the
+# cost a 100 TB embedding store actually pays per query batch — search
+# against a STORED index (int8 codes + scales model table persisted by
+# ivf_index_write(sq8=), built untimed in prepare), the q86 split of
+# concerns. ivf_index_search(sq8=True) is equivalence-proven against
+# ivf_sq8_topk (tests/test_variants.py, incl. a streamed delta), so the
+# oracle is exactly q133's composed chain: q50's trained-IVF CTEs feeding
+# q132's SQ8 CTEs. The serving plan keeps the probed partitions' scan on
+# (id, cell, sq8_code) — 8x less bandwidth than the embedding column —
+# and joins the full-precision vectors back BY ID for the shortlist only.
+# ===========================================================================
+
+_Q134 = dict(n_cells=8, n_iter=3, n_probe=2, k=5, shortlist=20, dim=64,
+             train_fraction=0.5, n_queries=10)
+
+
+def _q134_root(sf_dir: str) -> str:
+    """Per-(sf_dir, embeddings fingerprint) cache root for the persisted
+    IVF,SQ8 index (the q86/q131 recipe): deterministic content keyed on
+    the source vintage, so any process may build it and later processes
+    (bench serving runs, driver correctness runs) reuse it; a regenerated
+    testdata vintage misses the cache instead of serving stale codes."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_q134", key)
+
+
+_Q134_MODEL_CACHE: dict = {}
+
+
+def _q134_model(spark: SparkSession, sf_dir: str):
+    """Resident model state for serving — (centroids, sq8 scales) LOADED
+    from the index root's stored model tables (what a query server keeps
+    in memory), memoized per cache root so repeated serving calls in one
+    process pay zero model reads. Requires a built index (prepare)."""
+    import os
+
+    root = _q134_root(sf_dir)
+    if root not in _Q134_MODEL_CACHE:
+        cents = similarity.ivf_model_read(spark, os.path.join(root, "model"))
+        scales = similarity.sq8_scales_read(
+            spark, os.path.join(root, "sq8_scales")
+        )
+        _Q134_MODEL_CACHE[root] = (cents, scales)
+    return _Q134_MODEL_CACHE[root]
+
+
+def _q134_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Train the IVF model + SQ8 scales and persist the cell-partitioned
+    int8 index once per (sf_dir, vintage); no-op when warm. bench.py runs
+    this untimed in warm-up, so the timed entry measures SERVING only.
+
+    Concurrency: the q131 protocol — build in a pid-private stage dir
+    (marker inside), publish by one atomic ``os.rename``; the loser of a
+    race discards its stage and reuses the winner's landing. Crashed
+    stages and orphaned old-vintage roots are swept on entry with the
+    shared q131 sweepers (they key on basename/`_source`, not on any
+    q131-specific layout)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    root = _q134_root(sf_dir)
+    _q131_sweep_vintages(root, sf_dir)
+    marker = os.path.join(root, "_built_ok")
+    if os.path.exists(marker):
+        _q134_model(spark, sf_dir)  # warm the in-process model memo
+        return
+    _q131_sweep_dead(root)
+    p = _Q134
+    stage = f"{root}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
+    emb = Testdata(spark, sf_dir).embeddings
+    scales = similarity.sq8_scales(emb)
+    cents = similarity.kmeans_fit(
+        emb, p["n_cells"], p["n_iter"], dim=p["dim"],
+        train_fraction=p["train_fraction"], train_hash_method="md5",
+    )
+    similarity.ivf_index_write(emb, cents, stage, dim=p["dim"], sq8=scales)
+    Path(os.path.join(stage, "_source")).write_text(sf_dir.rstrip("/"))
+    Path(os.path.join(stage, "_built_ok")).write_text("ok")
+    try:
+        os.rename(stage, root)  # atomic claim: complete stage -> root
+    except OSError:
+        # lost the race (complete landing present) or marker-less debris:
+        # q134 landings are pure overwrites of deterministic content, so
+        # debris can simply be cleared and the claim retried once.
+        if not os.path.exists(marker):
+            debris = f"{root}.stale.{os.getpid()}"
+            shutil.rmtree(debris, ignore_errors=True)
+            try:
+                os.rename(root, debris)
+            except OSError:
+                pass
+            if os.path.exists(os.path.join(debris, "_built_ok")):
+                try:
+                    os.rename(debris, root)  # stole a live landing: restore
+                except OSError:
+                    shutil.rmtree(debris, ignore_errors=True)
+            else:
+                shutil.rmtree(debris, ignore_errors=True)
+                try:
+                    os.rename(stage, root)
+                except OSError:
+                    pass
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"q134 index claim failed twice for {root}; "
+                "remove the directory and retry"
+            )
+    _Q134_MODEL_CACHE[root] = (cents, scales)
+
+
+@query(
+    "q134_ivf_sq8_serve",
+    oracle=_ivf_sq8_oracle(
+        n_cells=8, n_iter=3, n_probe=2, k=5, shortlist=20, dim=64
+    ),
+    doc="Persisted IVF,SQ8 SERVING cost (the deployment shape of q133): "
+    "search a STORED cell-partitioned int8 index — built untimed by "
+    "bench warm-up via Q.prepare; rebuilt on cache miss — with resident "
+    "model state (centroids + scales loaded from the index's model "
+    "tables, memoized). The probed partitions' scan reads (id, cell, "
+    "sq8_code) only; true embeddings join back BY ID for the exact "
+    "cosine re-rank of the 20-row shortlist alone. "
+    "operators.similarity.ivf_index_search(sq8=True), equivalence-"
+    "proven == ivf_sq8_topk, so the oracle is exactly q133's composed "
+    "trained-IVF + SQ8 chain.",
+    prepare=_q134_prepare,
+)
+def q134_ivf_sq8_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _Q134
+    _q134_prepare(spark, sf_dir)  # no-op when the bench warm-up built it
+    cents, scales = _q134_model(spark, sf_dir)
+    emb = Testdata(spark, sf_dir).embeddings
+    out = similarity.ivf_index_search(
+        spark, _q134_root(sf_dir),
+        emb.where(F.col("vec_id") < p["n_queries"]),
+        k=p["k"], n_probe=p["n_probe"], sq8=True,
+        shortlist=p["shortlist"], centroids=cents, sq8_scales_vec=scales,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ===========================================================================
+# q135 — ORACLE-CHECKED STREAMING KMV MONITOR (round 11, r10 VERDICT #3):
+# the replay-idempotence claim of the streaming sketch monitors moves onto
+# the value-checked path. prepare() lands the events table through the
+# REAL Structured Streaming job (streaming.jobs.stream_kmv_monitor: file
+# source -> per-micro-batch KMV sketch -> append-only sketch log) in two
+# availableNow waves sharing one checkpoint, then a THIRD run with a FRESH
+# checkpoint that re-processes EVERY file — a deliberate full replay that
+# appends a duplicate sketch of the whole corpus to the log. The timed /
+# checked query collapses the log (distinct + re-rank to k — the KMV merge
+# law, exact) and estimates per-group distinct counts; the oracle replays
+# the batch sketch construction + estimator in SQL over the same rows. If
+# the merge-law collapse, the per-batch sketch kernel, or replay
+# idempotence breaks, the estimates diverge and the driver's value hash
+# catches it — until now the monitor family was batch-equivalence-tested
+# only (q131 value-checked the ingest job, not the sketch monitors).
+# ===========================================================================
+
+_Q135_K = 64
+
+
+def _q135_root(sf_dir: str) -> str:
+    """Per-(sf_dir, events fingerprint) cache root for the landed sketch
+    log (the q131 recipe)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_q135", key)
+
+
+def _q135_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Land the sketch log once per (sf_dir, vintage); no-op when warm.
+    Same atomic stage-then-rename publish protocol as q131 (build in a
+    pid-private stage, marker inside, one os.rename claim) — the log is
+    append-structured, so landing in place would re-open q131's
+    double-count race."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from ..streaming.jobs import stream_kmv_monitor
+
+    root = _q135_root(sf_dir)
+    _q131_sweep_vintages(root, sf_dir)
+    marker = os.path.join(root, "_landed_ok")
+    if os.path.exists(marker):
+        return
+    _q131_sweep_dead(root)
+    stage = f"{root}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
+    input_dir = os.path.join(stage, "incoming")
+    sketch_log = os.path.join(stage, "sketch_log")
+    os.makedirs(input_dir, exist_ok=True)
+    ev = (
+        Testdata(spark, sf_dir).events.where(
+            F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+        ).select("event_id", "event_type", "user_id")
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    # two deterministic arrival waves sharing one checkpoint (normal
+    # incremental operation: each wave's files fold in as per-batch
+    # sketches), then a FULL REPLAY under a fresh checkpoint — every file
+    # re-processed, a duplicate whole-corpus sketch appended to the log.
+    # The read-side merge-law collapse must absorb it exactly.
+    for ckpt, wave_filter in (
+        ("ckpt", F.col("event_id") % 3 != 0),
+        ("ckpt", F.col("event_id") % 3 == 0),
+        ("ckpt_replay", F.lit(True)),
+    ):
+        if ckpt == "ckpt":
+            ev.where(wave_filter).coalesce(4).write.mode("append").parquet(
+                input_dir
+            )
+        q = stream_kmv_monitor(
+            spark, input_dir, schema, "user_id", sketch_log,
+            os.path.join(stage, ckpt), group_cols=["event_type"],
+            k=_Q135_K, method="md5", available_now=True,
+        )
+        q.awaitTermination()
+    Path(os.path.join(stage, "_source")).write_text(sf_dir.rstrip("/"))
+    Path(os.path.join(stage, "_landed_ok")).write_text("ok")
+    try:
+        os.rename(stage, root)  # atomic claim: complete stage -> root
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):  # lost the race to a complete landing
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    debris = f"{root}.stale.{os.getpid()}"
+    shutil.rmtree(debris, ignore_errors=True)  # pid-reuse leftover
+    try:
+        os.rename(root, debris)
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(debris, "_landed_ok")):
+        try:
+            os.rename(debris, root)  # stole a complete landing: restore
+        except OSError:
+            shutil.rmtree(debris, ignore_errors=True)  # root re-published
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    shutil.rmtree(debris, ignore_errors=True)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"q135 landing claim failed twice for {root}; "
+                "remove the directory and retry"
+            )
+
+
+@query(
+    "q135_stream_kmv_monitor",
+    oracle=f"""
+    WITH vals AS (
+      SELECT DISTINCT event_type AS g,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+      FROM vals
+    ),
+    st AS (
+      SELECT g, COUNT(*) AS n,
+             COALESCE(MAX(CASE WHEN r = {_Q135_K} THEN h END),
+                      1152921504606846976) AS theta
+      FROM ranked WHERE r <= {_Q135_K} GROUP BY g
+    )
+    SELECT g AS event_type,
+           CASE WHEN n < {_Q135_K} THEN CAST(n AS DOUBLE)
+                ELSE round(CAST({_Q135_K - 1} AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(theta AS DOUBLE), 6) END AS est_distinct
+    FROM st
+    """,
+    doc="Oracle-checked streaming KMV monitor: events land through the "
+    "REAL stream_kmv_monitor job (file source, per-micro-batch KMV "
+    "sketch, append-only sketch log) in two availableNow waves over one "
+    "checkpoint PLUS a full replay under a fresh checkpoint (every file "
+    "re-processed — a duplicate whole-corpus sketch in the log). The "
+    "checked query collapses the log via the exact KMV merge law "
+    "(distinct + re-rank to k=64) and estimates per-event_type distinct "
+    "users; the oracle replays the batch sketch construction + the "
+    "(k-1)*2^60/theta estimator over the source rows, so a broken "
+    "merge-law collapse, sketch kernel, or replay idempotence diverges "
+    "the value hash. sf0.001 exercises the exact regime (15 users < k), "
+    "sf0.01 the estimation regime (150 > k).",
+    prepare=_q135_prepare,
+)
+def q135_stream_kmv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import sketch
+    from ..streaming.jobs import read_kmv_sketch
+
+    _q135_prepare(spark, sf_dir)  # no-op when warm
+    sk = read_kmv_sketch(
+        spark, os.path.join(_q135_root(sf_dir), "sketch_log"),
+        ["event_type"], k=_Q135_K,
+    )
+    return sketch.kmv_estimate(sk, ["event_type"], k=_Q135_K, method="md5")

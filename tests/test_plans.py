@@ -621,3 +621,21 @@ def test_ivf_sq8_keeps_codes_only_exchange_and_broadcasts(spark):
     for i, ln in enumerate(lines):
         if "Exchange hashpartitioning" in ln and "query_id" in ln:
             assert "emb" not in ln, ln
+
+
+def test_ivf_sq8_serve_prunes_partitions_and_keeps_codes_exchange(spark):
+    """q134 (persisted IVF,SQ8 serving) must keep the stored-index scale
+    contracts: the probed-cell join dynamically prunes the index's cell
+    partitions (only n_probe of n_cells partitions are scanned), the
+    shortlist exchange carries codes-derived rows only (the stored
+    embedding column never rides into the srank window — parquet column
+    pruning keeps the codes scan 8x narrower), and no shuffle join or
+    cartesian appears anywhere."""
+    plan = _plan(spark, "q134_ivf_sq8_serve")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "query_id" in ln:
+            assert "emb" not in ln, ln

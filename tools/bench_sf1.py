@@ -102,6 +102,10 @@ QUERIES = [
     "q34_json_extract", "q37_exists_anti",
     "q39_order_count_distribution", "q44_string_functions",
     "q46_array_agg",
+    # appended r11 (r10 VERDICT #5): the persisted IVF,SQ8 serving entry
+    # and the oracle-checked streaming KMV monitor; first measured in
+    # BENCH_SF1_r11
+    "q134_ivf_sq8_serve", "q135_stream_kmv_monitor",
 ]
 
 
