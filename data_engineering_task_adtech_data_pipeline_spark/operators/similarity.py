@@ -1574,9 +1574,21 @@ def ivf_index_compact(spark, root: str) -> int:
     table format with atomic MERGE (Delta/Iceberg, ROADMAP #1) removes
     this window entirely.
 
+    Tombstones (round 11): when ``<root>/tombstones`` exists (rows
+    appended by :func:`ivf_index_delete`), compaction also FOLDS the
+    deletes in — the surviving rows are rewritten via a staged
+    ``index.rewriting`` directory swapped into place, and the tombstone
+    table is dropped, so search cost returns to a bare scan with no
+    anti-join. Same detectable-crash contract as the delta fold: a
+    leftover ``index.rewriting``/``index.old`` dir refuses the run
+    (recovery: exactly one complete index dir exists — keep it as
+    ``index``, delete the other, re-run).
+
     At 100 TB this is the usual base/delta maintenance job: appends are
-    per-cell files (no shuffle — rows are already cell-assigned), and
-    search cost returns to one scan instead of base + delta.
+    per-cell files (no shuffle — rows are already cell-assigned), the
+    tombstone rewrite is one scan + broadcast anti-join (id-grain, no
+    shuffle), and search cost returns to one scan instead of
+    base + delta + anti-join.
 
     All directory probes/renames/deletes go through the Hadoop FileSystem
     API (``fs`` module), so the layout works on any scheme Spark can read
@@ -1594,6 +1606,9 @@ def ivf_index_compact(spark, root: str) -> int:
             "(appended) or rename it back to stream_index (not appended)"
         )
     if not fs.is_dir(spark, delta_path):
+        # no streamed delta: tombstones (if any) still fold
+        if _fold_tombstones(spark, root):
+            _bump_generation(spark, root)
         return 0
     # Snapshot the manifest-committed data files BEFORE the rename: the
     # streaming sink's _spark_metadata records absolute paths, so a read
@@ -1626,6 +1641,7 @@ def ivf_index_compact(spark, root: str) -> int:
     fs.rename(spark, delta_path, staging)
     if not files:
         fs.delete(spark, staging)
+        _fold_tombstones(spark, root)
         _bump_generation(spark, root)
         return 0
     # inputFiles() returns fully-qualified URIs; map them into the staging
@@ -1639,8 +1655,96 @@ def ivf_index_compact(spark, root: str) -> int:
             fs.join(root, "index")
         )
     fs.delete(spark, staging)
+    # fold tombstones AFTER the delta append so deletes targeting streamed
+    # rows land in the same maintenance pass
+    _fold_tombstones(spark, root)
     _bump_generation(spark, root)
     return n
+
+
+TOMBSTONES_DIR = "tombstones"
+
+
+def ivf_index_delete(
+    spark,
+    root: str,
+    ids,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from a persisted index by id — the operational need
+    an append-only serving index cannot express (dedup-driven removals,
+    right-to-be-forgotten). Deletes are LOGICAL and O(ids): the ids append
+    into an id-grain ``<root>/tombstones`` parquet table that
+    :func:`ivf_index_search` anti-joins against every candidate read
+    (base and streamed delta alike, broadcast — tombstones are id-grain
+    tiny next to the index), and :func:`ivf_index_compact` folds
+    physically (rewrites the surviving rows, drops the table). Searches
+    therefore match an index rebuilt from the surviving rows with the
+    same model, exactly — the anti-join runs BEFORE shortlist ranking,
+    so deleted rows cannot consume shortlist/top-k slots.
+
+    ``ids`` is a DataFrame with an ``id_col`` column or a plain iterable
+    of ids; ``id_col`` must be the same id column name the index was
+    written with (the tombstone table stores it under that name — the
+    compaction fold joins by it). Duplicate ids are fine (the anti-join
+    and the fold both dedup). Deletes become visible to searches that
+    START after the append returns; concurrent in-flight searches may
+    still serve the old rows (same read-snapshot semantics as the
+    streamed delta)."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col))
+    else:
+        df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long"
+        )
+    df.write.mode("append").parquet(fs.join(root, TOMBSTONES_DIR))
+
+
+def _fold_tombstones(spark, root: str) -> bool:
+    """Physically apply ``<root>/tombstones`` to the base index: rewrite
+    the surviving rows through a staged directory swap, then drop the
+    tombstone table. Returns True when a fold happened. One scan + one
+    broadcast LEFT ANTI join (id-grain build side), written back
+    cell-partitioned — no shuffle of the index rows.
+
+    Crash contract (same DETECTABLE design as the delta fold): the swap
+    is rewrite-staging -> rename-old-aside -> rename-staging-in ->
+    delete-old, and a leftover ``index.rewriting`` or ``index.old`` dir
+    refuses the next run. Recovery is manual and unambiguous: whichever
+    complete directory holds the index content becomes ``index``, the
+    other is deleted, and the fold re-runs (tombstone application is
+    idempotent — re-anti-joining already-removed ids is a no-op)."""
+    tomb_path = fs.join(root, TOMBSTONES_DIR)
+    if not fs.is_dir(spark, tomb_path):
+        return False
+    idx_path = fs.join(root, "index")
+    rewriting = idx_path + ".rewriting"
+    old = idx_path + ".old"
+    for leftover in (rewriting, old):
+        if fs.is_dir(spark, leftover):
+            raise RuntimeError(
+                f"interrupted tombstone fold at {leftover}: keep whichever "
+                "complete directory holds the index as 'index', delete the "
+                "other, then re-run ivf_index_compact"
+            )
+    tomb = spark.read.parquet(tomb_path)
+    tcol = tomb.columns[0]
+    idx = spark.read.parquet(idx_path)
+    if tcol not in idx.columns:
+        raise ValueError(
+            f"tombstone id column {tcol!r} not in index columns "
+            f"{idx.columns} — ivf_index_delete must use the same id_col "
+            "the index was written with"
+        )
+    kept = idx.join(
+        F.broadcast(tomb.select(tcol).distinct()), [tcol], "left_anti"
+    )
+    kept.write.mode("overwrite").partitionBy("cell").parquet(rewriting)
+    fs.rename(spark, idx_path, old)
+    fs.rename(spark, rewriting, idx_path)
+    fs.delete(spark, old)
+    fs.delete(spark, tomb_path)
+    return True
 
 
 def _bump_generation(spark, root: str) -> None:
@@ -1702,6 +1806,13 @@ def ivf_index_search(
     one — an ``os.path`` probe would return False for any URI and serve
     the base index only, silently dropping every streamed row.
 
+    Deletes (round 11): ids tombstoned via :func:`ivf_index_delete` are
+    anti-joined out of every candidate read (base + delta) BEFORE any
+    shortlist/top-k ranking — results match an index rebuilt from the
+    surviving rows with the same model, exactly. The anti-join is a
+    broadcast of the id-grain tombstone table; run
+    :func:`ivf_index_compact` to fold deletes physically and drop it.
+
     ``centroids``: pass the model (from ``ivf_model_read`` or the
     training call) to skip the per-search model-table read — what a
     resident query server does with its loaded model state; when None the
@@ -1726,6 +1837,23 @@ def ivf_index_search(
     if centroids is None:
         centroids = ivf_model_read(spark, fs.join(root, "model"))
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # logical deletes (round 11): tombstoned ids vanish from EVERY
+    # candidate read — base and streamed delta, codes/sig/embedding scans
+    # alike — via one broadcast LEFT ANTI join applied BEFORE any
+    # shortlist/top-k ranking, so deleted rows cannot consume candidate
+    # slots: results match an index rebuilt from the surviving rows with
+    # the same model, exactly (equivalence-tested). The build side is
+    # id-grain tiny; ivf_index_compact folds it away physically.
+    tomb_path = fs.join(root, TOMBSTONES_DIR)
+    tomb_ids = (
+        F.broadcast(
+            spark.read.parquet(tomb_path)
+            .select(F.col(id_col).alias("corpus_id"))
+            .distinct()
+        )
+        if fs.is_dir(spark, tomb_path)
+        else None
+    )
 
     def read_index(cols) -> DataFrame:
         base = spark.read.parquet(fs.join(root, "index"))
@@ -1756,6 +1884,8 @@ def ivf_index_search(
             if pred is not None:
                 raw = raw.where(pred)
             c = c.unionByName(raw.select(*cols))
+        if tomb_ids is not None:
+            c = c.join(tomb_ids, "corpus_id", "left_anti")
         return c
 
     corpus_id = F.col(id_col).alias("corpus_id")
@@ -2007,7 +2137,17 @@ def _guard_query_count(queries: DataFrame, max_queries: int | None) -> None:
     the guard exists for — a corpus-sized query frame — would otherwise
     pay a complete scan (and recompute of whatever pipeline produced
     it) just to learn it is too big; the limit stops the scan after
-    ``max_queries + 1`` rows either way."""
+    ``max_queries + 1`` rows either way.
+
+    Cost note (r10 ADVICE): the probe makes these entry points eager —
+    one extra Spark job that evaluates the query-side pipeline ONCE
+    more than lazy execution would (column-pruned by ``count()`` and
+    limit-stopped, so usually a cheap row-count job, but an expensive
+    cardinality-shaping pipeline — exploded/joined queries — runs
+    twice). Callers with such pipelines should ``.persist()`` the query
+    frame before the call, or pass ``max_queries=None`` after bounding
+    it themselves. The default-on cap is a deliberate behavior change,
+    called out in README "Behavior changes"."""
     if max_queries is None:
         return
     n = queries.limit(max_queries + 1).count()

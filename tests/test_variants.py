@@ -810,3 +810,124 @@ def test_ivf_sq8_reduces_to_flat_sq8_and_recall_floor(spark):
                emb, q, k=5, n_cells=4, n_probe=2, shortlist=40
            ).collect()}
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_ivf_index_delete_tombstones_match_rebuilt_index(spark, tmp_path):
+    """Tombstone deletes (round 11): after ivf_index_delete, every search
+    arm — plain, sq8, and with a streamed delta — returns EXACTLY what an
+    index rebuilt from the surviving rows with the same model returns;
+    the anti-join runs BEFORE shortlist ranking, so deleted rows cannot
+    consume shortlist/top-k slots; the plan carries a broadcast LEFT ANTI
+    join; compaction folds the tombstones physically (table dropped,
+    generation bumped, results unchanged)."""
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_ivf_ingest,
+    )
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    scales = similarity.sq8_scales(emb)
+    # base holds evens, delta streams odds; delete a mix of both
+    similarity.ivf_index_write(
+        emb.where(F.col("vec_id") % 2 == 0), cents, d + "/ivf", sq8=scales
+    )
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        d + "/landing"
+    )
+    stream_ivf_ingest(
+        spark, d + "/landing", cents, d + "/ivf/stream_index", d + "/ckpt",
+        sq8_scales_vec=scales,
+    ).awaitTermination(120)
+
+    deleted = [6, 7, 11]
+    # one delete via iterable, one via DataFrame, with a duplicate id —
+    # the anti-join and the fold must both dedup
+    similarity.ivf_index_delete(spark, d + "/ivf", deleted[:2])
+    similarity.ivf_index_delete(
+        spark, d + "/ivf",
+        emb.where(F.col("vec_id").isin(deleted[1:])).select("vec_id"),
+    )
+
+    survivors = emb.where(~F.col("vec_id").isin(deleted))
+    similarity.ivf_index_write(
+        survivors, cents, d + "/rebuilt", sq8=scales
+    )
+    q = emb.where(F.col("vec_id") < 6)
+
+    def rows(root, **kw):
+        return sorted(map(tuple, similarity.ivf_index_search(
+            spark, root, q, k=3, n_probe=2, **kw
+        ).collect()))
+
+    plain = similarity.ivf_index_search(spark, d + "/ivf", q, k=3, n_probe=2)
+    got_ids = {r.corpus_id for r in plain.collect()}
+    assert got_ids.isdisjoint(set(deleted))
+    assert rows(d + "/ivf") == rows(d + "/rebuilt")
+    assert (
+        rows(d + "/ivf", sq8=True, shortlist=8)
+        == rows(d + "/rebuilt", sq8=True, shortlist=8)
+    )
+    # the delete is an anti-join in the plan, broadcast on the id side
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
+
+    # physical fold: tombstone table gone, generation bumped, results flat
+    gen_before = similarity.index_generation(spark, d + "/ivf")
+    before = rows(d + "/ivf", sq8=True, shortlist=8)
+    similarity.ivf_index_compact(spark, d + "/ivf")
+    import os
+
+    assert not os.path.isdir(d + "/ivf/tombstones")
+    assert similarity.index_generation(spark, d + "/ivf") == gen_before + 1
+    assert rows(d + "/ivf", sq8=True, shortlist=8) == before
+    folded = similarity.ivf_index_search(spark, d + "/ivf", q, k=3, n_probe=2)
+    assert "LeftAnti" not in (
+        folded._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_tombstone_fold_guards_and_contract(spark, tmp_path):
+    """The tombstone fold refuses interrupted rewrites (leftover
+    index.rewriting / index.old), rejects an id column the index does not
+    carry, and compaction without any tombstones or delta is a no-op that
+    does not bump the generation."""
+    import os
+
+    import pytest
+
+    emb = Testdata(spark, SF_ORACLE).embeddings
+    d = str(tmp_path)
+    cents = similarity.kmeans_fit(emb, n_cells=4, n_iter=2, dim=64)
+    similarity.ivf_index_write(emb, cents, d + "/ivf")
+
+    # no delta, no tombstones: nothing to do, generation untouched
+    gen0 = similarity.index_generation(spark, d + "/ivf")
+    assert similarity.ivf_index_compact(spark, d + "/ivf") == 0
+    assert similarity.index_generation(spark, d + "/ivf") == gen0
+
+    # wrong id column fails loudly instead of silently deleting nothing
+    spark.createDataFrame([(1,)], "doc_id long").write.mode(
+        "append"
+    ).parquet(d + "/ivf/tombstones")
+    with pytest.raises(ValueError, match="same id_col"):
+        similarity.ivf_index_compact(spark, d + "/ivf")
+    import shutil
+
+    shutil.rmtree(d + "/ivf/tombstones")
+
+    # leftover staging dir from a crashed fold refuses the run
+    similarity.ivf_index_delete(spark, d + "/ivf", [0])
+    os.makedirs(d + "/ivf/index.rewriting")
+    with pytest.raises(RuntimeError, match="interrupted tombstone fold"):
+        similarity.ivf_index_compact(spark, d + "/ivf")
+    os.rmdir(d + "/ivf/index.rewriting")
+    os.makedirs(d + "/ivf/index.old")
+    with pytest.raises(RuntimeError, match="interrupted tombstone fold"):
+        similarity.ivf_index_compact(spark, d + "/ivf")
+    os.rmdir(d + "/ivf/index.old")
+    # guards cleared: the fold proceeds and search drops the id
+    similarity.ivf_index_compact(spark, d + "/ivf")
+    q = emb.where(F.col("vec_id") < 3)
+    got = similarity.ivf_index_search(spark, d + "/ivf", q, k=3, n_probe=4)
+    assert 0 not in {r.corpus_id for r in got.collect()}
