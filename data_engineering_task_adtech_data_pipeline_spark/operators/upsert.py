@@ -406,7 +406,16 @@ def _merge_upsert_delta(
     the lexicographic expansion of that ordering; on a FULL tie (version
     and every tiebreak equal) the source wins, which is within the
     parquet arm's contract (row_number over fully-tied rows is
-    arbitrary there)."""
+    arbitrary there).
+
+    The expansion is NULL-SAFE (r10 ADVICE): a bare ``s.v > t.v`` arm
+    evaluates to NULL (update skipped) whenever either side is NULL,
+    while the parquet arm's ``desc()`` window sorts NULLS LAST — a
+    non-NULL version must therefore beat a NULL one, and NULL==NULL
+    ties must fall through to the tiebreaks. Each strict arm carries an
+    explicit ``s IS NOT NULL AND t IS NULL`` disjunct and every
+    equality is the null-safe ``<=>``, so the two backends agree on
+    batches containing NULL version/tiebreak values."""
     try:
         from delta.tables import DeltaTable
     except ImportError as exc:  # pragma: no cover - env-blocked
@@ -419,11 +428,20 @@ def _merge_upsert_delta(
         src.write.format("delta").save(path)
         return
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    arms = [f"s.{version} > t.{version}"]
-    eq = f"s.{version} = t.{version}"
+
+    def gt(col: str) -> str:
+        # strict win under latest_version's desc-NULLS-LAST ordering:
+        # any non-NULL beats NULL, NULL never beats anything
+        return (
+            f"s.{col} > t.{col} OR "
+            f"(s.{col} IS NOT NULL AND t.{col} IS NULL)"
+        )
+
+    arms = [gt(version)]
+    eq = f"s.{version} <=> t.{version}"
     for tb in tiebreak:
-        arms.append(f"{eq} AND s.{tb} > t.{tb}")
-        eq += f" AND s.{tb} = t.{tb}"
+        arms.append(f"{eq} AND ({gt(tb)})")
+        eq += f" AND s.{tb} <=> t.{tb}"
     arms.append(eq)  # full tie: source wins (== the old >= with no tbs)
     update_cond = " OR ".join(f"({a})" for a in arms)
     (

@@ -431,9 +431,13 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     merge_call = calls[3]
     assert merge_call[1] == "t.k = s.k"
     assert merge_call[2] == deduped  # within-batch dedup reached the MERGE
-    # no tiebreak: the condition reduces to the old s.ver >= t.ver
+    # no tiebreak: null-safe strict-win arm + null-safe equality (r10
+    # ADVICE: matches the parquet arm's desc-NULLS-LAST window exactly,
+    # including batches with NULL versions)
     assert calls[4] == (
-        "whenMatchedUpdateAll", "(s.ver > t.ver) OR (s.ver = t.ver)"
+        "whenMatchedUpdateAll",
+        "(s.ver > t.ver OR (s.ver IS NOT NULL AND t.ver IS NULL)) "
+        "OR (s.ver <=> t.ver)",
     )
 
     # scenario 3: with a tiebreak the update condition must be the FULL
@@ -447,8 +451,10 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     )
     assert calls[4] == (
         "whenMatchedUpdateAll",
-        "(s.ver > t.ver) OR (s.ver = t.ver AND s.val > t.val) "
-        "OR (s.ver = t.ver AND s.val = t.val)",
+        "(s.ver > t.ver OR (s.ver IS NOT NULL AND t.ver IS NULL)) "
+        "OR (s.ver <=> t.ver AND "
+        "(s.val > t.val OR (s.val IS NOT NULL AND t.val IS NULL))) "
+        "OR (s.ver <=> t.ver AND s.val <=> t.val)",
     )
 
 

@@ -35,7 +35,10 @@ Appends nothing; prints a JSON line — copy results into SCALING.md.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -55,6 +58,10 @@ def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
     spark = get_spark()
+    # run-private scratch dir (r10 ADVICE): a hardcoded /tmp path leaked
+    # ~700 MB per run and let concurrent benches overwrite each other's
+    # data mid-read
+    scratch = tempfile.mkdtemp(prefix="skew_bench_")
 
     # hot key 0 gets `hot_share` of rows; the rest spread over 10k keys
     df = (
@@ -67,8 +74,9 @@ def main() -> None:
         )
         .withColumn("created_at", F.current_timestamp())
     )
-    df.write.mode("overwrite").parquet("/tmp/skew_bench_events")
-    df = spark.read.parquet("/tmp/skew_bench_events")
+    events_path = os.path.join(scratch, "events")
+    df.write.mode("overwrite").parquet(events_path)
+    df = spark.read.parquet(events_path)
 
     def t(fn) -> float:
         start = time.time()
@@ -118,8 +126,9 @@ def main() -> None:
         (F.col("id") % 97).alias("attr"),
         F.repeat(F.md5(F.col("id").cast("string")), 2).alias("pad"),
     )
-    dim.write.mode("overwrite").parquet("/tmp/skew_bench_dim")
-    dim = spark.read.parquet("/tmp/skew_bench_dim")
+    dim_path = os.path.join(scratch, "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
 
     census = hot_key_census(df, "campaign_id", hot_threshold=1_000_000)
     census = census.persist()
@@ -155,6 +164,7 @@ def main() -> None:
     census.unpersist()
 
     print(json.dumps({"rows": rows, "hot_share": hot_share, **res}))
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
