@@ -1538,3 +1538,400 @@ def record_link_pairs(
         .where(F.col("edit_dist") <= max_edit)
         .select("id_a", "id_b", "attr_a", "attr_b", "edit_dist")
     )
+
+
+# --- persisted MinHash LSH dedup index (offline build / ingest / serving) ---
+#
+# The serving shape of :func:`dedup_against` at 100 TB: the accepted
+# corpus's minhash profiles are computed ONCE and persisted, and every
+# arriving batch dedups against the STORED index instead of re-shingling
+# the corpus per call. Layout under one root (base + delta, mirroring the
+# persisted IVF index in operators/similarity.py):
+#
+#   <root>/params           one row: the banding/shingling parameters the
+#                           index was built with — serving reads these, so
+#                           a search can never band differently than the
+#                           stored rows were banded
+#   <root>/docs             (id, signature, shingle_set) per accepted doc —
+#                           id-grain verification store (exact-Jaccard side)
+#   <root>/bands            (id, band_idx, band_hash) LSH band rows,
+#                           parquet PARTITIONED BY hb = bucket(band_hash):
+#                           a batch's distinct band keys broadcast into the
+#                           join, so Catalyst dynamic-partition-prunes the
+#                           scan to the hb partitions the batch touches
+#   <root>/stream_profiles  delta: profiles ingested by
+#                           streaming.stream_minhash_ingest (foreachBatch,
+#                           epoch-partitioned dynamic overwrite — the
+#                           package's replay-idempotent sink recipe);
+#                           serving derives its band rows on the fly
+#                           (delta << base)
+#   <root>/tombstones       id-grain deletes (minhash_index_delete),
+#                           anti-joined out of every serving read and
+#                           folded physically by minhash_index_compact
+#   <root>/generation       compaction generation marker (same contract as
+#                           the IVF index: stream checkpoints pin it and
+#                           refuse to replay across a fold)
+#
+# No reference analog to cite: the reference has no dedup surface at all —
+# this extends the §7 training-data-pipeline family (SURVEY.md).
+
+MINHASH_PARAMS_DIR = "params"
+MINHASH_DOCS_DIR = "docs"
+MINHASH_BANDS_DIR = "bands"
+MINHASH_DELTA_DIR = "stream_profiles"
+
+
+def _band_bucket(band_hash: Column, band_buckets: int) -> Column:
+    """Physical partition bucket of a band-hash value. xxhash64 works for
+    both band-hash representations (long for the xxhash64 family, string
+    for the md5/oracle-portable family); pmod keeps it non-negative."""
+    return F.pmod(F.xxhash64(band_hash), F.lit(band_buckets)).cast("int")
+
+
+def _minhash_params(spark, root: str):
+    """Load the stored banding/shingling parameters (one driver-sized row)."""
+    rows = spark.read.parquet(_fs_mod().join(root, MINHASH_PARAMS_DIR)).collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt minhash index params at {root}")
+    return rows[0]
+
+
+def _fs_mod():
+    """Late import of the fs helper module (dedup must not import it at
+    module level for symmetry with similarity's late dedup imports)."""
+    from .. import fs
+
+    return fs
+
+
+def minhash_index_write(
+    corpus: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_shingles: int | None = 512,
+    hash_method: str = "xxhash64",
+    band_buckets: int = 64,
+) -> None:
+    """Build the persisted dedup index from the accepted corpus: ONE
+    shingle pass computes every doc's minhash profile (signature +
+    shingle set), written as the id-grain ``docs`` table; the banded LSH
+    rows are then derived from the WRITTEN table's signature column (a
+    column-pruned re-scan of the compact profile parquet — far cheaper at
+    corpus scale than recomputing the shingling, and no giant persist).
+
+    Incremental additions go through
+    ``streaming.stream_minhash_ingest``; deletes through
+    :func:`minhash_index_delete`; maintenance through
+    :func:`minhash_index_compact`. Serving is
+    :func:`minhash_index_dedup`, which matches
+    :func:`dedup_against` (same parameters, same cap contract) exactly.
+    """
+    fs = _fs_mod()
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                num_hashes,
+                bands,
+                shingle_k,
+                max_shingles,
+                hash_method,
+                band_buckets,
+                id_col,
+            )
+        ],
+        "num_hashes int, bands int, shingle_k int, max_shingles int, "
+        "hash_method string, band_buckets int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        fs.join(root, MINHASH_PARAMS_DIR)
+    )
+    prof = minhash_profile(
+        corpus, text_col, id_col, num_hashes, shingle_k, max_shingles,
+        hash_method,
+    )
+    prof.write.mode("overwrite").parquet(fs.join(root, MINHASH_DOCS_DIR))
+    docs = spark.read.parquet(fs.join(root, MINHASH_DOCS_DIR))
+    band_rows = _sig_band_rows(
+        docs.select(id_col, "signature"), id_col, bands, num_hashes,
+        hash_method,
+    ).withColumn("hb", _band_bucket(F.col("band_hash"), band_buckets))
+    band_rows.write.mode("overwrite").partitionBy("hb").parquet(
+        fs.join(root, MINHASH_BANDS_DIR)
+    )
+    fs.write_text(spark, fs.join(root, "generation"), "0")
+
+
+def _minhash_delta(spark, root: str) -> "DataFrame | None":
+    """The streamed delta's profile rows (None when no delta exists).
+    Strips the physical ``__epoch_id`` idempotence-partition column."""
+    fs = _fs_mod()
+    path = fs.join(root, MINHASH_DELTA_DIR)
+    if not fs.is_dir(spark, path):
+        return None
+    try:
+        delta = spark.read.parquet(path)
+    except Exception:  # dir exists but holds no committed files yet
+        return None
+    if "__epoch_id" in delta.columns:
+        delta = delta.drop("__epoch_id")
+    return delta
+
+
+def _minhash_tombstones(spark, root: str) -> "DataFrame | None":
+    fs = _fs_mod()
+    path = fs.join(root, "tombstones")
+    if not fs.is_dir(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
+def minhash_index_dedup(
+    batch: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float | None = 0.8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Serve :func:`dedup_against` from the persisted index: drop rows of
+    ``batch`` that near-duplicate an accepted corpus doc, WITHOUT
+    re-shingling the corpus — candidates come from an equi-join of the
+    batch's band rows against the stored ``bands`` table, verification
+    from an id-grain join against the stored ``shingle_set`` profiles.
+    Results match ``dedup_against(batch, corpus=survivors)`` exactly,
+    where survivors = base ∪ streamed delta − tombstones (equivalence
+    tested, including the cap determinism contract: per-bucket sorted-id
+    slice of ``max_bucket``).
+
+    Scale shape (100 TB corpus, small batch): the batch side is
+    batch-sized throughout and BROADCAST into both stored-table joins —
+    the stored ``bands`` scan is dynamic-partition-pruned to the ``hb``
+    buckets the batch's band keys hash into, and the stored ``docs`` scan
+    only materializes shingle sets for candidate ids. Nothing shuffles
+    the stored tables; per-bucket caps bound hot bands exactly as
+    :func:`minhash_lsh_candidates` does. Banding parameters come from the
+    stored ``params`` table, so serving can never band differently than
+    the index was built."""
+    spark = batch.sparkSession
+    fs = _fs_mod()
+    p = _minhash_params(spark, root)
+    corp_id = p.id_col
+    prof_new = minhash_profile(
+        batch, text_col, id_col, p.num_hashes, p.shingle_k, p.max_shingles,
+        p.hash_method,
+    )
+    # Semantically a no-op (the profile groupBy only emits docs with >= 1
+    # shingle) — but it is a "likely selective" predicate in Catalyst's
+    # PartitionPruning rule, which is what makes the rule insert dynamic
+    # partition pruning on the stored bands scan below (the batch side is
+    # otherwise Filter-free and the rule declines; verified empirically,
+    # plan-asserted in tests).
+    prof_new = prof_new.where(F.size("shingle_set") > 0)
+    new_bands = _sig_band_rows(
+        prof_new.select(id_col, "signature"), id_col, p.bands, p.num_hashes,
+        p.hash_method,
+    ).select(
+        F.col(id_col).alias("__id_new"),
+        "band_idx",
+        "band_hash",
+        _band_bucket(F.col("band_hash"), p.band_buckets).alias("hb"),
+    )
+    stored = spark.read.parquet(fs.join(root, MINHASH_BANDS_DIR)).select(
+        F.col(corp_id).alias("__id_corp"), "band_idx", "band_hash", "hb"
+    )
+    delta = _minhash_delta(spark, root)
+    if delta is not None:
+        stored = stored.unionByName(
+            _sig_band_rows(
+                delta.select(corp_id, "signature"), corp_id, p.bands,
+                p.num_hashes, p.hash_method,
+            ).select(
+                F.col(corp_id).alias("__id_corp"),
+                "band_idx",
+                "band_hash",
+                _band_bucket(F.col("band_hash"), p.band_buckets).alias("hb"),
+            )
+        )
+    tomb = _minhash_tombstones(spark, root)
+    if tomb is not None:
+        dead = tomb.select(F.col(tomb.columns[0]).alias("__id_corp")).distinct()
+        stored = stored.join(F.broadcast(dead), "__id_corp", "left_anti")
+    # batch band keys broadcast -> the stored scan prunes to touched hb
+    # partitions (dynamic partition pruning; plan-asserted in tests)
+    keys = new_bands.select("hb", "band_idx", "band_hash").distinct()
+    matched = stored.join(F.broadcast(keys), ["hb", "band_idx", "band_hash"])
+    # cap per bucket with the family-wide determinism contract: since the
+    # key-join keeps every stored row of a matching bucket, capping the
+    # matched rows == capping the full bucket (what dedup_against does)
+    buckets = matched.groupBy("band_idx", "band_hash").agg(
+        F.slice(
+            F.array_sort(F.collect_set("__id_corp")), 1, max_bucket
+        ).alias("ids")
+    )
+    cand = (
+        new_bands.join(buckets, ["band_idx", "band_hash"])
+        .select("__id_new", F.explode("ids").alias("__id_corp"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        hits = cand.select(F.col("__id_new").alias(id_col)).distinct()
+        return batch.join(hits, id_col, "left_anti")
+    docs = spark.read.parquet(fs.join(root, MINHASH_DOCS_DIR)).select(
+        F.col(corp_id).alias("__id_corp"), F.col("shingle_set").alias("__sh_c")
+    )
+    if delta is not None:
+        docs = docs.unionByName(
+            delta.select(
+                F.col(corp_id).alias("__id_corp"),
+                F.col("shingle_set").alias("__sh_c"),
+            )
+        )
+    if tomb is not None:
+        docs = docs.join(F.broadcast(dead), "__id_corp", "left_anti")
+    sh_new = prof_new.select(
+        F.col(id_col).alias("__id_new"), F.col("shingle_set").alias("__sh_n")
+    )
+    jac = (
+        F.size(F.array_intersect("__sh_n", "__sh_c")).cast("double")
+        / F.size(F.array_union("__sh_n", "__sh_c")).cast("double")
+    )
+    hits = (
+        docs.join(F.broadcast(cand), "__id_corp")
+        .join(F.broadcast(sh_new), "__id_new")
+        .where(jac >= verify_threshold)
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
+
+
+def minhash_index_delete(spark, root: str, ids, id_col: str | None = None) -> None:
+    """Delete docs from the persisted dedup index by id — logical and
+    O(ids), exactly like ``similarity.ivf_index_delete``: ids append into
+    an id-grain ``<root>/tombstones`` table that every serving read
+    anti-joins (band rows AND verification profiles, base and delta
+    alike) and :func:`minhash_index_compact` folds physically. After a
+    delete, serving matches an index rebuilt from the surviving corpus
+    exactly — including cap determinism: the per-bucket sorted-id cap is
+    applied AFTER tombstone removal, so a freed cap slot admits the next
+    sorted id just as a rebuild would."""
+    fs = _fs_mod()
+    if id_col is None:
+        id_col = _minhash_params(spark, root).id_col
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col))
+    else:
+        df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    df.write.mode("append").parquet(fs.join(root, "tombstones"))
+
+
+def _swap_rewrite(spark, table_path: str, kept: DataFrame, partition_by: str | None) -> None:
+    """Staged rewrite-and-swap of one table (the detectable-crash fold
+    kernel shared with the IVF index): write survivors to ``.rewriting``,
+    rename the live table aside, rename the rewrite in, drop the old."""
+    fs = _fs_mod()
+    rewriting, old = table_path + ".rewriting", table_path + ".old"
+    w = kept.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(rewriting)
+    fs.rename(spark, table_path, old)
+    fs.rename(spark, rewriting, table_path)
+    fs.delete(spark, old)
+
+
+def _fold_minhash_tombstones(spark, root: str) -> bool:
+    """Physically apply ``<root>/tombstones`` to BOTH stored tables
+    (docs, bands) via staged swaps, then drop the tombstone table.
+    Idempotent: a crash between the two table folds re-runs safely (the
+    tombstone table is deleted last; re-anti-joining already-removed ids
+    is a no-op). A leftover ``.rewriting``/``.old`` dir refuses the run —
+    same manual recovery contract as ``similarity._fold_tombstones``."""
+    fs = _fs_mod()
+    tomb = _minhash_tombstones(spark, root)
+    if tomb is None:
+        return False
+    corp_id = _minhash_params(spark, root).id_col
+    dead = F.broadcast(tomb.select(F.col(tomb.columns[0]).alias(corp_id)).distinct())
+    for name, part in ((MINHASH_DOCS_DIR, None), (MINHASH_BANDS_DIR, "hb")):
+        path = fs.join(root, name)
+        for leftover in (path + ".rewriting", path + ".old"):
+            if fs.is_dir(spark, leftover):
+                raise RuntimeError(
+                    f"interrupted tombstone fold at {leftover}: keep "
+                    f"whichever complete directory holds the table as "
+                    f"'{name}', delete the other, then re-run "
+                    "minhash_index_compact"
+                )
+        live = spark.read.parquet(path)
+        kept = live.join(dead, [corp_id], "left_anti")
+        _swap_rewrite(spark, path, kept, part)
+    fs.delete(spark, fs.join(root, "tombstones"))
+    return True
+
+
+def minhash_index_compact(spark, root: str) -> int:
+    """Fold the streamed delta into the base tables and apply tombstones
+    physically; bumps ``<root>/generation`` so stale stream checkpoints
+    refuse to replay (same contract as ``similarity.ivf_index_compact``).
+    Returns the number of delta docs folded.
+
+    Crash contract (DETECTABLE, not atomic — plain parquet): the delta
+    dir is renamed to ``.compacting`` first (new streamed epochs cannot
+    race the fold), then appended into ``docs`` and, band-derived, into
+    ``bands``; a leftover ``.compacting`` dir means a prior run may have
+    appended some or all rows and the next run refuses. Recovery is
+    manual: check whether the staged ids are in the base tables, then
+    delete the staging dir (appended) or rename it back (not appended).
+    Unlike the IVF delta, this delta is written by the foreachBatch
+    epoch-overwrite sink (no streaming-sink manifest), so the staged dir
+    reads as plain parquet."""
+    fs = _fs_mod()
+    p = _minhash_params(spark, root)
+    delta_path = fs.join(root, MINHASH_DELTA_DIR)
+    staging = delta_path + ".compacting"
+    if fs.is_dir(spark, staging):
+        raise RuntimeError(
+            f"interrupted compaction at {staging}: its rows may or may not "
+            "already be in the base tables — verify, then delete it "
+            "(appended) or rename it back to stream_profiles (not appended)"
+        )
+    from .similarity import _bump_generation
+
+    if not fs.is_dir(spark, delta_path):
+        _fold_minhash_tombstones(spark, root)
+        _bump_generation(spark, root)
+        return 0
+    fs.rename(spark, delta_path, staging)
+    try:
+        delta = spark.read.parquet(staging)
+    except Exception:
+        delta = None
+    if delta is None:
+        fs.delete(spark, staging)
+        _fold_minhash_tombstones(spark, root)
+        _bump_generation(spark, root)
+        return 0
+    if "__epoch_id" in delta.columns:
+        delta = delta.drop("__epoch_id")
+    n = delta.count()
+    if n:
+        delta.write.mode("append").parquet(fs.join(root, MINHASH_DOCS_DIR))
+        _sig_band_rows(
+            delta.select(p.id_col, "signature"), p.id_col, p.bands,
+            p.num_hashes, p.hash_method,
+        ).withColumn(
+            "hb", _band_bucket(F.col("band_hash"), p.band_buckets)
+        ).write.mode("append").partitionBy("hb").parquet(
+            fs.join(root, MINHASH_BANDS_DIR)
+        )
+    fs.delete(spark, staging)
+    _fold_minhash_tombstones(spark, root)
+    _bump_generation(spark, root)
+    return n

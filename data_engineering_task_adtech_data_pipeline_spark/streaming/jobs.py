@@ -1152,3 +1152,98 @@ def read_kmv_sketch(
 
     gcols = group_cols or []
     return _rank_trim(spark.read.parquet(sketch_path), gcols, k)
+
+
+def stream_minhash_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+    schema: "T.StructType | None" = None,
+):
+    """Streaming ingestion for the persisted MinHash dedup index
+    (``operators.dedup.minhash_index_write``): accepted document parquet
+    files land → each micro-batch's minhash profiles (signature +
+    shingle set) are computed by the UNCHANGED batch kernel
+    (``dedup.minhash_profile``, run inside ``foreachBatch`` — per-doc
+    profile aggregation is a groupBy, which append-mode streaming cannot
+    express statelessly) with the banding/shingling parameters READ FROM
+    THE INDEX's stored ``params`` table (drift-proof: the delta can never
+    be profiled differently than the base was) → profile rows land in
+    ``<root>/stream_profiles``, which ``minhash_index_dedup`` unions with
+    the base automatically.
+
+    Sink semantics: foreachBatch is at-least-once, made IDEMPOTENT by the
+    package's epoch-partitioned dynamic-overwrite recipe (see
+    ``stream_decontaminate``) — a replayed epoch overwrites its own
+    ``__epoch_id`` partition.
+
+    Generation guard (same contract as ``stream_ivf_ingest``):
+    ``minhash_index_compact`` consumes the delta and bumps
+    ``<root>/generation``; a checkpoint created against the
+    pre-compaction delta would replay its epochs into a new delta and
+    double-ingest every doc — the checkpoint pins the generation it was
+    born under and refuses to start once the index has moved on.
+
+    Scale shape: per micro-batch the work is the batch profile kernel
+    (one shingle explode + one hash-agg shuffle of batch-sized data);
+    nothing touches the base index. ``id_col``/``text_col`` name the
+    ARRIVING columns; the profile's id column is stored under the
+    index's own id column name."""
+    from .. import fs
+    from ..operators.dedup import (
+        MINHASH_DELTA_DIR,
+        _minhash_params,
+        minhash_profile,
+    )
+    from ..operators.similarity import index_generation
+
+    p = _minhash_params(spark, index_root)
+    gen = index_generation(spark, index_root)
+    if gen is not None:
+        marker = fs.join(checkpoint_dir, ".minhash_generation")
+        if fs.exists(spark, marker):
+            pinned = int(fs.read_text(spark, marker).strip())
+            if pinned != gen:
+                raise RuntimeError(
+                    f"stale streaming checkpoint {checkpoint_dir}: it was "
+                    f"created at index generation {pinned} but {index_root} "
+                    f"is now at generation {gen} (compaction ran) — reusing "
+                    "it would replay already-compacted epochs and "
+                    "double-ingest their docs; start a fresh checkpoint"
+                )
+        else:
+            fs.write_text(spark, marker, str(gen))
+
+    output_path = fs.join(index_root, MINHASH_DELTA_DIR)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prof = minhash_profile(
+            batch_df, text_col, id_col, p.num_hashes, p.shingle_k,
+            p.max_shingles, p.hash_method,
+        ).withColumnRenamed(id_col, p.id_col)
+        (
+            prof.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(output_path)
+        )
+
+    stream = spark.readStream.schema(schema or DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

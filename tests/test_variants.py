@@ -931,3 +931,233 @@ def test_tombstone_fold_guards_and_contract(spark, tmp_path):
     q = emb.where(F.col("vec_id") < 3)
     got = similarity.ivf_index_search(spark, d + "/ivf", q, k=3, n_probe=4)
     assert 0 not in {r.corpus_id for r in got.collect()}
+
+
+# --- persisted MinHash LSH dedup index (round 11) ---------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dedup_corpus(spark):
+    """~30 docs: themed families with word-level variation so some batch
+    rows near-duplicate corpus rows and others are novel."""
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                i,
+                f"corpus document number {i} talks about topic {i % 5} with "
+                f"filler words alpha beta gamma delta epsilon zeta eta theta "
+                f"iota kappa variant {i}",
+            )
+        )
+    return _mk_docs(spark, rows)
+
+
+def _dedup_batch(spark):
+    return _mk_docs(
+        spark,
+        [
+            # near-dup of corpus doc 3 (one word changed)
+            (103, "corpus document number 3 talks about topic 3 with filler "
+                  "words alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa variant 99"),
+            # exact dup of corpus doc 7
+            (107, "corpus document number 7 talks about topic 2 with filler "
+                  "words alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa variant 7"),
+            # novel
+            (200, "entirely unrelated musings on distributed query engines "
+                  "catalyst tungsten shuffles broadcast joins and codegen"),
+            (201, "another novel paragraph mentioning parquet predicate "
+                  "pushdown column pruning and adaptive execution plans"),
+        ],
+    )
+
+
+def test_minhash_index_dedup_matches_dedup_against(spark, tmp_path):
+    """Serving from the persisted index == the one-shot dedup_against on
+    the same corpus, for both hash families and both verification modes
+    (the index stores its own banding params, so serving banding cannot
+    drift from the build)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+
+    corpus, batch = _dedup_corpus(spark), _dedup_batch(spark)
+    for method in ("xxhash64", "md5"):
+        root = str(tmp_path / f"idx_{method}")
+        dedup.minhash_index_write(
+            corpus, root, num_hashes=32, bands=8, hash_method=method
+        )
+        for thresh in (0.5, None):
+            got = sorted(
+                r.doc_id
+                for r in dedup.minhash_index_dedup(
+                    batch, root, verify_threshold=thresh
+                ).collect()
+            )
+            want = sorted(
+                r.doc_id
+                for r in dedup.dedup_against(
+                    batch, corpus, num_hashes=32, bands=8,
+                    hash_method=method, verify_threshold=thresh,
+                ).collect()
+            )
+            assert got == want, (method, thresh)
+        # the verified mode must drop the two corpus near-dups, keep novels
+        kept = sorted(
+            r.doc_id
+            for r in dedup.minhash_index_dedup(
+                batch, root, verify_threshold=0.5
+            ).collect()
+        )
+        assert kept == [200, 201], method
+
+
+def test_minhash_index_serving_plan_broadcasts_and_prunes(spark, tmp_path):
+    """The serving join must broadcast the batch's band keys and
+    dynamic-partition-prune the stored bands scan (hb partitions) — the
+    property that keeps a 100 TB index scan proportional to the batch."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+
+    root = str(tmp_path / "idx")
+    dedup.minhash_index_write(
+        _dedup_corpus(spark), root, num_hashes=32, bands=8
+    )
+    out = dedup.minhash_index_dedup(
+        _dedup_batch(spark), root, verify_threshold=0.5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_minhash_index_stream_ingest_and_compact(spark, tmp_path):
+    """stream_minhash_ingest grows the index exactly-once (epoch-overwrite
+    replay idempotence rides the checkpoint); serving over base+delta ==
+    dedup_against on the union; compaction folds the delta, bumps the
+    generation, and a stale checkpoint then refuses to restart."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup, similarity
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_minhash_ingest,
+    )
+
+    d = str(tmp_path)
+    root = d + "/idx"
+    corpus = _dedup_corpus(spark)
+    old = corpus.where(F.col("doc_id") < 20)
+    new = corpus.where(F.col("doc_id") >= 20)
+    dedup.minhash_index_write(old, root, num_hashes=32, bands=8)
+
+    new.selectExpr(
+        "doc_id", "text", "cast(null as string) lang",
+        "cast(null as string) source", "cast(length(text) as long) n_chars",
+    ).write.mode("append").parquet(d + "/in")
+    stream_minhash_ingest(spark, d + "/in", root, d + "/ckpt").awaitTermination(120)
+
+    batch = _dedup_batch(spark)
+    got = sorted(
+        r.doc_id
+        for r in dedup.minhash_index_dedup(batch, root, verify_threshold=0.5).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in dedup.dedup_against(
+            batch, corpus, num_hashes=32, bands=8, verify_threshold=0.5
+        ).collect()
+    )
+    assert got == want
+
+    n = dedup.minhash_index_compact(spark, root)
+    assert n == new.count()
+    assert similarity.index_generation(spark, root) == 1
+    got2 = sorted(
+        r.doc_id
+        for r in dedup.minhash_index_dedup(batch, root, verify_threshold=0.5).collect()
+    )
+    assert got2 == want
+    # idempotent re-compact: nothing left to fold
+    assert dedup.minhash_index_compact(spark, root) == 0
+
+    # stale checkpoint (pinned to generation 0) must refuse
+    with pytest.raises(Exception, match="stale streaming checkpoint"):
+        stream_minhash_ingest(spark, d + "/in", root, d + "/ckpt")
+    # post-compaction ingest restarts with a FRESH checkpoint AND a fresh
+    # landing dir (the compacted files would otherwise be re-read)
+    _mk_docs(spark, [(90, "late arriving doc about theta iota kappa")]).selectExpr(
+        "doc_id", "text", "cast(null as string) lang",
+        "cast(null as string) source", "cast(length(text) as long) n_chars",
+    ).write.mode("append").parquet(d + "/in2")
+    stream_minhash_ingest(spark, d + "/in2", root, d + "/ckpt2").awaitTermination(120)
+    assert dedup.minhash_index_compact(spark, root) == 1
+
+
+def test_minhash_index_delete_matches_rebuild(spark, tmp_path):
+    """Tombstoned docs vanish from serving EXACTLY as if the index were
+    rebuilt from the survivors — including the per-bucket cap contract:
+    with max_bucket=1, deleting the bucket's sorted-first id admits the
+    next sorted id (a capped-array store could not express this)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup, similarity
+
+    shared = (
+        "identical boilerplate paragraph repeated across corpus entries "
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    corpus = _mk_docs(
+        spark, [(1, shared), (2, shared), (3, "totally different content "
+                "about adaptive query execution and skew join salting")]
+    )
+    batch = _mk_docs(spark, [(10, shared), (11, "novel doc words only here "
+                             "nothing shared with the corpus at all")])
+    root = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, root, num_hashes=32, bands=8)
+
+    def kept(max_bucket=1):
+        return sorted(
+            r.doc_id
+            for r in dedup.minhash_index_dedup(
+                batch, root, verify_threshold=0.5, max_bucket=max_bucket
+            ).collect()
+        )
+
+    assert kept() == [11]  # 10 matches the capped bucket's id 1
+    dedup.minhash_index_delete(spark, root, [1])
+    # cap slot freed -> id 2 takes it (rebuild semantics), 10 still drops
+    assert kept() == [11]
+    want = sorted(
+        r.doc_id
+        for r in dedup.dedup_against(
+            batch, corpus.where(F.col("doc_id") != 1), num_hashes=32,
+            bands=8, verify_threshold=0.5, max_bucket=1,
+        ).collect()
+    )
+    assert kept() == want
+    dedup.minhash_index_delete(spark, root, [2])
+    assert kept() == [10, 11]  # both boilerplate copies gone -> 10 is novel
+
+    # physical fold: tombstone table dropped, results unchanged, gen bumped
+    gen0 = similarity.index_generation(spark, root)
+    dedup.minhash_index_compact(spark, root)
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+
+    assert not fs.is_dir(spark, fs.join(root, "tombstones"))
+    assert kept() == [10, 11]
+    assert similarity.index_generation(spark, root) == gen0 + 1
+
+
+def test_minhash_index_compact_refuses_interrupted_run(spark, tmp_path):
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark import fs
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+
+    root = str(tmp_path / "idx")
+    dedup.minhash_index_write(_dedup_corpus(spark), root, num_hashes=32, bands=8)
+    fs.mkdirs(spark, fs.join(root, "stream_profiles.compacting"))
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        dedup.minhash_index_compact(spark, root)
+    fs.delete(spark, fs.join(root, "stream_profiles.compacting"))
+    assert dedup.minhash_index_compact(spark, root) == 0
