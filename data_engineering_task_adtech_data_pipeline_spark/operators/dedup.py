@@ -742,6 +742,96 @@ def connected_components_star(
     )
 
 
+def update_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: fold a batch of new
+    duplicate edges into an existing (id, component) assignment table
+    without re-running global closure over the accumulated edge set — the
+    cluster-bookkeeping step every continuously-ingesting dedup pipeline
+    needs after :func:`dedup_against` / :func:`minhash_index_dedup`
+    (``keep="links"``) surfaces batch↔corpus links.
+
+    Semantics: equals ``connected_components_star`` over (all edges ever
+    seen) restricted to the usual min-id labels, given that
+    ``assignments`` is itself a closure fixpoint (every component labeled
+    by its min member id; equivalence-tested against a from-scratch
+    rebuild). New ids appearing only in ``new_edges`` are added; a new id
+    smaller than an existing root relabels the merged component.
+
+    Scale shape (100 TB assignment table, small batch): the big table is
+    touched by exactly TWO broadcast passes and never shuffles —
+    (1) filter to the batch's endpoints (broadcast semi-join), which
+    yields the touched components' roots; (2) apply the root remap
+    (broadcast left join + coalesce). Closure itself runs on the
+    CONTRACTED graph (endpoints mapped to their existing roots), which is
+    batch-sized regardless of corpus size — merging two million-doc
+    components costs one contracted edge, not a million-row relabel scan
+    beyond the remap pass. Plan-asserted: no SortMergeJoin / no Exchange
+    on the assignments side.
+    """
+    a = assignments.select("id", "component")
+    endpoints = (
+        new_edges.select(F.col("id_a").alias("id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+    )
+    # (1) one scan of the big table, batch side broadcast: the assignment
+    # rows whose id is an incoming endpoint (batch-sized output)
+    touched = a.join(F.broadcast(endpoints), "id").localCheckpoint()
+    # contract each endpoint to its existing root where known, else itself
+    ra = touched.select(
+        F.col("id").alias("id_a"), F.col("component").alias("__ra")
+    )
+    rb = touched.select(
+        F.col("id").alias("id_b"), F.col("component").alias("__rb")
+    )
+    contracted = (
+        new_edges.join(F.broadcast(ra), "id_a", "left")
+        .join(F.broadcast(rb), "id_b", "left")
+        .select(
+            F.coalesce("__ra", "id_a").alias("id_a"),
+            F.coalesce("__rb", "id_b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    # closure over the contracted (batch-sized) graph; node set = touched
+    # roots ∪ brand-new ids, so min label == global min of the merged
+    # group. Checkpointed (the star rounds already ran eagerly) so the
+    # closure's internal tiny-frame joins don't appear in the serving plan.
+    labels = connected_components_star(contracted, max_iterations).localCheckpoint()
+    old_roots = touched.select(F.col("component").alias("id")).distinct()
+    remap = (
+        labels.join(F.broadcast(old_roots), "id")
+        .where(F.col("component") != F.col("id"))
+        .select(
+            F.col("id").alias("__old_root"),
+            F.col("component").alias("__new_root"),
+        )
+    )
+    # (2) second and last pass over the big table: broadcast root remap
+    updated = a.join(
+        F.broadcast(remap), a.component == F.col("__old_root"), "left"
+    ).select(
+        "id", F.coalesce("__new_root", "component").alias("component")
+    )
+    # rows for ids first seen in this batch (left join: a new id whose
+    # every edge contracted to a self-loop has no closure label — itself)
+    new_ids = endpoints.join(
+        F.broadcast(touched.select("id")), "id", "left_anti"
+    )
+    new_rows = new_ids.join(
+        F.broadcast(labels.withColumnRenamed("component", "__lbl")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("__lbl", "id").alias("component"))
+    return updated.unionByName(new_rows)
+
+
 def minhash_dedup_transitive(
     df: DataFrame,
     text_col: str = "text",
@@ -1698,6 +1788,7 @@ def minhash_index_dedup(
     id_col: str = "doc_id",
     verify_threshold: float | None = 0.8,
     max_bucket: int = 64,
+    keep: str = "survivors",
 ) -> DataFrame:
     """Serve :func:`dedup_against` from the persisted index: drop rows of
     ``batch`` that near-duplicate an accepted corpus doc, WITHOUT
@@ -1717,7 +1808,15 @@ def minhash_index_dedup(
     the stored tables; per-bucket caps bound hot bands exactly as
     :func:`minhash_lsh_candidates` does. Banding parameters come from the
     stored ``params`` table, so serving can never band differently than
-    the index was built."""
+    the index was built.
+
+    ``keep="survivors"`` (default) returns the non-duplicate batch rows;
+    ``keep="links"`` returns the verified batch↔corpus link pairs instead
+    — (id_a = batch id, id_b = corpus id), distinct — ready to fold into
+    a persisted cluster assignment table via :func:`update_components`.
+    """
+    if keep not in ("survivors", "links"):
+        raise ValueError(f"unknown keep mode: {keep!r}")
     spark = batch.sparkSession
     fs = _fs_mod()
     p = _minhash_params(spark, root)
@@ -1780,6 +1879,10 @@ def minhash_index_dedup(
         .distinct()
     )
     if verify_threshold is None:
+        if keep == "links":
+            return cand.select(
+                F.col("__id_new").alias("id_a"), F.col("__id_corp").alias("id_b")
+            )
         hits = cand.select(F.col("__id_new").alias(id_col)).distinct()
         return batch.join(hits, id_col, "left_anti")
     docs = spark.read.parquet(fs.join(root, MINHASH_DOCS_DIR)).select(
@@ -1801,13 +1904,16 @@ def minhash_index_dedup(
         F.size(F.array_intersect("__sh_n", "__sh_c")).cast("double")
         / F.size(F.array_union("__sh_n", "__sh_c")).cast("double")
     )
-    hits = (
+    verified = (
         docs.join(F.broadcast(cand), "__id_corp")
         .join(F.broadcast(sh_new), "__id_new")
         .where(jac >= verify_threshold)
-        .select(F.col("__id_new").alias(id_col))
-        .distinct()
     )
+    if keep == "links":
+        return verified.select(
+            F.col("__id_new").alias("id_a"), F.col("__id_corp").alias("id_b")
+        ).distinct()
+    hits = verified.select(F.col("__id_new").alias(id_col)).distinct()
     return batch.join(hits, id_col, "left_anti")
 
 

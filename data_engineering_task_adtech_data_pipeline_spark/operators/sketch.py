@@ -651,3 +651,153 @@ def kmv_intersect_pairs(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch + shuffle-reducing semi-join
+# prefilter (the pattern Spark's runtime bloom-filter join applies inside
+# Catalyst, exposed as an explicit, engine-portable operator).
+# ---------------------------------------------------------------------------
+
+# i * h2 must stay BIGINT-exact under ANSI mode: the step hash is masked to
+# 40 bits (and forced odd, the classic Kirsch–Mitzenmacher guard against a
+# degenerate zero step), so positions are exact for any sane num_hashes.
+_BLOOM_STEP_MASK = (1 << 40) - 1
+
+
+def _bloom_hashes(value: Column, method: str) -> tuple[Column, Column]:
+    """(base, step) hash pair for double hashing. ``md5`` derives both from
+    the engine-portable 60-bit construction (step re-hashes value||'#2'),
+    so any SQL engine can replay every probed bit; ``xxhash64`` seeds the
+    second hash with a constant column."""
+    if method == "md5":
+        h1 = md5_long(value)
+        h2 = md5_long(F.concat(value, F.lit("#2")))
+    elif method == "xxhash64":
+        h1 = F.xxhash64(value)
+        h2 = F.xxhash64(value, F.lit(2))
+    else:
+        raise ValueError(f"unknown hash method: {method!r}")
+    step = F.pmod(h2, F.lit(_BLOOM_STEP_MASK + 1)).bitwiseOR(F.lit(1))
+    return h1, step
+
+
+def _bloom_positions(
+    value: Column, num_bits: int, num_hashes: int, method: str
+) -> list[Column]:
+    """The ``num_hashes`` bit positions of ``value``: pmod(h1 + i*step, m)
+    (Kirsch–Mitzenmacher double hashing — two base hashes give k
+    independent-enough probes; Bloom error bounds survive, per their 2006
+    result)."""
+    h1, step = _bloom_hashes(value, method)
+    base = F.pmod(h1, F.lit(num_bits))
+    return [
+        F.pmod(base + F.lit(i) * step, F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Build a Bloom filter over ``df[value_col]`` as a SPARSE (word, bits)
+    frame: word = bit position / 64, bits = OR of the member masks — at
+    most ``num_bits/64`` rows regardless of input size, built by one
+    partial-aggregating shuffle on word (map-side combine collapses each
+    partition to <= num_bits/64 rows before anything moves).
+
+    Mergeable by construction: union two sketches built with identical
+    parameters and ``groupBy(word).agg(bit_or(bits))`` (:func:`bloom_merge`)
+    — so per-day / per-source / per-partition filters compose without
+    touching raw data, same as the HLL/CM/KMV family. No false negatives
+    ever; false-positive rate ~= (1 - e^(-k*n/m))^k (property-tested).
+
+    Size the filter at ~10 bits per distinct key for ~1% fp: a billion-key
+    corpus filter is ~1.2 GB of (word, bits) rows — far past broadcast as
+    an exact set, fine as a frame the probe side joins against, and still
+    ~100x smaller than shuffling the keys themselves.
+    """
+    pos = _bloom_positions(F.col(value_col), num_bits, num_hashes, method)
+    rows = df.select(
+        F.explode(F.array(*pos)).alias("__pos")
+    )
+    return (
+        rows.select(
+            (F.col("__pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(__mask)").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """OR together Bloom sketches built with IDENTICAL (num_bits,
+    num_hashes, method) parameters."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_filter_rows(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    method: str = "xxhash64",
+    keep: str = "maybe",
+) -> DataFrame:
+    """Filter ``df`` by Bloom membership of ``value_col`` — ``keep="maybe"``
+    returns rows that MIGHT be members (supersets the true semi-join;
+    false positives only), ``keep="miss"`` returns rows that are DEFINITELY
+    not members (exact — a Bloom filter has no false negatives).
+
+    Plan shape: ``num_hashes`` BROADCAST left joins against the (word,
+    bits) frame — the probe side never shuffles, which is the whole point:
+    prefilter the 100 TB side of a selective semi-join down to
+    (true matches + fp) BEFORE the shuffle join that confirms them
+    (``keep="maybe"`` composes with the exact join for exactness, e.g.
+    a corpus-scale ``contamination_matches(broadcast_benchmark=False)``),
+    or serve definite-absence decisions with no exact join at all
+    (``keep="miss"``: e.g. "which incoming ids are certainly new").
+
+    Parameters MUST match the build call — same contract as the banded
+    minhash family (callers that persist a sketch should persist its
+    params beside it, as ``minhash_index_write`` does).
+    """
+    if keep not in ("maybe", "miss"):
+        raise ValueError(f"unknown keep mode: {keep!r}")
+    pos = _bloom_positions(F.col(value_col), num_bits, num_hashes, method)
+    out = df
+    hit = F.lit(True)
+    for i, p in enumerate(pos):
+        w = f"__w{i}"
+        b = f"__b{i}"
+        side = bloom.select(
+            F.col("word").alias(w), F.col("bits").alias(b)
+        )
+        out = (
+            out.withColumn(f"__p{i}", p)
+            .withColumn(w, (F.col(f"__p{i}") / 64).cast("long"))
+            .withColumn(
+                f"__m{i}",
+                F.expr(f"shiftleft(1L, cast(__p{i} % 64 as int))"),
+            )
+        )
+        out = out.join(F.broadcast(side), w, "left")
+        hit = hit & (
+            F.col(b).isNotNull()
+            & (F.col(b).bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}"))
+        )
+    out = out.withColumn("__hit", hit)
+    cond = F.col("__hit") if keep == "maybe" else ~F.col("__hit")
+    drop = [c for c in out.columns if c.startswith("__")]
+    return out.where(cond).drop(*drop)

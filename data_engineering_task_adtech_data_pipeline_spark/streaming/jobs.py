@@ -1154,6 +1154,66 @@ def read_kmv_sketch(
     return _rank_trim(spark.read.parquet(sketch_path), gcols, k)
 
 
+def stream_bloom_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    value_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    method: str = "md5",
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """Streaming Bloom membership monitor — the definite-absence twin of
+    the HLL/KMV monitors: new value files fold into a corpus Bloom filter,
+    from which ``sketch.bloom_filter_rows(keep="miss")`` answers "which
+    incoming keys are certainly new" (novelty gating, join prefilters)
+    without re-scanning history, with zero false "already seen" misses —
+    a Bloom filter never false-negatives, so nothing new is ever
+    silently dropped as seen.
+
+    Mechanics: each micro-batch's sparse (word, bits) sketch appends to a
+    log; bitwise OR is idempotent AND commutative, so overlapping batches
+    and epoch REPLAYS collapse exactly when :func:`read_bloom_sketch` ORs
+    the log (bit-identical to one batch build over the union —
+    equivalence-tested, the same append+latest-view contract as the HLL
+    register log). Log growth per micro-batch is ≤ num_bits/64 rows —
+    sketch-sized, never data-sized."""
+    from ..operators.sketch import bloom_sketch
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bloom_sketch(
+            batch_df, value_col, num_bits, num_hashes, method
+        ).write.mode("append").parquet(sketch_path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_bloom_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Collapse the streamed Bloom log to the current filter (OR over all
+    logged words — exact by idempotence); feed to
+    ``sketch.bloom_filter_rows`` with the SAME build parameters."""
+    from ..operators.sketch import bloom_merge
+
+    return bloom_merge(spark.read.parquet(sketch_path))
+
+
 def stream_minhash_ingest(
     spark: SparkSession,
     input_dir: str,

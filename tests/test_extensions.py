@@ -231,6 +231,148 @@ def test_connected_components_star_matches_and_survives_long_paths(spark):
     assert out == {(i, 100) for i in range(100, 160)}
 
 
+def test_update_components_matches_full_recompute(spark):
+    """Folding a second edge wave into an existing closure fixpoint equals
+    star closure over the union — across component merges, a new id that
+    becomes the merged component's new min, intra-component no-op edges,
+    a contracted self-loop, and untouched singleton assignments."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        update_components,
+    )
+
+    e1 = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (40, 41)],
+        "id_a long, id_b long",
+    )
+    # merges {10,11,12}+{20,21}; new id 5 joins 30's group and becomes its
+    # new min; brand-new pair (50,51); intra-component no-op (10,12);
+    # self-loop on a brand-new id (60,60)
+    e2 = spark.createDataFrame(
+        [(12, 20), (5, 31), (50, 51), (10, 12), (60, 60)],
+        "id_a long, id_b long",
+    )
+    assigns = connected_components_star(e1).unionByName(
+        spark.createDataFrame([(99, 99)], "id long, component long")
+    )
+    out = {(r.id, r.component) for r in update_components(assigns, e2).collect()}
+    full = {
+        (r.id, r.component)
+        for r in connected_components_star(e1.unionByName(e2)).collect()
+    }
+    # the singleton is untouched; the self-loop-only new id labels itself
+    assert out == full | {(99, 99), (60, 60)}
+
+
+def test_update_components_randomized_waves(spark):
+    """Three sequential incremental folds over random edge waves equal one
+    from-scratch closure of everything (property over 3 seeds)."""
+    import random
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        update_components,
+    )
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        waves = [
+            [
+                (rng.randint(0, 60), rng.randint(0, 60))
+                for _ in range(25)
+            ]
+            for _ in range(3)
+        ]
+        frames = [
+            spark.createDataFrame(
+                [(a, b) for a, b in w if a != b], "id_a long, id_b long"
+            )
+            for w in waves
+        ]
+        assigns = connected_components_star(frames[0])
+        for f in frames[1:]:
+            assigns = update_components(assigns, f).localCheckpoint()
+        allv = frames[0]
+        for f in frames[1:]:
+            allv = allv.unionByName(f)
+        full = {
+            (r.id, r.component)
+            for r in connected_components_star(allv).collect()
+        }
+        got = {(r.id, r.component) for r in assigns.collect()}
+        assert got == full, f"seed {seed}"
+
+
+def test_update_components_plan_broadcast_only(spark, tmp_path):
+    """The assignment table is touched by exactly two broadcast passes:
+    the serving plan over a parquet-backed assignment table must contain
+    no SortMergeJoin and no shuffle of the assignments scan — the property
+    that makes maintenance O(batch) against a 100 TB table."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        update_components,
+    )
+
+    path = str(tmp_path / "assigns")
+    spark.createDataFrame(
+        [(i, i - (i % 3)) for i in range(3000)], "id long, component long"
+    ).write.parquet(path)
+    assigns = spark.read.parquet(path)
+    edges = spark.createDataFrame(
+        [(1, 4), (2999, 5000), (5001, 5002)], "id_a long, id_b long"
+    )
+    out = update_components(assigns, edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    got = {(r.id, r.component) for r in out.collect()}
+    # group {0,1,2} merged with {3,4,5} under root 0; 2999's group gained
+    # 5000; the fresh pair got its own component; everything else intact
+    assert {(i, 0) for i in range(6)} <= got
+    assert (5000, 2997) in got and (5001, 5001) in got and (5002, 5001) in got
+    assert (2998, 2997) in got and (6, 6) in got
+    assert len(got) == 3003
+
+
+def test_minhash_index_links_feed_update_components(spark, tmp_path):
+    """keep="links" surfaces the verified batch↔corpus pairs the dedup
+    decision used, and those edges fold into a cluster assignment table:
+    the served-index pipeline (index → links → update_components) ends
+    with batch dups assigned to their corpus doc's component."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different corpus document about spark pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "no relation to anything stored whatsoever in this index"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "idx")
+    dedup.minhash_index_write(corpus, root, num_hashes=32, bands=8)
+    links = dedup.minhash_index_dedup(
+        batch, root, verify_threshold=0.5, keep="links"
+    )
+    rows = {(r.id_a, r.id_b) for r in links.collect()}
+    assert rows == {(10, 1)}
+    assigns = spark.createDataFrame(
+        [(1, 1), (2, 2)], "id long, component long"
+    )
+    updated = {
+        (r.id, r.component)
+        for r in dedup.update_components(assigns, links).collect()
+    }
+    assert updated == {(1, 1), (2, 2), (10, 1)}
+    with pytest.raises(ValueError):
+        dedup.minhash_index_dedup(batch, root, keep="everything")
+
+
 def test_minhash_dedup_transitive_closure(spark):
     from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
         minhash_dedup_transitive,
@@ -909,6 +1051,94 @@ def test_tfidf_topk_hand_example(spark):
         1 if 2 * idf(2) > 1 * idf(1) else 2
     )
     assert len([k for k in out if k[0] == 2]) == 2
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every inserted key passes ("maybe" is a superset of the true set —
+    a Bloom filter has no false negatives), misses are exact, and the
+    measured false-positive rate stays near (1-e^(-kn/m))^k — for both
+    hash families."""
+    import math
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    n, m, k = 2000, 1 << 15, 5
+    members = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v")
+    )
+    probes = spark.range(10_000, 14_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v")
+    )
+    for method in ("xxhash64", "md5"):
+        bloom = sketch.bloom_sketch(members, "v", m, k, method)
+        kept = sketch.bloom_filter_rows(
+            members, bloom, "v", m, k, method, keep="maybe"
+        )
+        assert kept.count() == n, method  # no false negatives
+        fp = sketch.bloom_filter_rows(
+            probes, bloom, "v", m, k, method, keep="maybe"
+        ).count()
+        theory = (1.0 - math.exp(-k * n / m)) ** k
+        assert fp / 4000 <= 3 * theory + 0.01, (method, fp)
+        # "miss" is the exact complement of "maybe" on the same probe set
+        miss = sketch.bloom_filter_rows(
+            probes, bloom, "v", m, k, method, keep="miss"
+        ).count()
+        assert miss + fp == 4000, method
+    with pytest.raises(ValueError):
+        sketch.bloom_filter_rows(probes, bloom, "v", m, k, keep="all")
+    with pytest.raises(ValueError):
+        sketch.bloom_sketch(members, "v", m, k, method="sha9")
+
+
+def test_bloom_merge_equals_single_build(spark):
+    """bloom_merge(sketch(A), sketch(B)) is BIT-IDENTICAL to
+    sketch(A ∪ B) — the merge law that lets per-day/per-source filters
+    compose without raw data."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    m, k = 1 << 12, 4
+    a = spark.range(0, 500).select(F.concat(F.lit("a-"), F.col("id")).alias("v"))
+    b = spark.range(300, 900).select(F.concat(F.lit("a-"), F.col("id")).alias("v"))
+    merged = {
+        (r.word, r.bits)
+        for r in sketch.bloom_merge(
+            sketch.bloom_sketch(a, "v", m, k), sketch.bloom_sketch(b, "v", m, k)
+        ).collect()
+    }
+    single = {
+        (r.word, r.bits)
+        for r in sketch.bloom_sketch(a.unionByName(b), "v", m, k).collect()
+    }
+    assert merged == single
+    with pytest.raises(ValueError):
+        sketch.bloom_merge()
+
+
+def test_bloom_prefilter_preserves_exact_semi_join(spark):
+    """The 100 TB pattern: bloom-prefilter the big probe side, then the
+    exact join — result equals the exact join alone, while the probe plan
+    stays broadcast-only (no shuffle of the probe side before the filter)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+
+    big = spark.range(0, 5000).select(
+        F.concat(F.lit("g-"), (F.col("id") % 700)).alias("g"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.range(0, 50).select(
+        F.concat(F.lit("g-"), (F.col("id") * 7)).alias("g")
+    )
+    m, k = 1 << 12, 5
+    bloom = sketch.bloom_sketch(small, "g", m, k)
+    pre = sketch.bloom_filter_rows(big, bloom, "g", m, k, keep="maybe")
+    exact_pre = {
+        r.row_id for r in pre.join(small.distinct(), "g").collect()
+    }
+    exact = {r.row_id for r in big.join(small.distinct(), "g").collect()}
+    assert exact_pre == exact
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_cm_sketch_overestimates_and_merges(spark):

@@ -851,6 +851,72 @@ def test_stream_kmv_monitor_matches_batch_sketch(spark, tmp_path):
         assert abs(est[g] - 2000) / 2000 < 0.35, est
 
 
+def test_stream_bloom_monitor_matches_batch_and_serves_novelty(spark, tmp_path):
+    """Two overlapping waves + a full fresh-checkpoint REPLAY fold to a
+    filter BIT-IDENTICAL to one batch build over the union (bitwise OR is
+    idempotent — the replay contributes duplicate rows that vanish in the
+    collapse), and the collapsed filter serves definite-novelty decisions
+    with zero false 'already seen' answers."""
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        read_bloom_sketch,
+        stream_bloom_monitor,
+    )
+
+    input_dir = str(tmp_path / "bl_in")
+    sk_path = str(tmp_path / "bl_log")
+    ckpt = str(tmp_path / "bl_ckpt")
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    m, k = 1 << 14, 5
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v")
+        )
+
+    mk(0, 1500).write.mode("append").parquet(input_dir)
+    q = stream_bloom_monitor(
+        spark, input_dir, schema, "v", sk_path, ckpt, num_bits=m, num_hashes=k
+    )
+    q.awaitTermination(120)
+    mk(1000, 2500).write.mode("append").parquet(input_dir)
+    q = stream_bloom_monitor(
+        spark, input_dir, schema, "v", sk_path, ckpt, num_bits=m, num_hashes=k
+    )
+    q.awaitTermination(120)
+    # full replay from a FRESH checkpoint: every epoch re-lands; the OR
+    # collapse must absorb the duplicates exactly
+    q = stream_bloom_monitor(
+        spark, input_dir, schema, "v", sk_path, str(tmp_path / "bl_ckpt2"),
+        num_bits=m, num_hashes=k,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.word, r.bits) for r in read_bloom_sketch(spark, sk_path).collect()
+    }
+    batch = {
+        (r.word, r.bits)
+        for r in sketch.bloom_sketch(
+            mk(0, 2500), "v", m, k, method="md5"
+        ).collect()
+    }
+    assert streamed == batch
+    # novelty serving: every seen key answers "maybe seen"; the definite-
+    # new set is a subset of the genuinely-new probes
+    bloom = read_bloom_sketch(spark, sk_path)
+    seen_missed = sketch.bloom_filter_rows(
+        mk(0, 2500), bloom, "v", m, k, method="md5", keep="miss"
+    ).count()
+    assert seen_missed == 0
+    fresh = sketch.bloom_filter_rows(
+        mk(9000, 10000), bloom, "v", m, k, method="md5", keep="miss"
+    ).count()
+    assert fresh > 800  # most genuinely-new keys are certified new
+
+
 def test_q131_landing_protocol_branches(spark, tmp_path):
     """Round-9 review hardening: the q131 streaming-landing cache must
     (a) land cold via the atomic staged claim and serve counts equal to
