@@ -901,6 +901,28 @@ def benchmark_grams(
     )
 
 
+def benchmark_bloom(
+    bench_grams: DataFrame,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter over a :func:`benchmark_grams` set (gram hashes cast to
+    string so both Bloom hash families accept them) — the broadcastable
+    summary of a benchmark side too large to broadcast exactly. Build once
+    beside the cached gram set; feed to ``contamination_matches`` via
+    ``bench_bloom=`` (parameters must match — same contract as the banded
+    minhash family)."""
+    from .sketch import bloom_sketch
+
+    return bloom_sketch(
+        bench_grams.select(F.col("__g").cast("string").alias("__g")),
+        "__g",
+        num_bits,
+        num_hashes,
+        method="xxhash64",
+    )
+
+
 def contamination_matches(
     df: DataFrame,
     benchmark: DataFrame | None,
@@ -910,6 +932,9 @@ def contamination_matches(
     hash_method: str = "xxhash64",
     broadcast_benchmark: bool = True,
     bench_grams: DataFrame | None = None,
+    bench_bloom: DataFrame | None = None,
+    bloom_bits: int = 1 << 22,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Per-document count of distinct normalized ``ngram_k``-grams shared
     with the ``benchmark`` corpus — the detection stage of training-data
@@ -933,6 +958,15 @@ def contamination_matches(
 
     Pass ``bench_grams`` (from :func:`benchmark_grams`, typically cached) to
     skip re-shingling the benchmark — required when ``benchmark`` is None.
+
+    ``bench_bloom`` (from :func:`benchmark_bloom`, parameters matching
+    ``bloom_bits``/``bloom_hashes``) prefilters the corpus gram stream by
+    Bloom membership BEFORE the gram join — exactness is preserved (no
+    false negatives; the exact join removes the false positives), but in
+    the ``broadcast_benchmark=False`` regime the shuffle now carries only
+    (matching + fp) corpus grams instead of all of them: the explicit
+    form of Catalyst's runtime bloom-filter join, sized by you instead of
+    inferred. Pointless with a broadcast benchmark (no shuffle to save).
     """
     doc_grams = shingle_rows(
         df, text_col, id_col, k=ngram_k, max_shingles=None
@@ -943,6 +977,18 @@ def contamination_matches(
         bench_grams = benchmark_grams(
             benchmark, text_col, id_col, ngram_k, hash_method
         )
+    if bench_bloom is not None:
+        from .sketch import bloom_filter_rows
+
+        doc_grams = bloom_filter_rows(
+            doc_grams.withColumn("__gs", F.col("__g").cast("string")),
+            bench_bloom,
+            "__gs",
+            bloom_bits,
+            bloom_hashes,
+            method="xxhash64",
+            keep="maybe",
+        ).drop("__gs")
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     return (
@@ -962,16 +1008,22 @@ def decontaminate(
     hash_method: str = "xxhash64",
     broadcast_benchmark: bool = True,
     bench_grams: DataFrame | None = None,
+    bench_bloom: DataFrame | None = None,
+    bloom_bits: int = 1 << 22,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Drop every document sharing >= ``min_matches`` distinct normalized
     ``ngram_k``-grams with the ``benchmark`` corpus (training-data
     decontamination against eval suites). Keeps ``df``'s full schema; the
     flagged-id set is tiny, so the final anti-join broadcasts.
     ``bench_grams`` (see :func:`benchmark_grams`) reuses a precomputed
-    benchmark gram set across calls/micro-batches."""
+    benchmark gram set across calls/micro-batches; ``bench_bloom`` (see
+    :func:`benchmark_bloom` / ``contamination_matches``) prefilters the
+    corpus gram shuffle in the non-broadcastable-benchmark regime."""
     hits = contamination_matches(
         df, benchmark, text_col, id_col, ngram_k, hash_method,
-        broadcast_benchmark, bench_grams,
+        broadcast_benchmark, bench_grams, bench_bloom, bloom_bits,
+        bloom_hashes,
     )
     if min_matches > 1:
         hits = hits.where(F.col("matched_grams") >= min_matches)

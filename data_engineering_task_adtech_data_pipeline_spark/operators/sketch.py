@@ -778,26 +778,25 @@ def bloom_filter_rows(
     pos = _bloom_positions(F.col(value_col), num_bits, num_hashes, method)
     out = df
     hit = F.lit(True)
+    tmp: list[str] = []
     for i, p in enumerate(pos):
-        w = f"__w{i}"
-        b = f"__b{i}"
+        w = f"__bloom_w{i}"
+        b = f"__bloom_b{i}"
         side = bloom.select(
             F.col("word").alias(w), F.col("bits").alias(b)
         )
+        pc, mc = f"__bloom_p{i}", f"__bloom_m{i}"
         out = (
-            out.withColumn(f"__p{i}", p)
-            .withColumn(w, (F.col(f"__p{i}") / 64).cast("long"))
-            .withColumn(
-                f"__m{i}",
-                F.expr(f"shiftleft(1L, cast(__p{i} % 64 as int))"),
-            )
+            out.withColumn(pc, p)
+            .withColumn(w, (F.col(pc) / 64).cast("long"))
+            .withColumn(mc, F.expr(f"shiftleft(1L, cast({pc} % 64 as int))"))
         )
         out = out.join(F.broadcast(side), w, "left")
         hit = hit & (
             F.col(b).isNotNull()
-            & (F.col(b).bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}"))
+            & (F.col(b).bitwiseAND(F.col(mc)) == F.col(mc))
         )
-    out = out.withColumn("__hit", hit)
-    cond = F.col("__hit") if keep == "maybe" else ~F.col("__hit")
-    drop = [c for c in out.columns if c.startswith("__")]
-    return out.where(cond).drop(*drop)
+        tmp += [pc, w, mc, b]
+    out = out.withColumn("__bloom_hit", hit)
+    cond = F.col("__bloom_hit") if keep == "maybe" else ~F.col("__bloom_hit")
+    return out.where(cond).drop("__bloom_hit", *tmp)

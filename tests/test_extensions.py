@@ -589,6 +589,78 @@ def test_decontaminate_min_matches_threshold(spark):
     assert (n1, n2) == (1, 0)
 
 
+def test_contamination_bloom_prefilter_is_exact(spark):
+    """The corpus-scale regime (benchmark too big to broadcast exactly):
+    a Bloom prefilter on the corpus gram stream changes NOTHING about the
+    result — no false negatives, and the exact join removes the Bloom's
+    false positives — for both contamination_matches and decontaminate."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(300)]
+    bench = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(words) for _ in range(30)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    texts = []
+    for i in range(120):
+        t = " ".join(rng.choice(words) for _ in range(40))
+        texts.append((100 + i, t))
+    # plant verbatim benchmark 13-grams into a third of the corpus docs
+    bench_rows = bench.collect()
+    for j in range(0, 120, 3):
+        src = bench_rows[j % 40].text.split()[:13]
+        texts[j] = (texts[j][0], texts[j][1] + " " + " ".join(src))
+    train = spark.createDataFrame(texts, "doc_id long, text string")
+
+    grams = dedup.benchmark_grams(bench).cache()
+    m, k = 1 << 14, 5
+    bloom = dedup.benchmark_bloom(grams, m, k)
+    base = {
+        (r.doc_id, r.matched_grams)
+        for r in dedup.contamination_matches(
+            train, None, broadcast_benchmark=False, bench_grams=grams
+        ).collect()
+    }
+    assert base  # the planted grams were detected at all
+    with_bloom = {
+        (r.doc_id, r.matched_grams)
+        for r in dedup.contamination_matches(
+            train,
+            None,
+            broadcast_benchmark=False,
+            bench_grams=grams,
+            bench_bloom=bloom,
+            bloom_bits=m,
+            bloom_hashes=k,
+        ).collect()
+    }
+    assert with_bloom == base
+    kept_base = {
+        r.doc_id
+        for r in dedup.decontaminate(
+            train, None, broadcast_benchmark=False, bench_grams=grams
+        ).collect()
+    }
+    kept_bloom = {
+        r.doc_id
+        for r in dedup.decontaminate(
+            train,
+            None,
+            broadcast_benchmark=False,
+            bench_grams=grams,
+            bench_bloom=bloom,
+            bloom_bits=m,
+            bloom_hashes=k,
+        ).collect()
+    }
+    assert kept_bloom == kept_base
+    grams.unpersist()
+
+
 def test_decontaminate_md5_matches_xxhash(spark):
     bench = spark.createDataFrame(
         [(1, "shared run of tokens appearing in both corpora exactly once")],
