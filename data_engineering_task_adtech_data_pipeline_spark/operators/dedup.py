@@ -746,6 +746,7 @@ def update_components(
     assignments: DataFrame,
     new_edges: DataFrame,
     max_iterations: int = 25,
+    changed_only: bool = False,
 ) -> DataFrame:
     """INCREMENTAL connected-components maintenance: fold a batch of new
     duplicate edges into an existing (id, component) assignment table
@@ -771,6 +772,11 @@ def update_components(
     components costs one contracted edge, not a million-row relabel scan
     beyond the remap pass. Plan-asserted: no SortMergeJoin / no Exchange
     on the assignments side.
+
+    ``changed_only=True`` returns ONLY the rows that differ from
+    ``assignments`` (relabeled members of merged components + ids first
+    seen in this batch) — the minimal write set for a delta-overlay store
+    (:func:`components_update`), instead of the full updated table.
     """
     a = assignments.select("id", "component")
     endpoints = (
@@ -813,11 +819,19 @@ def update_components(
             F.col("component").alias("__new_root"),
         )
     )
-    # (2) second and last pass over the big table: broadcast root remap
+    # (2) second and last pass over the big table: broadcast root remap.
+    # changed_only keeps just the relabeled rows (inner join).
     updated = a.join(
-        F.broadcast(remap), a.component == F.col("__old_root"), "left"
+        F.broadcast(remap),
+        a.component == F.col("__old_root"),
+        "inner" if changed_only else "left",
     ).select(
-        "id", F.coalesce("__new_root", "component").alias("component")
+        "id",
+        (
+            F.col("__new_root")
+            if changed_only
+            else F.coalesce("__new_root", "component")
+        ).alias("component"),
     )
     # rows for ids first seen in this batch (left join: a new id whose
     # every edge contracted to a self-loop has no closure label — itself)
@@ -2092,4 +2106,126 @@ def minhash_index_compact(spark, root: str) -> int:
     fs.delete(spark, staging)
     _fold_minhash_tombstones(spark, root)
     _bump_generation(spark, root)
+    return n
+
+# ---------------------------------------------------------------------------
+# Persisted duplicate-cluster assignment store: base + delta overlay, updated
+# incrementally by update_components(changed_only=True). The operational
+# bookkeeping behind a continuously-deduped corpus — which cluster does each
+# accepted doc belong to — maintained without ever rewriting (or shuffling)
+# the full table per ingest batch.
+# ---------------------------------------------------------------------------
+
+COMP_BASE_DIR = "base"
+COMP_DELTA_DIR = "delta"
+
+
+def components_write(assignments: DataFrame, root: str) -> None:
+    """Initialize a persisted component store from a closure fixpoint
+    (e.g. ``connected_components_star`` output, or an empty frame): base
+    table ``<root>/base`` (id, component, v=0) plus a ``generation``
+    marker. Update via :func:`components_update`, read the current view
+    via :func:`components_read`, fold via :func:`components_compact`."""
+    fs = _fs_mod()
+    spark = assignments.sparkSession
+    assignments.select(
+        "id", "component", F.lit(0).cast("long").alias("v")
+    ).write.mode("overwrite").parquet(fs.join(root, COMP_BASE_DIR))
+    fs.write_text(spark, fs.join(root, "generation"), "0")
+
+
+def _components_delta(spark, root: str) -> "DataFrame | None":
+    fs = _fs_mod()
+    path = fs.join(root, COMP_DELTA_DIR)
+    if not fs.is_dir(spark, path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # dir exists but holds no committed files yet
+        return None
+
+
+def components_read(spark, root: str) -> DataFrame:
+    """Current (id, component) view: base rows not superseded by the
+    delta, plus the latest delta row per id. The base side never
+    shuffles — superseded ids and the delta's latest-wins window are
+    DELTA-sized (the accumulated changed rows since the last compact,
+    kept broadcastable by compacting; same small-side contract as the
+    index tombstones)."""
+    fs = _fs_mod()
+    base = spark.read.parquet(fs.join(root, COMP_BASE_DIR))
+    delta = _components_delta(spark, root)
+    if delta is None:
+        return base.select("id", "component")
+    w = W.partitionBy("id").orderBy(F.col("v").desc())
+    latest = (
+        delta.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "component")
+    )
+    kept = base.join(
+        F.broadcast(delta.select("id").distinct()), "id", "left_anti"
+    ).select("id", "component")
+    return kept.unionByName(latest)
+
+
+def components_update(spark, root: str, new_edges: DataFrame,
+                      max_iterations: int = 25) -> int:
+    """Fold a batch of new duplicate edges (id_a, id_b — e.g.
+    ``minhash_index_dedup(keep="links")``) into the store: computes the
+    CHANGED rows only (``update_components(changed_only=True)`` — closure
+    on the contracted batch-sized graph, two broadcast passes over the
+    view, no shuffle of the base) and appends them to ``<root>/delta``
+    under the next generation number. Returns the number of rows written.
+
+    The write set is minimal by construction: members of components whose
+    root changed, plus first-seen ids — merging into a million-doc
+    cluster whose root keeps the min id writes only the incoming rows."""
+    fs = _fs_mod()
+    cur = components_read(spark, root)
+    changed = update_components(
+        cur, new_edges, max_iterations, changed_only=True
+    )
+    gen = int(fs.read_text(spark, fs.join(root, "generation"))) + 1
+    out = changed.select(
+        "id", "component", F.lit(gen).cast("long").alias("v")
+    )
+    out.write.mode("append").partitionBy("v").parquet(
+        fs.join(root, COMP_DELTA_DIR)
+    )
+    fs.write_text(spark, fs.join(root, "generation"), str(gen))
+    written = spark.read.parquet(fs.join(root, COMP_DELTA_DIR)).where(
+        F.col("v") == gen
+    )
+    return written.count()
+
+
+def components_compact(spark, root: str) -> int:
+    """Fold the delta into the base via the staged rewrite-and-swap
+    kernel (detectable-crash contract shared with the index folds: a
+    leftover ``.rewriting``/``.old`` dir refuses the run; a crash after
+    the swap but before the delta delete re-runs idempotently — the
+    re-fold anti-joins ids already carrying their final labels, so the
+    view is unchanged). Returns the number of delta rows folded. The
+    generation marker is NOT reset: versions stay monotonic across
+    compactions."""
+    fs = _fs_mod()
+    delta = _components_delta(spark, root)
+    if delta is None:
+        return 0
+    n = delta.count()
+    base_path = fs.join(root, COMP_BASE_DIR)
+    for leftover in (base_path + ".rewriting", base_path + ".old"):
+        if fs.is_dir(spark, leftover):
+            raise RuntimeError(
+                f"interrupted component compaction at {leftover}: keep "
+                f"whichever complete directory holds the table as "
+                f"'{COMP_BASE_DIR}', delete the other, then re-run "
+                "components_compact"
+            )
+    view = components_read(spark, root).select(
+        "id", "component", F.lit(0).cast("long").alias("v")
+    )
+    _swap_rewrite(spark, base_path, view, None)
+    fs.delete(spark, fs.join(root, COMP_DELTA_DIR))
     return n

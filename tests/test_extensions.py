@@ -333,6 +333,107 @@ def test_update_components_plan_broadcast_only(spark, tmp_path):
     assert len(got) == 3003
 
 
+def test_components_store_lifecycle(spark, tmp_path):
+    """Persisted component store: init → two incremental edge folds →
+    view == from-scratch closure at every step; the delta holds ONLY the
+    changed rows; compaction folds it (view unchanged, delta gone) and a
+    later update keeps working; leftover .rewriting refuses compaction."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        components_compact,
+        components_read,
+        components_update,
+        components_write,
+        connected_components_star,
+    )
+
+    root = str(tmp_path / "comp")
+    e1 = spark.createDataFrame(
+        [(10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    components_write(connected_components_star(e1), root)
+
+    def view():
+        return {
+            (r.id, r.component) for r in components_read(spark, root).collect()
+        }
+
+    assert view() == {(10, 10), (11, 10), (20, 20), (21, 20), (30, 30), (31, 30)}
+
+    # wave 2: merge {10,11}+{20,21}, add a fresh pair
+    e2 = spark.createDataFrame([(11, 21), (50, 51)], "id_a long, id_b long")
+    n2 = components_update(spark, root, e2)
+    # changed rows: 20, 21 relabeled to 10; new ids 50, 51 — NOT 10/11/30/31
+    assert n2 == 4
+    full2 = {
+        (r.id, r.component)
+        for r in connected_components_star(e1.unionByName(e2)).collect()
+    }
+    assert view() == full2
+
+    # wave 3: new id 5 becomes the merged component's new min
+    e3 = spark.createDataFrame([(5, 21)], "id_a long, id_b long")
+    n3 = components_update(spark, root, e3)
+    assert n3 == 5  # 10, 11, 20, 21 relabeled to 5, plus new id 5
+    allv = e1.unionByName(e2).unionByName(e3)
+    full3 = {
+        (r.id, r.component) for r in connected_components_star(allv).collect()
+    }
+    assert view() == full3
+
+    folded = components_compact(spark, root)
+    assert folded == n2 + n3
+    assert view() == full3
+    import os
+
+    assert not os.path.isdir(os.path.join(root, "delta"))
+    assert components_compact(spark, root) == 0  # idempotent no-op
+
+    # updates keep working post-compact, versions stay monotonic
+    e4 = spark.createDataFrame([(30, 50)], "id_a long, id_b long")
+    n4 = components_update(spark, root, e4)
+    assert n4 == 2  # 50, 51 relabeled to 30
+    full4 = {
+        (r.id, r.component)
+        for r in connected_components_star(allv.unionByName(e4)).collect()
+    }
+    assert view() == full4
+
+    os.makedirs(os.path.join(root, "base.rewriting"))
+    with pytest.raises(RuntimeError, match="interrupted"):
+        components_compact(spark, root)
+
+
+def test_components_store_plan_base_never_shuffles(spark, tmp_path):
+    """The store view and the update's changed-row pipeline keep the base
+    scan on the broadcast-only path (no SortMergeJoin anywhere in the
+    view plan) — the property that makes per-batch maintenance O(batch)
+    against a 100 TB base."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        components_read,
+        components_update,
+        components_write,
+    )
+
+    root = str(tmp_path / "comp")
+    components_write(
+        spark.createDataFrame(
+            [(i, i - (i % 2)) for i in range(2000)], "id long, component long"
+        ),
+        root,
+    )
+    components_update(
+        spark,
+        root,
+        spark.createDataFrame([(0, 2), (7777, 7778)], "id_a long, id_b long"),
+    )
+    v = components_read(spark, root)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    got = {(r.id, r.component) for r in v.collect()}
+    assert {(0, 0), (1, 0), (2, 0), (3, 0), (7777, 7777), (7778, 7777)} <= got
+    assert len(got) == 2002
+
+
 def test_minhash_index_links_feed_update_components(spark, tmp_path):
     """keep="links" surfaces the verified batch↔corpus pairs the dedup
     decision used, and those edges fold into a cluster assignment table:
