@@ -1214,6 +1214,127 @@ def read_bloom_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     return bloom_merge(spark.read.parquet(sketch_path))
 
 
+def stream_dedup_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    components_root: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float | None = 0.8,
+    max_bucket: int = 64,
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+    schema: "T.StructType | None" = None,
+):
+    """The END-TO-END continuously-ingesting dedup pipeline, one job: per
+    micro-batch of arriving documents,
+
+    1. dedup the batch against the persisted MinHash index
+       (``minhash_index_dedup(keep="links")`` — stored band buckets,
+       DPP-pruned, batch broadcast);
+    2. land the SURVIVORS to ``accepted_path`` (epoch-partitioned
+       dynamic overwrite — idempotent under replay);
+    3. fold the verified duplicate links into the persisted cluster
+       assignment store (``components_update`` — contracted closure,
+       changed-rows-only delta);
+    4. ingest the survivors' minhash profiles into the index delta, so
+       the NEXT batch dedups against them too (same layout and
+       generation guard as ``stream_minhash_ingest``).
+
+    Replay stability (foreachBatch is at-least-once): links whose corpus
+    side is an id of the CURRENT batch are excluded — after a partial
+    epoch crashed past step 4, the replayed batch would otherwise match
+    its own landed profiles and reject every doc as a duplicate of
+    itself. Doc ids must be globally unique (the standing contract of
+    the id-grain stores). With that exclusion every step is idempotent:
+    (2)/(4) overwrite their own epoch partition, and (3) re-folds an
+    edge set whose labels already hold, which appends zero changed rows.
+
+    Prerequisites: ``minhash_index_write`` built the index;
+    ``components_write`` initialized the store (an empty (id, component)
+    frame is fine). The batch is profiled twice per epoch (once inside
+    the serving join, once for ingest) — batch-sized work both times,
+    nothing proportional to the corpus."""
+    from .. import fs
+    from ..operators.dedup import (
+        MINHASH_DELTA_DIR,
+        _minhash_params,
+        components_update,
+        minhash_index_dedup,
+        minhash_profile,
+    )
+    from ..operators.similarity import index_generation
+
+    p = _minhash_params(spark, index_root)
+    gen = index_generation(spark, index_root)
+    if gen is not None:
+        marker = fs.join(checkpoint_dir, ".minhash_generation")
+        if fs.exists(spark, marker):
+            pinned = int(fs.read_text(spark, marker).strip())
+            if pinned != gen:
+                raise RuntimeError(
+                    f"stale streaming checkpoint {checkpoint_dir}: it was "
+                    f"created at index generation {pinned} but {index_root} "
+                    f"is now at generation {gen} (compaction ran) — reusing "
+                    "it would replay already-compacted epochs and "
+                    "double-ingest their docs; start a fresh checkpoint"
+                )
+        else:
+            fs.write_text(spark, marker, str(gen))
+
+    delta_path = fs.join(index_root, MINHASH_DELTA_DIR)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()
+        links = minhash_index_dedup(
+            batch, index_root, text_col, id_col, verify_threshold,
+            max_bucket, keep="links",
+        )
+        # replay guard: never match a corpus doc whose id arrived in THIS
+        # batch (only possible from a partially-committed prior attempt)
+        own = batch.select(F.col(id_col).alias("id_b")).distinct()
+        links = links.join(F.broadcast(own), "id_b", "left_anti").localCheckpoint()
+        dup_ids = links.select(F.col("id_a").alias(id_col)).distinct()
+        survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+        (
+            survivors.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(accepted_path)
+        )
+        if not links.isEmpty():
+            components_update(spark, components_root, links)
+        prof = minhash_profile(
+            survivors, text_col, id_col, p.num_hashes, p.shingle_k,
+            p.max_shingles, p.hash_method,
+        ).withColumnRenamed(id_col, p.id_col)
+        (
+            prof.withColumn("__epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(delta_path)
+        )
+
+    stream = spark.readStream.schema(schema or DOC_SCHEMA).parquet(input_dir)
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stream_minhash_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -917,6 +917,98 @@ def test_stream_bloom_monitor_matches_batch_and_serves_novelty(spark, tmp_path):
     assert fresh > 800  # most genuinely-new keys are certified new
 
 
+def test_stream_dedup_pipeline_end_to_end(spark, tmp_path):
+    """The full continuously-ingesting dedup pipeline in one job: batch →
+    index dedup → survivors landed + ingested into the index delta →
+    links folded into the component store. Covers: (a) duplicates of the
+    ORIGINAL corpus rejected and clustered; (b) a crashed/abandoned
+    checkpoint replaying the same files over already-landed state —
+    the self-match guard must keep the survivor set identical;
+    (c) duplicates of a STREAMED-IN survivor rejected via the index
+    delta and clustered; (d) the epoch partition layout keeps everything
+    idempotent per checkpoint."""
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_dedup_pipeline,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = "an entirely different corpus document about spark pipelines at scale"
+    text_c = "fresh unique content that matches nothing stored anywhere at all yet"
+    text_d = "another novel document with its own vocabulary and no overlap here"
+
+    index_root = str(tmp_path / "idx")
+    comp_root = str(tmp_path / "comp")
+    accepted = str(tmp_path / "accepted")
+    input_dir = str(tmp_path / "in")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    dedup.minhash_index_write(
+        spark.createDataFrame(
+            [(1, text_a), (2, text_b)], "doc_id long, text string"
+        ),
+        index_root,
+        num_hashes=32,
+        bands=8,
+    )
+    dedup.components_write(
+        spark.createDataFrame([], "id long, component long"), comp_root
+    )
+
+    def run(ckpt):
+        q = stream_dedup_pipeline(
+            spark, input_dir, index_root, comp_root, accepted,
+            str(tmp_path / ckpt), verify_threshold=0.5, schema=schema,
+        )
+        q.awaitTermination(120)
+
+    def accepted_ids():
+        return {r.doc_id for r in spark.read.parquet(accepted).collect()}
+
+    def view():
+        return {
+            (r.id, r.component)
+            for r in dedup.components_read(spark, comp_root).collect()
+        }
+
+    # wave 1: 10 duplicates corpus doc 1; 11 is new
+    spark.createDataFrame(
+        [(10, text_a), (11, text_c)], "doc_id long, text string"
+    ).write.mode("append").parquet(input_dir)
+    run("ck1")
+    assert accepted_ids() == {11}
+    assert view() == {(1, 1), (10, 1)}
+
+    # abandoned-checkpoint replay over already-landed state: without the
+    # self-match guard, 11 would now duplicate its own landed profile
+    run("ck2")
+    assert accepted_ids() == {11}
+    assert view() == {(1, 1), (10, 1)}
+
+    # wave 2: 20 duplicates the STREAMED survivor 11 (via the index
+    # delta); 21 is new
+    spark.createDataFrame(
+        [(20, text_c), (21, text_d)], "doc_id long, text string"
+    ).write.mode("append").parquet(input_dir)
+    run("ck2")
+    assert accepted_ids() == {11, 21}
+    assert view() == {(1, 1), (10, 1), (11, 11), (20, 11)}
+
+    # the index now also rejects fresh dups of wave-2's survivor
+    probe = spark.createDataFrame(
+        [(99, text_d)], "doc_id long, text string"
+    )
+    assert (
+        dedup.minhash_index_dedup(
+            probe, index_root, verify_threshold=0.5
+        ).count()
+        == 0
+    )
+
+
 def test_q131_landing_protocol_branches(spark, tmp_path):
     """Round-9 review hardening: the q131 streaming-landing cache must
     (a) land cold via the atomic staged claim and serve counts equal to
