@@ -2157,7 +2157,11 @@ def components_read(spark, root: str) -> DataFrame:
     delta = _components_delta(spark, root)
     if delta is None:
         return base.select("id", "component")
-    w = W.partitionBy("id").orderBy(F.col("v").desc())
+    # component asc as the final tiebreak: a crash between a delta append
+    # and its generation-marker write can leave an orphaned version whose
+    # number the next update reuses — both labelings are valid fixpoints,
+    # and the tiebreak keeps the view deterministic either way
+    w = W.partitionBy("id").orderBy(F.col("v").desc(), F.col("component").asc())
     latest = (
         delta.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -2180,24 +2184,29 @@ def components_update(spark, root: str, new_edges: DataFrame,
 
     The write set is minimal by construction: members of components whose
     root changed, plus first-seen ids — merging into a million-doc
-    cluster whose root keeps the min id writes only the incoming rows."""
+    cluster whose root keeps the min id writes only the incoming rows.
+    A batch whose edges all lie within existing components changes
+    nothing: no delta is written, the generation does not move, and 0 is
+    returned (this is also what makes replaying an already-folded batch
+    a no-op)."""
     fs = _fs_mod()
     cur = components_read(spark, root)
+    # materialize the (batch-sized) changed set once: the count decides
+    # whether to write at all, and the write then reuses the same rows
     changed = update_components(
         cur, new_edges, max_iterations, changed_only=True
-    )
+    ).localCheckpoint()
+    n = changed.count()
+    if n == 0:
+        return 0
     gen = int(fs.read_text(spark, fs.join(root, "generation"))) + 1
-    out = changed.select(
+    changed.select(
         "id", "component", F.lit(gen).cast("long").alias("v")
-    )
-    out.write.mode("append").partitionBy("v").parquet(
+    ).write.mode("append").partitionBy("v").parquet(
         fs.join(root, COMP_DELTA_DIR)
     )
     fs.write_text(spark, fs.join(root, "generation"), str(gen))
-    written = spark.read.parquet(fs.join(root, COMP_DELTA_DIR)).where(
-        F.col("v") == gen
-    )
-    return written.count()
+    return n
 
 
 def components_compact(spark, root: str) -> int:

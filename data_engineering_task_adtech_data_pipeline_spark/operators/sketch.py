@@ -772,6 +772,11 @@ def bloom_filter_rows(
     Parameters MUST match the build call — same contract as the banded
     minhash family (callers that persist a sketch should persist its
     params beside it, as ``minhash_index_write`` does).
+
+    NULL values: ``xxhash64`` hashes NULL like any value (a NULL inserted
+    is a NULL matched); under ``md5`` a NULL produces no positions, so
+    NULL rows always land in ``keep="miss"`` — membership of NULL is not
+    tracked by that arm.
     """
     if keep not in ("maybe", "miss"):
         raise ValueError(f"unknown keep mode: {keep!r}")

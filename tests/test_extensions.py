@@ -398,6 +398,14 @@ def test_components_store_lifecycle(spark, tmp_path):
     }
     assert view() == full4
 
+    # a batch whose edges all lie inside existing components is a no-op:
+    # returns 0, writes nothing, does not move the generation
+    gen_before = (tmp_path / "comp" / "generation").read_text()
+    noop = spark.createDataFrame([(5, 10), (30, 31)], "id_a long, id_b long")
+    assert components_update(spark, root, noop) == 0
+    assert (tmp_path / "comp" / "generation").read_text() == gen_before
+    assert view() == full4
+
     os.makedirs(os.path.join(root, "base.rewriting"))
     with pytest.raises(RuntimeError, match="interrupted"):
         components_compact(spark, root)
