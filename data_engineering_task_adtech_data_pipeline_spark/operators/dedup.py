@@ -1877,9 +1877,14 @@ def minhash_index_dedup(
     the index was built.
 
     ``keep="survivors"`` (default) returns the non-duplicate batch rows;
-    ``keep="links"`` returns the verified batch↔corpus link pairs instead
-    — (id_a = batch id, id_b = corpus id), distinct — ready to fold into
+    ``keep="links"`` returns the batch↔corpus link pairs instead —
+    (id_a = batch id, id_b = corpus id), distinct — ready to fold into
     a persisted cluster assignment table via :func:`update_components`.
+    NOTE: with ``verify_threshold=None`` those links are UNVERIFIED band
+    collisions, not verified near-duplicates — do not feed them to
+    :func:`components_update`/:func:`update_components` (component merges
+    are permanent; a spurious collision would weld two unrelated clusters
+    forever). Fold links only from a verified run.
     """
     if keep not in ("survivors", "links"):
         raise ValueError(f"unknown keep mode: {keep!r}")

@@ -754,6 +754,7 @@ def bloom_filter_rows(
     num_hashes: int = 5,
     method: str = "xxhash64",
     keep: str = "maybe",
+    broadcast_sketch: bool = True,
 ) -> DataFrame:
     """Filter ``df`` by Bloom membership of ``value_col`` — ``keep="maybe"``
     returns rows that MIGHT be members (supersets the true semi-join;
@@ -777,6 +778,14 @@ def bloom_filter_rows(
     is a NULL matched); under ``md5`` a NULL produces no positions, so
     NULL rows always land in ``keep="miss"`` — membership of NULL is not
     tracked by that arm.
+
+    ``broadcast_sketch`` (default True, mirroring ``broadcast_benchmark``
+    elsewhere): the forced-broadcast plan is right while the sketch fits
+    the driver/broadcast limits (a 10M-key filter at 10 bits/key is
+    ~1.5 MB of words). A corpus-scale filter sized per the
+    :func:`bloom_sketch` docstring (billion keys → ~1.2 GB) would OOM a
+    forced broadcast ``num_hashes`` times over — pass False to let the
+    optimizer pick the join strategy (shuffle join on ``word``) instead.
     """
     if keep not in ("maybe", "miss"):
         raise ValueError(f"unknown keep mode: {keep!r}")
@@ -796,7 +805,9 @@ def bloom_filter_rows(
             .withColumn(w, (F.col(pc) / 64).cast("long"))
             .withColumn(mc, F.expr(f"shiftleft(1L, cast({pc} % 64 as int))"))
         )
-        out = out.join(F.broadcast(side), w, "left")
+        out = out.join(
+            F.broadcast(side) if broadcast_sketch else side, w, "left"
+        )
         hit = hit & (
             F.col(b).isNotNull()
             & (F.col(b).bitwiseAND(F.col(mc)) == F.col(mc))

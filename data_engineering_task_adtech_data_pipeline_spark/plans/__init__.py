@@ -23,30 +23,30 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) new this round, never driver-verified: the persisted IVF,SQ8
-    # serving promotion (r10 VERDICT #1) and the oracle-checked
-    # streaming KMV monitor (r10 VERDICT #3)
-    "q134_ivf_sq8_serve", "q135_stream_kmv_monitor",
-    # (c) longest-unverified block: last driver-green r8 — the 36
-    # remaining entries of the 40-entry r8-green family (q19/q21/q36/q41
-    # were pulled forward into r10's fill and stay out)
-    "q48_jaccard_verify", "q54_contamination_report",
-    "q57_bigram_novelty", "q62_quantile_filter", "q66_mixture_sample",
-    "q107_triangle_count", "q108_phrase_search", "q109_hist_quantiles",
-    "q110_audio_resample", "q111_cheapest_supplier", "q112_image_ahash",
-    "q113_image_dup_groups", "q114_variant_extract", "q115_pseudonymized_join",
-    "q116_temporal_split", "q117_video_stats", "q118_video_frame_dups",
-    "q75_winnow_match_pairs", "q76_hard_negatives", "q77_budget_select",
-    "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
-    "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
-    "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
-    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
-    "q90_pagerank", "q91_window_ranks",
-    "q93_weighted_sample", "q94_bpe_tokenize",
-    # (d) fill: 2 of the oldest r9-green entries (the r9 fill block
-    # q12–q16), pulled forward so round 12's r9-green re-certification
-    # block gets 2 slots of slack for new-entry absorption
-    "q12_ngram_jaccard", "q13_minhash_dedup",
+    # (b) new this round, never driver-verified: the persisted MinHash
+    # LSH dedup index serving promotion (r11 VERDICT #1) and the
+    # oracle-checked persisted component store (r11 VERDICT #2)
+    "q136_minhash_index_serve", "q137_component_store",
+    # (c) longest-unverified block: last driver-green r9 — the full
+    # 38 remaining entries of the r9-green family (q12/q13 were pulled
+    # forward into r11's fill and stay out; the two slots they freed
+    # absorb the two (b) promotions, per the rotation plan recorded in
+    # COVERAGE.md at r11)
+    "q119_large_volume_orders", "q120_dominant_suppliers",
+    "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
+    "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
+    "q127_trailing_revenue", "q128_nation_trade_volume",
+    "q129_visual_near_dups", "q130_audio_fingerprint_dups",
+    "q92_scd2_history", "q95_small_quantity_revenue",
+    "q96_retention_cohorts", "q97_event_funnel",
+    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
+    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
+    "q28_window_calendar", "q29_asof_join", "q30_range_join",
+    "q31_sessionize", "q32_percentiles", "q33_profile",
+    "q34_json_extract", "q37_exists_anti",
+    "q39_order_count_distribution", "q44_string_functions",
+    "q46_array_agg", "q131_stream_daily_ingest", "q132_sq8_topk",
+    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
 ]
 
 

@@ -5877,3 +5877,320 @@ def q135_stream_kmv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"], k=_Q135_K,
     )
     return sketch.kmv_estimate(sk, ["event_type"], k=_Q135_K, method="md5")
+
+
+# ===========================================================================
+# Shared cache-landing kernel for prepared entries (round 12): the
+# vintage-keyed root + pid-private-stage + atomic-rename publish protocol
+# that q131/q134/q135 each carry inline, factored once for new entries.
+# Semantics are identical to _q131_prepare's commentary: build in a
+# process-private stage (marker INSIDE), publish by one os.rename; the
+# loser of a race discards its stage and reuses the winner's landing;
+# marker-less debris is moved aside and the claim retried once, restoring
+# any complete landing a racer published in the TOCTOU window.
+# ===========================================================================
+
+
+def _vintage_root(sf_dir: str, table: str, family: str) -> str:
+    """Per-(sf_dir, source-table fingerprint) cache root under tempdir —
+    the q131/q134/q135 key recipe: any process may build the landing and
+    later processes reuse it; a regenerated testdata vintage misses the
+    cache instead of serving stale artifacts."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), family, key)
+
+
+def _staged_publish(root: str, sf_dir: str, build, label: str) -> None:
+    """Build-once-per-vintage with the shared claim protocol: sweeps old
+    vintages + dead-pid stages, no-ops on a live marker, calls
+    ``build(stage_dir)`` in a pid-private stage, then publishes it with
+    one atomic rename (race recovery per _q131_prepare)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    _q131_sweep_vintages(root, sf_dir)
+    marker = os.path.join(root, "_landed_ok")
+    if os.path.exists(marker):
+        try:
+            os.utime(root, None)  # renew the idle-age sweep clock
+        except OSError:
+            pass
+        return
+    _q131_sweep_dead(root)
+    stage = f"{root}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
+    os.makedirs(stage, exist_ok=True)
+    build(stage)
+    # breadcrumb BEFORE the marker: marker implies a complete landing
+    Path(os.path.join(stage, "_source")).write_text(sf_dir.rstrip("/"))
+    Path(os.path.join(stage, "_landed_ok")).write_text("ok")
+    try:
+        os.rename(stage, root)  # atomic claim: complete stage -> root
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):  # lost the race to a complete landing
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    debris = f"{root}.stale.{os.getpid()}"
+    shutil.rmtree(debris, ignore_errors=True)  # pid-reuse leftover
+    try:
+        os.rename(root, debris)
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(debris, "_landed_ok")):
+        try:
+            os.rename(debris, root)  # stole a complete landing: restore
+        except OSError:
+            shutil.rmtree(debris, ignore_errors=True)  # root re-published
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    shutil.rmtree(debris, ignore_errors=True)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"{label} landing claim failed twice for {root}; "
+                "remove the directory and retry"
+            )
+
+
+# ===========================================================================
+# q136 — PERSISTED MINHASH LSH DEDUP INDEX SERVING (round 12, r11 VERDICT
+# #1): the serving shape a 100 TB corpus actually runs for continuous
+# dedup. q70 times the one-shot dedup_against (batch + corpus re-shingled
+# every call); this entry serves the SAME semantics from a STORED index —
+# band rows + shingle profiles persisted by minhash_index_write, grown by
+# the REAL stream_minhash_ingest Structured Streaming job (two availableNow
+# waves over one checkpoint), shrunk by minhash_index_delete tombstones —
+# so all three overlays (base, streamed delta, tombstones) sit on the
+# value-checked path. minhash_index_dedup is equivalence-proven ==
+# dedup_against on the surviving corpus (tests/test_variants.py incl. the
+# cap contract), so the oracle is q70's SQL with the corpus restricted to
+# survivors. The split is chosen so every overlay CHANGES the sf0.01
+# answer: base = doc_id<100 (verified matches 26..98 live here), streamed
+# delta = 100..249 (matches 107/120/166 arrive only via the stream), and
+# tombstones {45, 98, 120} span base AND delta, each the sole corpus match
+# of some batch doc (267/413, 290, 332 — deleting them must resurrect
+# those batch rows, exactly as a rebuild-from-survivors would).
+# Serving plan (plan-asserted for the operator in test_variants): batch
+# broadcast into both stored-table joins, stored bands scan
+# dynamic-partition-pruned to touched hb buckets, docs scan materializes
+# shingle sets for candidate ids only — nothing shuffles the stored
+# tables, the 100 TB-side cost is ~O(batch).
+# ===========================================================================
+
+_Q136_TOMB = (45, 98, 120)
+
+
+def _q136_root(sf_dir: str) -> str:
+    return _vintage_root(sf_dir, "documents", "spark_graft_q136")
+
+
+def _q136_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Build the persisted dedup index once per (sf_dir, vintage):
+    base write (doc_id<100, md5/no-shingle-cap so DuckDB replays it),
+    two streamed ingest waves (100..249) through the real
+    stream_minhash_ingest job sharing one checkpoint, then tombstone
+    deletes {45, 98, 120}. bench.py runs this untimed in warm-up, so the
+    timed entry measures SERVING only."""
+    import os
+
+    from ..streaming.jobs import stream_minhash_ingest
+
+    def build(stage: str) -> None:
+        idx = os.path.join(stage, "index")
+        input_dir = os.path.join(stage, "incoming")
+        ckpt = os.path.join(stage, "ckpt")
+        os.makedirs(input_dir, exist_ok=True)
+        docs = Testdata(spark, sf_dir).documents
+        dedup.minhash_index_write(
+            docs.where(F.col("doc_id") < 100), idx,
+            num_hashes=64, bands=16, shingle_k=3, max_shingles=None,
+            hash_method="md5",
+        )
+        delta = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
+        # two deterministic arrival waves over ONE checkpoint — wave 2
+        # proves checkpoint resume, not just first-run ingestion
+        for wave in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+            delta.where(wave).coalesce(2).write.mode("append").parquet(
+                input_dir
+            )
+            stream_minhash_ingest(
+                spark, input_dir, idx, ckpt
+            ).awaitTermination()
+        dedup.minhash_index_delete(spark, idx, list(_Q136_TOMB))
+
+    _staged_publish(_q136_root(sf_dir), sf_dir, build, "q136")
+
+
+@query(
+    "q136_minhash_index_serve",
+    oracle=f"""
+    WITH {_minhash_band_ctes(num_hashes=64, bands=16)},
+    nb AS (
+      SELECT doc_id AS id_new, band_idx, band_key FROM bands
+      WHERE doc_id >= 250
+    ),
+    cb AS (
+      SELECT band_idx, band_key,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM bands
+      WHERE doc_id < 250 AND doc_id NOT IN {_Q136_TOMB}
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT nb.id_new, u.id_corp
+      FROM nb JOIN cb USING (band_idx, band_key),
+      LATERAL unnest(cb.ids) AS u(id_corp)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_new, c.id_corp, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_new
+      JOIN sh b ON b.doc_id = c.id_corp AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT DISTINCT i.id_new
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_new
+      JOIN sizes sb ON sb.doc_id = i.id_corp
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_new FROM hits)
+    """,
+    doc="Persisted MinHash LSH dedup index SERVING (the deployment shape "
+    "of q70's dedup_against): the doc_id>=250 batch deduped against a "
+    "STORED index — base written from doc_id<100, docs 100..249 ingested "
+    "by the REAL stream_minhash_ingest job (two availableNow waves, one "
+    "checkpoint), ids {45,98,120} tombstoned (spanning base and delta; "
+    "each is some batch doc's only corpus match, so the deletes visibly "
+    "resurrect batch rows). operators.dedup.minhash_index_dedup, "
+    "equivalence-proven == dedup_against on the surviving corpus incl. "
+    "the per-bucket cap contract, so the oracle is q70's SQL over "
+    "survivors. Serving broadcasts the batch into both stored-table "
+    "joins; the bands scan is dynamic-partition-pruned.",
+    prepare=_q136_prepare,
+)
+def q136_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    _q136_prepare(spark, sf_dir)  # no-op when warm
+    batch = Testdata(spark, sf_dir).documents.where(F.col("doc_id") >= 250)
+    out = dedup.minhash_index_dedup(
+        batch, os.path.join(_q136_root(sf_dir), "index"),
+        verify_threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# ===========================================================================
+# q137 — PERSISTED CLUSTER-ASSIGNMENT STORE (round 12, r11 VERDICT #2): the
+# base+delta overlay store behind a continuously-deduped corpus, on the
+# value-checked path. prepare() computes the verified near-dup edge set
+# (q35's md5 minhash chain), splits it into three deterministic waves,
+# initializes the store from wave 0's closure (components_write), folds
+# waves 1 and 2 through components_update (contracted batch-graph closure,
+# changed-rows-only delta appends), then REPLAYS wave 1 — whose edges all
+# lie within existing components — and asserts the documented no-op
+# contract (0 rows written, generation unmoved). The timed query is
+# components_read: base rows anti-joined against the broadcast delta id
+# set + the delta's latest-wins window. The oracle recomputes the closure
+# fixpoint over ALL edges in SQL (q35's WITH RECURSIVE reachability), so
+# a broken overlay merge, version tiebreak, or incremental fold diverges
+# the value hash — incremental maintenance must equal from-scratch
+# closure exactly.
+# ===========================================================================
+
+
+def _q137_root(sf_dir: str) -> str:
+    return _vintage_root(sf_dir, "documents", "spark_graft_q137")
+
+
+def _q137_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Land the component store once per (sf_dir, vintage): write from
+    wave-0 closure, two incremental update waves, then a replayed wave
+    that must fold as a no-op. Untimed via Q.prepare (bench warm-up)."""
+    import os
+
+    def build(stage: str) -> None:
+        store = os.path.join(stage, "store")
+        docs = Testdata(spark, sf_dir).documents
+        edges = dedup._verified_candidates(
+            docs, "text", "doc_id", 64, 16, 3, 0.5, None, "md5",
+        ).localCheckpoint()  # one shingle pass feeds all three waves
+        wave = F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3))
+        dedup.components_write(
+            dedup.connected_components_star(edges.where(wave == 0)), store
+        )
+        dedup.components_update(spark, store, edges.where(wave == 1))
+        dedup.components_update(spark, store, edges.where(wave == 2))
+        # replay wave 1: every edge now lies inside an existing component
+        # — the documented no-op contract (nothing written, generation
+        # unmoved). A nonzero fold means the overlay law is broken; fail
+        # the landing loudly rather than publish a wrong store.
+        n = dedup.components_update(spark, store, edges.where(wave == 1))
+        if n != 0:
+            raise RuntimeError(
+                f"q137 replayed-batch fold wrote {n} rows; "
+                "components_update no-op contract violated"
+            )
+
+    _staged_publish(_q137_root(sf_dir), sf_dir, build, "q137")
+
+
+@query(
+    "q137_component_store",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(num_hashes=64, bands=16, threshold=0.5)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM ver
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    doc="Persisted duplicate-cluster assignment store read (the overlay "
+    "view of operators.dedup.components_read): the store was initialized "
+    "from wave-0 closure, grown by two components_update waves "
+    "(contracted batch-graph closure, changed-rows-only delta), and a "
+    "replayed wave asserted the no-op contract — the oracle recomputes "
+    "min-id connected components over the FULL verified edge set (q35's "
+    "md5 minhash chain + WITH RECURSIVE reachability), so incremental "
+    "base+delta maintenance must equal from-scratch closure bit-for-bit. "
+    "The read never shuffles the base: superseded ids broadcast "
+    "anti-join + a delta-sized latest-wins window.",
+    prepare=_q137_prepare,
+)
+def q137_component_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    _q137_prepare(spark, sf_dir)  # no-op when warm
+    return dedup.components_read(
+        spark, os.path.join(_q137_root(sf_dir), "store")
+    )

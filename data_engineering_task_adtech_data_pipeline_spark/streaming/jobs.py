@@ -1163,7 +1163,7 @@ def stream_bloom_monitor(
     checkpoint_dir: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
-    method: str = "md5",
+    method: str = "xxhash64",
     available_now: bool = True,
     processing_time: str = "5 minutes",
 ):
@@ -1181,9 +1181,21 @@ def stream_bloom_monitor(
     the log (bit-identical to one batch build over the union —
     equivalence-tested, the same append+latest-view contract as the HLL
     register log). Log growth per micro-batch is ≤ num_bits/64 rows —
-    sketch-sized, never data-sized."""
+    sketch-sized, never data-sized.
+
+    The build parameters ``(num_bits, num_hashes, method)`` are persisted
+    beside the log (``<sketch_path>_params``, the minhash_index_write
+    contract) at stream start, and validated against it on every restart
+    — a consumer probing with different parameters would compute wrong
+    bit positions and silently answer "definitely new" for already-seen
+    keys, voiding the zero-false-negative guarantee. Serve through
+    :func:`stream_bloom_filter_rows` (or fetch :func:`read_bloom_params`
+    yourself) so the stored parameters are always the ones probed with;
+    ``method`` defaults to ``"xxhash64"``, matching ``sketch.bloom_sketch``
+    / ``bloom_filter_rows``."""
     from ..operators.sketch import bloom_sketch
 
+    _bloom_pin_params(spark, sketch_path, num_bits, num_hashes, method)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1205,13 +1217,88 @@ def stream_bloom_monitor(
     return writer.start()
 
 
+def _bloom_params_path(sketch_path: str) -> str:
+    return sketch_path.rstrip("/") + "_params"
+
+
+def _bloom_pin_params(
+    spark: SparkSession,
+    sketch_path: str,
+    num_bits: int,
+    num_hashes: int,
+    method: str,
+) -> None:
+    """Persist (num_bits, num_hashes, method) beside the sketch log, or
+    validate against the already-pinned values — mixed-parameter appends
+    would corrupt the filter silently (wrong bit positions OR'd in), so
+    a mismatch refuses the stream instead."""
+    from .. import fs
+
+    path = _bloom_params_path(sketch_path)
+    if fs.is_dir(spark, path):
+        p = read_bloom_params(spark, sketch_path)
+        if (p.num_bits, p.num_hashes, p.method) != (
+            num_bits, num_hashes, method,
+        ):
+            raise ValueError(
+                f"bloom sketch log {sketch_path} was built with "
+                f"(num_bits={p.num_bits}, num_hashes={p.num_hashes}, "
+                f"method={p.method!r}); restarting it with "
+                f"({num_bits}, {num_hashes}, {method!r}) would OR wrong "
+                "bit positions into the filter — use the pinned "
+                "parameters or start a fresh sketch_path"
+            )
+        return
+    spark.createDataFrame(
+        [(num_bits, num_hashes, method)],
+        "num_bits int, num_hashes int, method string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bloom_params(spark: SparkSession, sketch_path: str):
+    """The pinned (num_bits, num_hashes, method) Row persisted beside a
+    streamed Bloom sketch log by :func:`stream_bloom_monitor`."""
+    row = spark.read.parquet(_bloom_params_path(sketch_path)).head()
+    if row is None:
+        raise ValueError(f"empty bloom params table beside {sketch_path}")
+    return row
+
+
 def read_bloom_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     """Collapse the streamed Bloom log to the current filter (OR over all
-    logged words — exact by idempotence); feed to
-    ``sketch.bloom_filter_rows`` with the SAME build parameters."""
+    logged words — exact by idempotence). Probe it via
+    :func:`stream_bloom_filter_rows`, which supplies the PINNED build
+    parameters — or fetch them with :func:`read_bloom_params` if calling
+    ``sketch.bloom_filter_rows`` directly (guessed parameters probe wrong
+    bit positions and silently void the no-false-negative guarantee)."""
     from ..operators.sketch import bloom_merge
 
     return bloom_merge(spark.read.parquet(sketch_path))
+
+
+def stream_bloom_filter_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    sketch_path: str,
+    value_col: str,
+    keep: str = "miss",
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Serve membership/novelty decisions from a streamed Bloom sketch
+    log with the parameters it was BUILT with: collapses the log
+    (:func:`read_bloom_sketch`) and probes it via
+    ``sketch.bloom_filter_rows`` using the pinned
+    ``(num_bits, num_hashes, method)`` — the drift-proof serving path
+    (same contract as ``minhash_index_dedup`` reading its stored params
+    table)."""
+    from ..operators.sketch import bloom_filter_rows
+
+    p = read_bloom_params(spark, sketch_path)
+    return bloom_filter_rows(
+        df, read_bloom_sketch(spark, sketch_path), value_col,
+        num_bits=p.num_bits, num_hashes=p.num_hashes, method=p.method,
+        keep=keep, broadcast_sketch=broadcast_sketch,
+    )
 
 
 def stream_dedup_pipeline(
@@ -1232,37 +1319,64 @@ def stream_dedup_pipeline(
     """The END-TO-END continuously-ingesting dedup pipeline, one job: per
     micro-batch of arriving documents,
 
-    1. dedup the batch against the persisted MinHash index
+    1. dedup WITHIN the micro-batch (r11 ADVICE: two near-duplicates
+       arriving in the same batch would otherwise both pass the
+       batch-vs-corpus join, both land, and both enter the index with no
+       cluster link): verified intra-batch pairs via the same banded
+       minhash + exact-Jaccard kernel the index was built with
+       (parameters from the stored ``params`` table), transitive closure
+       over them, keep the min-id doc per intra-batch cluster;
+    2. dedup the intra-survivors against the persisted MinHash index
        (``minhash_index_dedup(keep="links")`` — stored band buckets,
        DPP-pruned, batch broadcast);
-    2. land the SURVIVORS to ``accepted_path`` (epoch-partitioned
+    3. land the SURVIVORS to ``accepted_path`` (epoch-partitioned
        dynamic overwrite — idempotent under replay);
-    3. fold the verified duplicate links into the persisted cluster
-       assignment store (``components_update`` — contracted closure,
-       changed-rows-only delta);
-    4. ingest the survivors' minhash profiles into the index delta, so
+    4. fold the duplicate links — intra-batch pairs AND batch↔corpus
+       links — into the persisted cluster assignment store
+       (``components_update`` — contracted closure, changed-rows-only
+       delta), so a doc dropped in step 1 is still clustered with its
+       surviving canonical;
+    5. ingest the survivors' minhash profiles into the index delta, so
        the NEXT batch dedups against them too (same layout and
        generation guard as ``stream_minhash_ingest``).
 
-    Replay stability (foreachBatch is at-least-once): links whose corpus
-    side is an id of the CURRENT batch are excluded — after a partial
-    epoch crashed past step 4, the replayed batch would otherwise match
-    its own landed profiles and reject every doc as a duplicate of
-    itself. Doc ids must be globally unique (the standing contract of
-    the id-grain stores). With that exclusion every step is idempotent:
-    (2)/(4) overwrite their own epoch partition, and (3) re-folds an
-    edge set whose labels already hold, which appends zero changed rows.
+    Intra-batch semantics mirror composing ``minhash_dedup_transitive``
+    then ``dedup_against`` per batch: a doc dropped in step 1 is not
+    itself probed against the corpus (its canonical is), and with
+    ``verify_threshold=None`` the folded links are unverified band
+    collisions — same caveat as ``minhash_index_dedup(keep="links")``.
+
+    Replay stability (foreachBatch is at-least-once): corpus-side links
+    whose id arrived in THIS batch are excluded — after a partial epoch
+    crashed past step 5, the replayed batch would otherwise match its
+    own landed profiles and reject every doc as a duplicate of itself.
+    Doc ids must be globally unique (the standing contract of the
+    id-grain stores). With that exclusion every step is idempotent:
+    step 1 is deterministic in the batch content, (3)/(5) overwrite
+    their own epoch partition, and (4) re-folds an edge set whose labels
+    already hold, which appends zero changed rows.
+
+    Idempotence is PER CHECKPOINT: recovery from an ABANDONED checkpoint
+    (starting a fresh one over already-landed state) is safe only if
+    availableNow regroups the input files into the same epoch boundaries
+    — different batching dynamic-overwrites different ``__epoch_id``
+    partitions and leaves stale duplicate rows in ``accepted_path`` and
+    the index delta. Before replaying under a fresh checkpoint, clear
+    ``accepted_path`` and the index's ``stream_profiles`` epochs (or
+    compact the index first and feed only genuinely-new files).
 
     Prerequisites: ``minhash_index_write`` built the index;
     ``components_write`` initialized the store (an empty (id, component)
-    frame is fine). The batch is profiled twice per epoch (once inside
-    the serving join, once for ingest) — batch-sized work both times,
-    nothing proportional to the corpus."""
+    frame is fine). The batch is profiled per epoch by the intra pass,
+    the serving join, and ingest — batch-sized work each time, nothing
+    proportional to the corpus."""
     from .. import fs
     from ..operators.dedup import (
         MINHASH_DELTA_DIR,
         _minhash_params,
+        _verified_candidates,
         components_update,
+        connected_components_star,
         minhash_index_dedup,
         minhash_profile,
     )
@@ -1291,8 +1405,24 @@ def stream_dedup_pipeline(
         if batch_df.isEmpty():
             return
         batch = batch_df.localCheckpoint()
+        # (1) intra-batch pass: verified pairs within the batch under the
+        # INDEX's own banding/shingling params, closed transitively; the
+        # min-id doc of each intra cluster goes on to probe the corpus
+        intra = _verified_candidates(
+            batch, text_col, id_col, p.num_hashes, p.bands, p.shingle_k,
+            verify_threshold, p.max_shingles, p.hash_method,
+        ).localCheckpoint()
+        intra_drop = (
+            connected_components_star(intra)
+            .where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+        canon = batch.join(
+            F.broadcast(intra_drop), id_col, "left_anti"
+        ).localCheckpoint()
+        # (2) corpus pass over the intra-survivors only
         links = minhash_index_dedup(
-            batch, index_root, text_col, id_col, verify_threshold,
+            canon, index_root, text_col, id_col, verify_threshold,
             max_bucket, keep="links",
         )
         # replay guard: never match a corpus doc whose id arrived in THIS
@@ -1300,7 +1430,7 @@ def stream_dedup_pipeline(
         own = batch.select(F.col(id_col).alias("id_b")).distinct()
         links = links.join(F.broadcast(own), "id_b", "left_anti").localCheckpoint()
         dup_ids = links.select(F.col("id_a").alias(id_col)).distinct()
-        survivors = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+        survivors = canon.join(F.broadcast(dup_ids), id_col, "left_anti")
         (
             survivors.withColumn("__epoch_id", F.lit(epoch_id))
             .write.mode("overwrite")
@@ -1308,8 +1438,12 @@ def stream_dedup_pipeline(
             .partitionBy("__epoch_id")
             .parquet(accepted_path)
         )
-        if not links.isEmpty():
-            components_update(spark, components_root, links)
+        # (4) one fold of BOTH link kinds: intra pairs cluster dropped
+        # docs with their canonical; corpus links cluster batch docs with
+        # the stored corpus
+        fold = links.unionByName(intra.select("id_a", "id_b"))
+        if not fold.isEmpty():
+            components_update(spark, components_root, fold)
         prof = minhash_profile(
             survivors, text_col, id_col, p.num_hashes, p.shingle_k,
             p.max_shingles, p.hash_method,

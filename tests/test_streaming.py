@@ -859,9 +859,13 @@ def test_stream_bloom_monitor_matches_batch_and_serves_novelty(spark, tmp_path):
     with zero false 'already seen' answers."""
     from pyspark.sql import types as T
 
+    import pytest
+
     from data_engineering_task_adtech_data_pipeline_spark.operators import sketch
     from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        read_bloom_params,
         read_bloom_sketch,
+        stream_bloom_filter_rows,
         stream_bloom_monitor,
     )
 
@@ -894,27 +898,37 @@ def test_stream_bloom_monitor_matches_batch_and_serves_novelty(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    # (num_bits, num_hashes, method) were pinned beside the log at stream
+    # start — the monitor's default is the sketch family's default
+    # (xxhash64), so ad-hoc consumers relying on defaults probe correctly
+    p = read_bloom_params(spark, sk_path)
+    assert (p.num_bits, p.num_hashes, p.method) == (m, k, "xxhash64")
     streamed = {
         (r.word, r.bits) for r in read_bloom_sketch(spark, sk_path).collect()
     }
     batch = {
         (r.word, r.bits)
-        for r in sketch.bloom_sketch(
-            mk(0, 2500), "v", m, k, method="md5"
-        ).collect()
+        for r in sketch.bloom_sketch(mk(0, 2500), "v", m, k).collect()
     }
     assert streamed == batch
-    # novelty serving: every seen key answers "maybe seen"; the definite-
-    # new set is a subset of the genuinely-new probes
-    bloom = read_bloom_sketch(spark, sk_path)
-    seen_missed = sketch.bloom_filter_rows(
-        mk(0, 2500), bloom, "v", m, k, method="md5", keep="miss"
+    # novelty serving through the pinned-params path: every seen key
+    # answers "maybe seen"; the definite-new set is a subset of the
+    # genuinely-new probes
+    seen_missed = stream_bloom_filter_rows(
+        spark, mk(0, 2500), sk_path, "v", keep="miss"
     ).count()
     assert seen_missed == 0
-    fresh = sketch.bloom_filter_rows(
-        mk(9000, 10000), bloom, "v", m, k, method="md5", keep="miss"
+    fresh = stream_bloom_filter_rows(
+        spark, mk(9000, 10000), sk_path, "v", keep="miss"
     ).count()
     assert fresh > 800  # most genuinely-new keys are certified new
+    # restarting the monitor with different parameters must refuse — the
+    # mixed-parameter OR would probe wrong bit positions silently
+    with pytest.raises(ValueError, match="pinned|built with"):
+        stream_bloom_monitor(
+            spark, input_dir, schema, "v", sk_path,
+            str(tmp_path / "bl_ckpt3"), num_bits=m, num_hashes=k + 1,
+        )
 
 
 def test_stream_dedup_pipeline_end_to_end(spark, tmp_path):
@@ -996,6 +1010,30 @@ def test_stream_dedup_pipeline_end_to_end(spark, tmp_path):
     run("ck2")
     assert accepted_ids() == {11, 21}
     assert view() == {(1, 1), (10, 1), (11, 11), (20, 11)}
+
+    # wave 3 (r11 ADVICE: intra-batch dedup): 30 and 31 are duplicates of
+    # EACH OTHER arriving in the same micro-batch (neither matches the
+    # corpus) — the min-id doc 30 survives, 31 is dropped AND clustered
+    # with it; 32 duplicates corpus doc 1 as before
+    text_e = "a brand new paragraph shared verbatim by two same-batch arrivals"
+    spark.createDataFrame(
+        [(30, text_e), (31, text_e), (32, text_a)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(input_dir)
+    run("ck2")
+    assert accepted_ids() == {11, 21, 30}
+    assert view() == {
+        (1, 1), (10, 1), (32, 1), (11, 11), (20, 11), (30, 30), (31, 30),
+    }
+    # only the canonical's profile entered the index: a fresh dup of
+    # text_e is rejected via doc 30's delta profile
+    assert (
+        dedup.minhash_index_dedup(
+            spark.createDataFrame([(98, text_e)], "doc_id long, text string"),
+            index_root, verify_threshold=0.5,
+        ).count()
+        == 0
+    )
 
     # the index now also rejects fresh dups of wave-2's survivor
     probe = spark.createDataFrame(
@@ -1239,3 +1277,118 @@ def test_stream_events_daily_soak_bounded_state(spark, tmp_path):
     bound = 9 * campaigns
     assert max(state_sizes) <= bound, state_sizes
     assert state_sizes[-1] <= bound, state_sizes
+
+
+def test_q136_q137_promotions_end_to_end(spark, tmp_path):
+    """The round-12 battery promotions against a synthetic sf_dir: q136's
+    prepared index (base write + two REAL streamed ingest waves +
+    tombstones spanning base and delta) must serve exactly
+    ``dedup_against`` on the surviving corpus, and q137's prepared
+    component store (wave-0 write + two incremental folds + a no-op
+    replay) must read back exactly from-scratch closure over ALL verified
+    edges. Also covers the shared ``_staged_publish`` warm no-op."""
+    import os
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+    from data_engineering_task_adtech_data_pipeline_spark.plans.battery_ext import (
+        _q136_prepare,
+        _q136_root,
+        _q137_prepare,
+        _q137_root,
+        q136_minhash_index_serve,
+        q137_component_store,
+    )
+
+    sf_dir = str(tmp_path / "sf_docs")
+    os.makedirs(sf_dir)
+
+    def t(words):
+        return " ".join(words)
+
+    x = t(f"shared base pair alpha{i} beta{i}" for i in range(4))
+    y = t(f"ninety gamma{i} eight delta{i}" for i in range(4))
+    z = t(f"forty epsilon{i} four zeta{i}" for i in range(4))
+    w = t(f"onetwenty eta{i} stream theta{i}" for i in range(4))
+    v = t(f"onefifty iota{i} stream kappa{i}" for i in range(4))
+    tri = t(f"triangle lambda{i} cluster mu{i}" for i in range(4))
+    dp = t(f"deltapair nu{i} cluster xi{i}" for i in range(4))
+    rows = []
+    # base (<100): planted pair 40~45 (45 tombstoned); 98 (tombstoned)
+    # and 44 each the sole match of one batch doc; 10/11/12 a triangle
+    for i, txt in [
+        (10, tri), (11, tri), (12, tri),
+        (40, x), (45, x), (44, z), (98, y),
+        (50, t(f"unique base filler fifty omicron{i}" for i in range(6))),
+        (51, t(f"unique base filler fiftyone pi{i}" for i in range(6))),
+    ]:
+        rows.append((i, txt))
+    # streamed delta (100..249): pair 130~131; 120 (tombstoned) and 150
+    # each the sole match of one batch doc
+    for i, txt in [
+        (120, w), (150, v), (130, dp), (131, dp),
+        (160, t(f"unique delta filler rho{i}" for i in range(6))),
+    ]:
+        rows.append((i, txt))
+    # batch (>=250): 260 matches only tombstoned 98 -> survives; 261
+    # matches live 44 -> dropped; 262 matches only tombstoned 120 ->
+    # survives; 263 matches live 150 -> dropped; 264 novel -> survives
+    for i, txt in [
+        (260, y), (261, z), (262, w), (263, v),
+        (264, t(f"novel batch content token{i}" for i in range(6))),
+    ]:
+        rows.append((i, txt))
+    docs = spark.createDataFrame(
+        [(i, txt, "en", "synth", len(txt)) for i, txt in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # --- q136: serving == dedup_against on the surviving corpus --------
+    _q136_prepare(spark, sf_dir)
+    got = {
+        r.doc_id for r in q136_minhash_index_serve(spark, sf_dir).collect()
+    }
+    surviving = docs.where(
+        (F.col("doc_id") < 250) & ~F.col("doc_id").isin(45, 98, 120)
+    )
+    want = {
+        r.doc_id
+        for r in dedup.dedup_against(
+            docs.where(F.col("doc_id") >= 250), surviving,
+            verify_threshold=0.5, max_shingles=None, hash_method="md5",
+        ).collect()
+    }
+    assert got == want
+    assert got == {260, 262, 264}  # the tombstone deletes visibly matter
+    # warm re-entry is a no-op (marker short-circuit, no re-landing)
+    before = os.path.getmtime(os.path.join(_q136_root(sf_dir), "_landed_ok"))
+    _q136_prepare(spark, sf_dir)
+    assert os.path.getmtime(
+        os.path.join(_q136_root(sf_dir), "_landed_ok")
+    ) == before
+    # all three overlays are live in the published index (nothing folded)
+    idx = os.path.join(_q136_root(sf_dir), "index")
+    assert os.path.isdir(os.path.join(idx, "stream_profiles"))
+    assert os.path.isdir(os.path.join(idx, "tombstones"))
+
+    # --- q137: overlay store read == from-scratch closure --------------
+    _q137_prepare(spark, sf_dir)
+    got_comp = {
+        (r.id, r.component)
+        for r in q137_component_store(spark, sf_dir).collect()
+    }
+    edges = dedup._verified_candidates(
+        docs, "text", "doc_id", 64, 16, 3, 0.5, None, "md5"
+    )
+    want_comp = {
+        (r.id, r.component)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    assert got_comp == want_comp
+    # the planted clusters are present with min-id labels
+    assert (45, 40) in got_comp and (131, 130) in got_comp
+    assert (260, 98) in got_comp and (262, 120) in got_comp
+    # the store actually has a delta overlay (waves 1/2 appended)
+    assert os.path.isdir(
+        os.path.join(_q137_root(sf_dir), "store", "delta")
+    )
