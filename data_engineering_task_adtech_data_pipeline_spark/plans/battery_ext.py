@@ -5891,17 +5891,20 @@ def q135_stream_kmv_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _vintage_root(sf_dir: str, table: str, family: str) -> str:
+def _vintage_root(sf_dir: str, table: str, family: str, salt: str = "") -> str:
     """Per-(sf_dir, source-table fingerprint) cache root under tempdir —
     the q131/q134/q135 key recipe: any process may build the landing and
     later processes reuse it; a regenerated testdata vintage misses the
-    cache instead of serving stale artifacts."""
+    cache instead of serving stale artifacts. ``salt`` folds the
+    entry's OWN parameters into the key, so editing the recipe (splits,
+    tombstone ids) also misses the cache instead of serving an index
+    built under the old parameters."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    parts = [sf_dir.rstrip("/")]
+    parts = [sf_dir.rstrip("/"), salt] if salt else [sf_dir.rstrip("/")]
     if os.path.isdir(src):
         for f in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, f))
@@ -5982,34 +5985,41 @@ def _staged_publish(root: str, sf_dir: str, build, label: str) -> None:
 # so all three overlays (base, streamed delta, tombstones) sit on the
 # value-checked path. minhash_index_dedup is equivalence-proven ==
 # dedup_against on the surviving corpus (tests/test_variants.py incl. the
-# cap contract), so the oracle is q70's SQL with the corpus restricted to
-# survivors. The split is chosen so every overlay CHANGES the sf0.01
-# answer: base = doc_id<100 (verified matches 26..98 live here), streamed
-# delta = 100..249 (matches 107/120/166 arrive only via the stream), and
-# tombstones {45, 98, 120} span base AND delta, each the sole corpus match
-# of some batch doc (267/413, 290, 332 — deleting them must resurrect
-# those batch rows, exactly as a rebuild-from-survivors would).
-# Serving plan (plan-asserted for the operator in test_variants): batch
-# broadcast into both stored-table joins, stored bands scan
+# cap contract), so the oracle is q70's SQL shape with the corpus
+# restricted to survivors. Orientation is the PRODUCTION one — the
+# opposite of q70's: the BATCH is fixed-size (doc_id<100, 100 docs at
+# every sf) and the CORPUS grows with the data (doc_id>=100), so the sf1
+# series isolates exactly the claim that matters at 100 TB: serving cost
+# is ~O(batch), flat while the stored corpus grows 10x (the one-shot q70
+# form re-shingles the corpus per call and scales with it). The split is
+# chosen so every overlay CHANGES the sf0.01 answer: base = doc_id>=250,
+# streamed delta = 100..249 (batch matches 134/185/245 arrive only via
+# the stream), and tombstones {134, 185, 290} span delta AND base, each
+# the sole corpus match of some batch doc (87, 61, 98 — deleting them
+# must resurrect those batch rows, exactly as a rebuild-from-survivors
+# would). Serving plan (plan-asserted for the operator in test_variants):
+# batch broadcast into both stored-table joins, stored bands scan
 # dynamic-partition-pruned to touched hb buckets, docs scan materializes
 # shingle sets for candidate ids only — nothing shuffles the stored
-# tables, the 100 TB-side cost is ~O(batch).
+# tables.
 # ===========================================================================
 
-_Q136_TOMB = (45, 98, 120)
+_Q136_TOMB = (134, 185, 290)
 
 
 def _q136_root(sf_dir: str) -> str:
-    return _vintage_root(sf_dir, "documents", "spark_graft_q136")
+    salt = f"batch<100|delta=100..249|base>=250|tomb={_Q136_TOMB}|md5/64/16"
+    return _vintage_root(sf_dir, "documents", "spark_graft_q136", salt)
 
 
 def _q136_prepare(spark: SparkSession, sf_dir: str) -> None:
     """Build the persisted dedup index once per (sf_dir, vintage):
-    base write (doc_id<100, md5/no-shingle-cap so DuckDB replays it),
-    two streamed ingest waves (100..249) through the real
-    stream_minhash_ingest job sharing one checkpoint, then tombstone
-    deletes {45, 98, 120}. bench.py runs this untimed in warm-up, so the
-    timed entry measures SERVING only."""
+    base write (doc_id>=250 — the data-sized side, md5/no-shingle-cap so
+    DuckDB replays it), two streamed ingest waves (100..249, the
+    fixed-size delta) through the real stream_minhash_ingest job sharing
+    one checkpoint, then tombstone deletes {134, 185, 290}. bench.py
+    runs this untimed in warm-up, so the timed entry measures SERVING
+    only."""
     import os
 
     from ..streaming.jobs import stream_minhash_ingest
@@ -6021,7 +6031,7 @@ def _q136_prepare(spark: SparkSession, sf_dir: str) -> None:
         os.makedirs(input_dir, exist_ok=True)
         docs = Testdata(spark, sf_dir).documents
         dedup.minhash_index_write(
-            docs.where(F.col("doc_id") < 100), idx,
+            docs.where(F.col("doc_id") >= 250), idx,
             num_hashes=64, bands=16, shingle_k=3, max_shingles=None,
             hash_method="md5",
         )
@@ -6046,13 +6056,13 @@ def _q136_prepare(spark: SparkSession, sf_dir: str) -> None:
     WITH {_minhash_band_ctes(num_hashes=64, bands=16)},
     nb AS (
       SELECT doc_id AS id_new, band_idx, band_key FROM bands
-      WHERE doc_id >= 250
+      WHERE doc_id < 100
     ),
     cb AS (
       SELECT band_idx, band_key,
              (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
       FROM bands
-      WHERE doc_id < 250 AND doc_id NOT IN {_Q136_TOMB}
+      WHERE doc_id >= 100 AND doc_id NOT IN {_Q136_TOMB}
       GROUP BY 1, 2
     ),
     cand AS (
@@ -6076,26 +6086,29 @@ def _q136_prepare(spark: SparkSession, sf_dir: str) -> None:
       WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
     )
     SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_new FROM hits)
+    WHERE doc_id < 100 AND doc_id NOT IN (SELECT id_new FROM hits)
     """,
     doc="Persisted MinHash LSH dedup index SERVING (the deployment shape "
-    "of q70's dedup_against): the doc_id>=250 batch deduped against a "
-    "STORED index — base written from doc_id<100, docs 100..249 ingested "
-    "by the REAL stream_minhash_ingest job (two availableNow waves, one "
-    "checkpoint), ids {45,98,120} tombstoned (spanning base and delta; "
-    "each is some batch doc's only corpus match, so the deletes visibly "
-    "resurrect batch rows). operators.dedup.minhash_index_dedup, "
-    "equivalence-proven == dedup_against on the surviving corpus incl. "
-    "the per-bucket cap contract, so the oracle is q70's SQL over "
-    "survivors. Serving broadcasts the batch into both stored-table "
-    "joins; the bands scan is dynamic-partition-pruned.",
+    "of q70's dedup_against, in the PRODUCTION orientation — fixed-size "
+    "batch, data-sized corpus): the doc_id<100 batch deduped against a "
+    "STORED index — base written from doc_id>=250 (grows with the "
+    "data), docs 100..249 ingested by the REAL stream_minhash_ingest "
+    "job (two availableNow waves, one checkpoint), ids {134,185,290} "
+    "tombstoned (spanning delta and base; each is some batch doc's only "
+    "corpus match, so the deletes visibly resurrect batch rows). "
+    "operators.dedup.minhash_index_dedup, equivalence-proven == "
+    "dedup_against on the surviving corpus incl. the per-bucket cap "
+    "contract, so the oracle is q70's SQL shape over survivors. Serving "
+    "broadcasts the batch into both stored-table joins; the bands scan "
+    "is dynamic-partition-pruned — cost stays ~O(batch) while the "
+    "stored corpus grows (the sf1 series' claim).",
     prepare=_q136_prepare,
 )
 def q136_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     _q136_prepare(spark, sf_dir)  # no-op when warm
-    batch = Testdata(spark, sf_dir).documents.where(F.col("doc_id") >= 250)
+    batch = Testdata(spark, sf_dir).documents.where(F.col("doc_id") < 100)
     out = dedup.minhash_index_dedup(
         batch, os.path.join(_q136_root(sf_dir), "index"),
         verify_threshold=0.5,
@@ -6123,7 +6136,9 @@ def q136_minhash_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q137_root(sf_dir: str) -> str:
-    return _vintage_root(sf_dir, "documents", "spark_graft_q137")
+    return _vintage_root(
+        sf_dir, "documents", "spark_graft_q137", "3waves|md5/64/16/0.5"
+    )
 
 
 def _q137_prepare(spark: SparkSession, sf_dir: str) -> None:

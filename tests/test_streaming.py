@@ -1310,31 +1310,31 @@ def test_q136_q137_promotions_end_to_end(spark, tmp_path):
     z = t(f"forty epsilon{i} four zeta{i}" for i in range(4))
     w = t(f"onetwenty eta{i} stream theta{i}" for i in range(4))
     v = t(f"onefifty iota{i} stream kappa{i}" for i in range(4))
-    tri = t(f"triangle lambda{i} cluster mu{i}" for i in range(4))
+    u = t(f"oneeighty lambda{i} stream mu{i}" for i in range(4))
     dp = t(f"deltapair nu{i} cluster xi{i}" for i in range(4))
     rows = []
-    # base (<100): planted pair 40~45 (45 tombstoned); 98 (tombstoned)
-    # and 44 each the sole match of one batch doc; 10/11/12 a triangle
+    # batch (<100): 20 matches only tombstoned base 290 -> survives; 21
+    # matches live base 261 -> dropped; 22/25 match only tombstoned
+    # delta 134/185 -> survive; 23 matches live delta 150 -> dropped;
+    # 24 novel -> survives
     for i, txt in [
-        (10, tri), (11, tri), (12, tri),
-        (40, x), (45, x), (44, z), (98, y),
-        (50, t(f"unique base filler fifty omicron{i}" for i in range(6))),
-        (51, t(f"unique base filler fiftyone pi{i}" for i in range(6))),
+        (20, y), (21, z), (22, w), (23, v), (25, u),
+        (24, t(f"novel batch content omicron{i}" for i in range(6))),
     ]:
         rows.append((i, txt))
-    # streamed delta (100..249): pair 130~131; 120 (tombstoned) and 150
-    # each the sole match of one batch doc
+    # streamed delta (100..249): pair 130~131; tombstoned 134/185 and
+    # live 150 each the sole match of one batch doc
     for i, txt in [
-        (120, w), (150, v), (130, dp), (131, dp),
+        (134, w), (185, u), (150, v), (130, dp), (131, dp),
         (160, t(f"unique delta filler rho{i}" for i in range(6))),
     ]:
         rows.append((i, txt))
-    # batch (>=250): 260 matches only tombstoned 98 -> survives; 261
-    # matches live 44 -> dropped; 262 matches only tombstoned 120 ->
-    # survives; 263 matches live 150 -> dropped; 264 novel -> survives
+    # base (>=250): tombstoned 290 and live 261 each the sole match of
+    # one batch doc; pair 270~271 (for the component store)
     for i, txt in [
-        (260, y), (261, z), (262, w), (263, v),
-        (264, t(f"novel batch content token{i}" for i in range(6))),
+        (290, y), (261, z), (270, x), (271, x),
+        (300, t(f"unique base filler sigma{i}" for i in range(6))),
+        (301, t(f"unique base filler tau{i}" for i in range(6))),
     ]:
         rows.append((i, txt))
     docs = spark.createDataFrame(
@@ -1349,17 +1349,17 @@ def test_q136_q137_promotions_end_to_end(spark, tmp_path):
         r.doc_id for r in q136_minhash_index_serve(spark, sf_dir).collect()
     }
     surviving = docs.where(
-        (F.col("doc_id") < 250) & ~F.col("doc_id").isin(45, 98, 120)
+        (F.col("doc_id") >= 100) & ~F.col("doc_id").isin(134, 185, 290)
     )
     want = {
         r.doc_id
         for r in dedup.dedup_against(
-            docs.where(F.col("doc_id") >= 250), surviving,
+            docs.where(F.col("doc_id") < 100), surviving,
             verify_threshold=0.5, max_shingles=None, hash_method="md5",
         ).collect()
     }
     assert got == want
-    assert got == {260, 262, 264}  # the tombstone deletes visibly matter
+    assert got == {20, 22, 24, 25}  # the tombstone deletes visibly matter
     # warm re-entry is a no-op (marker short-circuit, no re-landing)
     before = os.path.getmtime(os.path.join(_q136_root(sf_dir), "_landed_ok"))
     _q136_prepare(spark, sf_dir)
@@ -1386,8 +1386,8 @@ def test_q136_q137_promotions_end_to_end(spark, tmp_path):
     }
     assert got_comp == want_comp
     # the planted clusters are present with min-id labels
-    assert (45, 40) in got_comp and (131, 130) in got_comp
-    assert (260, 98) in got_comp and (262, 120) in got_comp
+    assert (271, 270) in got_comp and (131, 130) in got_comp
+    assert (290, 20) in got_comp and (134, 22) in got_comp
     # the store actually has a delta overlay (waves 1/2 appended)
     assert os.path.isdir(
         os.path.join(_q137_root(sf_dir), "store", "delta")

@@ -106,6 +106,10 @@ QUERIES = [
     # and the oracle-checked streaming KMV monitor; first measured in
     # BENCH_SF1_r11
     "q134_ivf_sq8_serve", "q135_stream_kmv_monitor",
+    # appended r12 (r11 VERDICT #5): the persisted MinHash dedup index
+    # serving entry and the component-store overlay read; first measured
+    # in BENCH_SF1_r12
+    "q136_minhash_index_serve", "q137_component_store",
 ]
 
 
