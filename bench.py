@@ -56,8 +56,13 @@ def _cpu_probe() -> dict:
 
     single = burn()
     with ProcessPoolExecutor(32) as ex:
-        # pre-spawn outside the timed window so fork cost isn't measured
-        list(ex.map(_probe_burn, [0] * 32))
+        # pre-spawn outside the timed window so fork cost isn't measured.
+        # The warmup tasks carry FULL work (not zero-work): modern CPython
+        # ProcessPoolExecutor spawns workers lazily and reuses idle ones,
+        # so 32 instant tasks can complete on fewer than 32 processes and
+        # leave the remaining forks inside the timed leg (r12 ADVICE) —
+        # a ~0.5 s task pins each worker long past every fork.
+        list(ex.map(_probe_burn, [20000] * 32))
         t0 = time.time()
         list(ex.map(_probe_burn, [20000] * 32))
         multi = time.time() - t0

@@ -569,6 +569,7 @@ def _verified_candidates(
     hash_method: str = "xxhash64",
     persist_profile: bool = False,
     profile_cache: "ProfileCache | None" = None,
+    max_bucket: int = 64,
 ) -> DataFrame:
     profile = minhash_profile(
         df, text_col, id_col, num_hashes, shingle_k, max_shingles, hash_method
@@ -581,6 +582,7 @@ def _verified_candidates(
         profile.select(id_col, "signature"),
         id_col,
         bands,
+        max_bucket=max_bucket,
         sig_len=num_hashes,
         hash_method=hash_method,
     )

@@ -1249,6 +1249,26 @@ def _bloom_pin_params(
                 "parameters or start a fresh sketch_path"
             )
         return
+    if fs.is_dir(spark, sketch_path):
+        # a pre-pinning (or params-lost) sketch log already exists: its
+        # build parameters are UNKNOWABLE, so adopting the caller's values
+        # as the pin would silently OR wrong-hash bit positions into the
+        # log if they differ — exactly the corruption the pin prevents
+        # (r12 ADVICE: the md5→xxhash64 default flip made this live).
+        # Refuse unless the log is genuinely empty of committed rows.
+        try:
+            stale = not spark.read.parquet(sketch_path).isEmpty()
+        except Exception:  # dir exists but holds no committed files yet
+            stale = False
+        if stale:
+            raise ValueError(
+                f"bloom sketch log {sketch_path} already holds rows but "
+                "has no pinned params table — its build parameters are "
+                "unknowable, so pinning the caller's values could OR "
+                "wrong-hash bit positions into it; rebuild under a fresh "
+                "sketch_path (or restore the _params table it was built "
+                "with)"
+            )
     spark.createDataFrame(
         [(num_bits, num_hashes, method)],
         "num_bits int, num_hashes int, method string",
@@ -1305,7 +1325,7 @@ def stream_dedup_pipeline(
     spark: SparkSession,
     input_dir: str,
     index_root: str,
-    components_root: str,
+    components_root: str | None,
     accepted_path: str,
     checkpoint_dir: str,
     text_col: str = "text",
@@ -1342,9 +1362,15 @@ def stream_dedup_pipeline(
 
     Intra-batch semantics mirror composing ``minhash_dedup_transitive``
     then ``dedup_against`` per batch: a doc dropped in step 1 is not
-    itself probed against the corpus (its canonical is), and with
-    ``verify_threshold=None`` the folded links are unverified band
-    collisions — same caveat as ``minhash_index_dedup(keep="links")``.
+    itself probed against the corpus (its canonical is). With
+    ``verify_threshold=None`` the duplicate decisions are unverified band
+    collisions, which must NEVER feed :func:`components_update` (merges
+    weld clusters forever — the ``minhash_index_dedup(keep="links")``
+    contract), so the unverified regime requires ``components_root=None``
+    (skip step 4 entirely; survivors still land and ingest) and the
+    combination with a component store refuses up front. The intra pass
+    shares ``max_bucket`` with the corpus pass — one per-bucket candidate
+    cap contract across both.
 
     Replay stability (foreachBatch is at-least-once): corpus-side links
     whose id arrived in THIS batch are excluded — after a partial epoch
@@ -1382,6 +1408,15 @@ def stream_dedup_pipeline(
     )
     from ..operators.similarity import index_generation
 
+    if verify_threshold is None and components_root is not None:
+        raise ValueError(
+            "stream_dedup_pipeline(verify_threshold=None) produces "
+            "UNVERIFIED band-collision links, which must never fold into "
+            "a component store (merges are permanent — a spurious "
+            "collision would weld two unrelated clusters forever); pass "
+            "components_root=None to run the unverified regime without "
+            "cluster bookkeeping, or set a verify_threshold"
+        )
     p = _minhash_params(spark, index_root)
     gen = index_generation(spark, index_root)
     if gen is not None:
@@ -1411,6 +1446,7 @@ def stream_dedup_pipeline(
         intra = _verified_candidates(
             batch, text_col, id_col, p.num_hashes, p.bands, p.shingle_k,
             verify_threshold, p.max_shingles, p.hash_method,
+            max_bucket=max_bucket,
         ).localCheckpoint()
         intra_drop = (
             connected_components_star(intra)
@@ -1440,10 +1476,13 @@ def stream_dedup_pipeline(
         )
         # (4) one fold of BOTH link kinds: intra pairs cluster dropped
         # docs with their canonical; corpus links cluster batch docs with
-        # the stored corpus
-        fold = links.unionByName(intra.select("id_a", "id_b"))
-        if not fold.isEmpty():
-            components_update(spark, components_root, fold)
+        # the stored corpus. Skipped when components_root is None (the
+        # only mode verify_threshold=None permits — unverified links must
+        # never reach the store; guarded at pipeline construction).
+        if components_root is not None:
+            fold = links.unionByName(intra.select("id_a", "id_b"))
+            if not fold.isEmpty():
+                components_update(spark, components_root, fold)
         prof = minhash_profile(
             survivors, text_col, id_col, p.num_hashes, p.shingle_k,
             p.max_shingles, p.hash_method,

@@ -929,6 +929,19 @@ def test_stream_bloom_monitor_matches_batch_and_serves_novelty(spark, tmp_path):
             spark, input_dir, schema, "v", sk_path,
             str(tmp_path / "bl_ckpt3"), num_bits=m, num_hashes=k + 1,
         )
+    # a pre-pinning sketch log (params table lost/never written) must
+    # ALSO refuse: its build parameters are unknowable, so adopting the
+    # caller's defaults as the pin could OR wrong-hash positions into it
+    # (r12 ADVICE — the md5→xxhash64 default flip made this live)
+    orphan = str(tmp_path / "bl_orphan")
+    sketch.bloom_sketch(mk(0, 100), "v", m, k, method="md5").write.parquet(
+        orphan
+    )
+    with pytest.raises(ValueError, match="no pinned params"):
+        stream_bloom_monitor(
+            spark, input_dir, schema, "v", orphan,
+            str(tmp_path / "bl_ckpt4"), num_bits=m, num_hashes=k,
+        )
 
 
 def test_stream_dedup_pipeline_end_to_end(spark, tmp_path):
@@ -1045,6 +1058,29 @@ def test_stream_dedup_pipeline_end_to_end(spark, tmp_path):
         ).count()
         == 0
     )
+
+    # unverified regime (r12 ADVICE): verify_threshold=None links are raw
+    # band collisions and must never fold into the component store —
+    # the combination refuses up front; with components_root=None the
+    # pipeline runs (survivors land + ingest) and the store is untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="UNVERIFIED|unverified"):
+        stream_dedup_pipeline(
+            spark, input_dir, index_root, comp_root, accepted,
+            str(tmp_path / "ck_unv"), verify_threshold=None, schema=schema,
+        )
+    before = view()
+    spark.createDataFrame(
+        [(40, text_a)], "doc_id long, text string"
+    ).write.mode("append").parquet(input_dir)
+    q = stream_dedup_pipeline(
+        spark, input_dir, index_root, None, accepted,
+        str(tmp_path / "ck2"), verify_threshold=None, schema=schema,
+    )
+    q.awaitTermination(120)
+    assert accepted_ids() == {11, 21, 30}  # 40 collides with doc 1: dropped
+    assert view() == before  # no fold happened
 
 
 def test_q131_landing_protocol_branches(spark, tmp_path):
