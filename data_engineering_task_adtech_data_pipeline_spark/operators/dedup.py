@@ -1746,11 +1746,25 @@ def _band_bucket(band_hash: Column, band_buckets: int) -> Column:
     return F.pmod(F.xxhash64(band_hash), F.lit(band_buckets)).cast("int")
 
 
+# In-process params memo: the params table is write-once per root
+# (minhash_index_write invalidates it on rebuild), yet the serving path
+# re-read the one-row parquet on every call — a full file-listing + scan
+# job of pure fixed latency per batch (r12 VERDICT). Keyed by normalized
+# root; bounded by the number of distinct indexes a process serves.
+_PARAMS_MEMO: dict = {}
+
+
 def _minhash_params(spark, root: str):
-    """Load the stored banding/shingling parameters (one driver-sized row)."""
+    """Load the stored banding/shingling parameters (one driver-sized row),
+    memoized per root for the life of the process."""
+    key = root.rstrip("/")
+    hit = _PARAMS_MEMO.get(key)
+    if hit is not None:
+        return hit
     rows = spark.read.parquet(_fs_mod().join(root, MINHASH_PARAMS_DIR)).collect()
     if len(rows) != 1:
         raise ValueError(f"corrupt minhash index params at {root}")
+    _PARAMS_MEMO[key] = rows[0]
     return rows[0]
 
 
@@ -1792,6 +1806,29 @@ def minhash_index_write(
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     spark = corpus.sparkSession
+    # Refuse a rebuild over LIVE overlays (the bloom-monitor parity rule,
+    # r12 VERDICT): this write overwrites params/docs/bands but NOT the
+    # streamed delta or tombstones — leftover delta profiles were computed
+    # under the OLD parameters and would union into serving as silent
+    # wrong-band corruption (and old tombstones would delete ids the new
+    # corpus legitimately holds). Compact or delete the overlays first,
+    # or build under a fresh root.
+    for overlay in (MINHASH_DELTA_DIR, "tombstones"):
+        path = fs.join(root, overlay)
+        if fs.is_dir(spark, path):
+            try:
+                live = not spark.read.parquet(path).isEmpty()
+            except Exception:  # dir exists but holds no committed files
+                live = False
+            if live:
+                raise ValueError(
+                    f"minhash index root {root} still holds a live "
+                    f"'{overlay}' overlay; rebuilding the base under it "
+                    "would serve delta profiles computed with the old "
+                    "parameters (and stale deletes) — run "
+                    "minhash_index_compact first or use a fresh root"
+                )
+    _PARAMS_MEMO.pop(root.rstrip("/"), None)
     spark.createDataFrame(
         [
             (
@@ -1946,8 +1983,13 @@ def minhash_index_dedup(
             F.array_sort(F.collect_set("__id_corp")), 1, max_bucket
         ).alias("ids")
     )
+    # both sides here are O(batch) — new_bands is the batch's band rows,
+    # buckets the matched stored buckets — but under AQE the join went
+    # sort-merge (two avoidable exchanges of fixed serving latency, r12
+    # VERDICT); broadcast the band rows like every other batch-sized side
     cand = (
-        new_bands.join(buckets, ["band_idx", "band_hash"])
+        F.broadcast(new_bands)
+        .join(buckets, ["band_idx", "band_hash"])
         .select("__id_new", F.explode("ids").alias("__id_corp"))
         .distinct()
     )
@@ -1957,7 +1999,7 @@ def minhash_index_dedup(
                 F.col("__id_new").alias("id_a"), F.col("__id_corp").alias("id_b")
             )
         hits = cand.select(F.col("__id_new").alias(id_col)).distinct()
-        return batch.join(hits, id_col, "left_anti")
+        return batch.join(F.broadcast(hits), id_col, "left_anti")
     docs = spark.read.parquet(fs.join(root, MINHASH_DOCS_DIR)).select(
         F.col(corp_id).alias("__id_corp"), F.col("shingle_set").alias("__sh_c")
     )
@@ -1986,8 +2028,10 @@ def minhash_index_dedup(
         return verified.select(
             F.col("__id_new").alias("id_a"), F.col("__id_corp").alias("id_b")
         ).distinct()
+    # hits ≤ batch ids: broadcast the anti-join side (the last remaining
+    # batch-proportional sort-merge exchange on the serving path)
     hits = verified.select(F.col("__id_new").alias(id_col)).distinct()
-    return batch.join(hits, id_col, "left_anti")
+    return batch.join(F.broadcast(hits), id_col, "left_anti")
 
 
 def minhash_index_delete(spark, root: str, ids, id_col: str | None = None) -> None:

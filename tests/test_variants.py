@@ -1018,19 +1018,60 @@ def test_minhash_index_dedup_matches_dedup_against(spark, tmp_path):
 def test_minhash_index_serving_plan_broadcasts_and_prunes(spark, tmp_path):
     """The serving join must broadcast the batch's band keys and
     dynamic-partition-prune the stored bands scan (hb partitions) — the
-    property that keeps a 100 TB index scan proportional to the batch."""
+    property that keeps a 100 TB index scan proportional to the batch —
+    and carry NO sort-merge join at all: every non-stored side is
+    O(batch) and broadcast (r12 VERDICT: two batch-proportional joins
+    went SMJ under AQE, pure fixed serving latency)."""
     from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
 
     root = str(tmp_path / "idx")
     dedup.minhash_index_write(
         _dedup_corpus(spark), root, num_hashes=32, bands=8
     )
-    out = dedup.minhash_index_dedup(
-        _dedup_batch(spark), root, verify_threshold=0.5
+    for thresh in (0.5, None):
+        out = dedup.minhash_index_dedup(
+            _dedup_batch(spark), root, verify_threshold=thresh
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        assert "dynamicpruning" in plan.lower(), plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_index_write_refuses_live_overlays(spark, tmp_path):
+    """Rebuilding the base over a root that still holds a streamed delta
+    or tombstones must refuse (bloom-pin parity): the leftover delta was
+    profiled under the OLD parameters and would union into serving as
+    silent corruption. After compaction the rebuild proceeds."""
+    import pytest
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_minhash_ingest,
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in plan, plan
-    assert "dynamicpruning" in plan.lower(), plan
+
+    d = str(tmp_path)
+    root = d + "/idx"
+    corpus = _dedup_corpus(spark)
+    dedup.minhash_index_write(
+        corpus.where(F.col("doc_id") < 20), root, num_hashes=32, bands=8
+    )
+    corpus.where(F.col("doc_id") >= 20).selectExpr(
+        "doc_id", "text", "cast(null as string) lang",
+        "cast(null as string) source", "cast(length(text) as long) n_chars",
+    ).write.mode("append").parquet(d + "/in")
+    stream_minhash_ingest(spark, d + "/in", root, d + "/ckpt").awaitTermination(120)
+    with pytest.raises(ValueError, match="live 'stream_profiles' overlay"):
+        dedup.minhash_index_write(corpus, root, num_hashes=64, bands=16)
+    dedup.minhash_index_compact(spark, root)
+    dedup.minhash_index_delete(spark, root, [1])
+    with pytest.raises(ValueError, match="live 'tombstones' overlay"):
+        dedup.minhash_index_write(corpus, root, num_hashes=64, bands=16)
+    dedup.minhash_index_compact(spark, root)
+    dedup.minhash_index_write(corpus, root, num_hashes=64, bands=16)
+    # the rebuild invalidated the in-process params memo: serving now
+    # bands with the NEW parameters
+    assert dedup._minhash_params(spark, root).num_hashes == 64
 
 
 def test_minhash_index_stream_ingest_and_compact(spark, tmp_path):
