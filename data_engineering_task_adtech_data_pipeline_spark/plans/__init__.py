@@ -23,30 +23,30 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) new this round, never driver-verified: the persisted MinHash
-    # LSH dedup index serving promotion (r11 VERDICT #1) and the
-    # oracle-checked persisted component store (r11 VERDICT #2)
-    "q136_minhash_index_serve", "q137_component_store",
-    # (c) longest-unverified block: last driver-green r9 — the full
-    # 38 remaining entries of the r9-green family (q12/q13 were pulled
-    # forward into r11's fill and stay out; the two slots they freed
-    # absorb the two (b) promotions, per the rotation plan recorded in
-    # COVERAGE.md at r11)
-    "q119_large_volume_orders", "q120_dominant_suppliers",
-    "q121_kmv_overlap", "q122_stratified_split", "q123_record_linkage",
-    "q124_hot_key_join", "q125_entity_clusters", "q126_top_supplier",
-    "q127_trailing_revenue", "q128_nation_trade_volume",
-    "q129_visual_near_dups", "q130_audio_fingerprint_dups",
-    "q92_scd2_history", "q95_small_quantity_revenue",
-    "q96_retention_cohorts", "q97_event_funnel",
-    "q22_revenue_filter", "q23_top_orders", "q24_nation_volume",
-    "q25_set_ops", "q26_pivot_events", "q27_grouping_sets",
-    "q28_window_calendar", "q29_asof_join", "q30_range_join",
-    "q31_sessionize", "q32_percentiles", "q33_profile",
-    "q34_json_extract", "q37_exists_anti",
-    "q39_order_count_distribution", "q44_string_functions",
-    "q46_array_agg", "q131_stream_daily_ingest", "q132_sq8_topk",
-    "q14_simhash_candidates", "q15_cosine_topk", "q16_lsh_topk",
+    # (b) new this round, never driver-verified: the end-to-end streaming
+    # dedup pipeline promotion (r12 VERDICT #1); its slot comes from
+    # q24_nation_volume's retirement (r12 VERDICT #2 — redundant with
+    # q128's dim-chain family; policy in COVERAGE.md)
+    "q138_stream_dedup_pipeline",
+    # (c) longest-unverified block: last driver-green r10 — 39 of the 40
+    # r10-green entries (q21_doc_stats_by_source slips one round to r14,
+    # absorbed there by the r11-green block's 2 slots of slack; recorded
+    # in COVERAGE.md's rotation table)
+    "q133_ivf_sq8_topk", "q11_dedup_exact", "q17_text_features",
+    "q98_wav_stats", "q99_supplier_value_share",
+    "q100_inactive_customer_balance", "q101_waiting_suppliers",
+    "q102_gopher_gate", "q103_hybrid_rrf", "q104_char_entropy",
+    "q105_dsir_weights", "q106_bigram_lm_nll",
+    "q35_minhash_dedup_transitive", "q40_multimodal_features",
+    "q42_chunking", "q43_sequence_packing", "q49_embedding_dup_pairs",
+    "q50_ivf_topk", "q51_domain_cap", "q53_decontaminate",
+    "q55_ivf_lsh_topk", "q56_pii_redaction", "q58_greedy_pack_sharded",
+    "q60_duplicate_spans", "q61_export_shards", "q63_tfidf_topk",
+    "q64_hll_distinct", "q65_cm_heavy_hitters",
+    "q67_collapse_duplicates", "q68_semantic_dedup",
+    "q69_inverted_index", "q70_dedup_against_corpus", "q71_bm25_topk",
+    "q72_pq_adc_topk", "q73_salted_agg", "q74_corpus_datacard",
+    "q19_token_features", "q36_hash_split", "q41_curation_pipeline",
 ]
 
 

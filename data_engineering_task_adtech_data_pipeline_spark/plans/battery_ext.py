@@ -6209,3 +6209,218 @@ def q137_component_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_read(
         spark, os.path.join(_q137_root(sf_dir), "store")
     )
+
+
+# ===========================================================================
+# q138 — END-TO-END CONTINUOUS DEDUP PIPELINE (round 13, r12 VERDICT #1):
+# the last first-class streaming claim promoted onto the value-checked
+# path. prepare() builds the persisted MinHash index from the base corpus
+# (doc_id>=350), initializes an EMPTY component store, then lands TWO
+# document waves (doc_id<175, then 175..349) through the REAL
+# stream_dedup_pipeline Structured Streaming job over one checkpoint — per
+# micro-batch: intra-batch verified dedup (transitive closure, min-id
+# canonical), corpus dedup against the stored index (keep="links"),
+# survivors landed + their profiles ingested into the index delta, and
+# BOTH link kinds folded into the component store. The checked query is
+# the landed survivor set LEFT JOINed with the store's cluster label; the
+# oracle replays the whole protocol sequentially in SQL — wave-1 intra
+# closure (WITH RECURSIVE), wave-1 links against the base, wave-2 intra
+# closure, wave-2 links against base ∪ wave-1 survivors (so a doc that
+# duplicates a STREAMED-IN survivor is only caught if the delta-ingest
+# step worked), and a final closure over exactly the folded edge set. Any
+# break in batch semantics, ingest, landing idempotence, or the store
+# fold diverges the value hash. Wave splits chosen so every path fires at
+# sf0.001 AND sf0.01: intra-wave near-dup clusters (incl. triangles),
+# wave→base links, and wave-2→wave-1-survivor links via the delta.
+# Matches the reference's continuous-ETL heart (dags/track_delta.py
+# incremental extract→land→fold) in its modern dedup form.
+# ===========================================================================
+
+_Q138_W1, _Q138_W2 = 175, 350
+
+
+def _q138_verify_sql(pairs_cte: str, a: str = "id_a", b: str = "id_b") -> str:
+    """Exact-Jaccard verification of a candidate-pair CTE against the
+    shared ``sh``/``sizes`` shingle CTEs (threshold 0.5) — the repeated
+    back half of every dedup oracle in this family."""
+    return f"""
+      SELECT i.{a} AS id_a, i.{b} AS id_b FROM (
+        SELECT p.{a}, p.{b}, COUNT(*) AS i
+        FROM {pairs_cte} p
+        JOIN msh a ON a.doc_id = p.{a}
+        JOIN msh b ON b.doc_id = p.{b} AND b.s = a.s
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.{a}
+      JOIN sizes sb ON sb.doc_id = i.{b}
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5
+    """
+
+
+def _q138_wave_ctes(w: str, lo: int, hi: int, corpus_pred: str) -> str:
+    """One wave of the pipeline replay: intra-batch capped LSH pairs →
+    verify → recursive min-id closure → canonical survivors → capped
+    corpus buckets (over ``corpus_pred``) → verified links → survivors."""
+    return f"""
+    {w}k AS (
+      SELECT band_idx, band_key,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM mbands WHERE doc_id >= {lo} AND doc_id < {hi} GROUP BY 1, 2
+    ),
+    {w}m AS (
+      SELECT band_idx, band_key,
+             generate_subscripts(ids, 1) AS p, unnest(ids) AS id
+      FROM {w}k WHERE len(ids) > 1
+    ),
+    {w}p AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM {w}m a JOIN {w}m b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.p < b.p
+    ),
+    {w}v AS ({_q138_verify_sql(f"{w}p")}),
+    {w}sym AS (
+      SELECT id_a AS src, id_b AS dst FROM {w}v
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM {w}v
+    ),
+    {w}reach AS (
+      SELECT src, dst FROM {w}sym
+      UNION
+      SELECT r.src, s.dst FROM {w}reach r JOIN {w}sym s ON r.dst = s.src
+    ),
+    {w}canon AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id >= {lo} AND doc_id < {hi} AND doc_id NOT IN (
+        SELECT src FROM {w}reach GROUP BY src
+        HAVING LEAST(src, MIN(dst)) <> src
+      )
+    ),
+    {w}ck AS (
+      SELECT band_idx, band_key,
+             (list_sort(list(DISTINCT doc_id)))[1:64] AS ids
+      FROM mbands WHERE {corpus_pred} GROUP BY 1, 2
+    ),
+    {w}cand AS (
+      SELECT DISTINCT nb.doc_id AS id_new, u.id_corp
+      FROM mbands nb
+      JOIN {w}canon w ON w.doc_id = nb.doc_id
+      JOIN {w}ck ck ON ck.band_idx = nb.band_idx
+                   AND ck.band_key = nb.band_key,
+      LATERAL unnest(ck.ids) AS u(id_corp)
+    ),
+    {w}l AS ({_q138_verify_sql(f"{w}cand", "id_new", "id_corp")}),
+    {w}s AS (
+      SELECT doc_id FROM {w}canon
+      WHERE doc_id NOT IN (SELECT id_a FROM {w}l)
+    )"""
+
+
+def _q138_root(sf_dir: str) -> str:
+    salt = f"w1<{_Q138_W1}|w2<{_Q138_W2}|base>={_Q138_W2}|md5/64/16/0.5"
+    return _vintage_root(sf_dir, "documents", "spark_graft_q138", salt)
+
+
+def _q138_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Land the pipeline output once per (sf_dir, vintage): index base
+    write, empty component store, two REAL stream_dedup_pipeline waves
+    over one checkpoint. Untimed via Q.prepare (bench warm-up)."""
+    import os
+
+    from ..streaming.jobs import stream_dedup_pipeline
+
+    def build(stage: str) -> None:
+        idx = os.path.join(stage, "index")
+        store = os.path.join(stage, "store")
+        accepted = os.path.join(stage, "accepted")
+        input_dir = os.path.join(stage, "incoming")
+        ckpt = os.path.join(stage, "ckpt")
+        os.makedirs(input_dir, exist_ok=True)
+        docs = Testdata(spark, sf_dir).documents
+        dedup.minhash_index_write(
+            docs.where(F.col("doc_id") >= _Q138_W2), idx,
+            num_hashes=64, bands=16, shingle_k=3, max_shingles=None,
+            hash_method="md5",
+        )
+        dedup.components_write(
+            spark.createDataFrame([], "id long, component long"), store
+        )
+        # each wave is one availableNow run over the SHARED checkpoint —
+        # one micro-batch per wave, so intra-batch semantics are pinned
+        # (wave 2 additionally proves checkpoint resume + delta serving)
+        for lo, hi in ((0, _Q138_W1), (_Q138_W1, _Q138_W2)):
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+            stream_dedup_pipeline(
+                spark, input_dir, idx, store, accepted, ckpt,
+                verify_threshold=0.5, schema=docs.schema,
+            ).awaitTermination()
+
+    _staged_publish(_q138_root(sf_dir), sf_dir, build, "q138")
+
+
+@query(
+    "q138_stream_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_band_ctes(num_hashes=64, bands=16)},
+    mbands AS MATERIALIZED (SELECT * FROM bands),
+    msh AS MATERIALIZED (SELECT * FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM msh GROUP BY doc_id),
+    {_q138_wave_ctes("w1", 0, _Q138_W1, f"doc_id >= {_Q138_W2}")},
+    {_q138_wave_ctes(
+        "w2", _Q138_W1, _Q138_W2,
+        f"doc_id >= {_Q138_W2} OR doc_id IN (SELECT doc_id FROM w1s)",
+    )},
+    fold AS (
+      SELECT id_a, id_b FROM w1v UNION SELECT id_a, id_b FROM w1l
+      UNION SELECT id_a, id_b FROM w2v UNION SELECT id_a, id_b FROM w2l
+    ),
+    fsym AS (
+      SELECT id_a AS src, id_b AS dst FROM fold
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM fold
+    ),
+    freach AS (
+      SELECT src, dst FROM fsym
+      UNION
+      SELECT r.src, s.dst FROM freach r JOIN fsym s ON r.dst = s.src
+    ),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component
+      FROM freach GROUP BY src
+    ),
+    accepted AS (
+      SELECT doc_id FROM w1s UNION ALL SELECT doc_id FROM w2s
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, c.component
+    FROM documents d
+    JOIN accepted a ON a.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="END-TO-END continuous dedup pipeline on the value-checked path "
+    "(streaming.stream_dedup_pipeline): two document waves land through "
+    "the REAL Structured Streaming job over one checkpoint — per batch: "
+    "intra-batch verified dedup (transitive closure, min-id canonical), "
+    "corpus dedup against the persisted MinHash index, survivors landed "
+    "to the epoch-partitioned accepted table + ingested into the index "
+    "delta, links folded into the persisted component store. Checked "
+    "value = landed survivors LEFT JOIN their stored cluster label; the "
+    "oracle replays both waves sequentially in SQL (intra closure, "
+    "capped buckets, exact Jaccard at 0.5, wave-2 corpus = base ∪ wave-1 "
+    "survivors — the delta-ingest claim — and a final closure over "
+    "exactly the folded edges). The timed read is the overlay store view "
+    "keyed against the landed survivor table; all the heavy lifting "
+    "happened incrementally at ingest time, which is the point.",
+    prepare=_q138_prepare,
+)
+def q138_stream_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    _q138_prepare(spark, sf_dir)  # no-op when warm
+    root = _q138_root(sf_dir)
+    acc = spark.read.parquet(os.path.join(root, "accepted")).drop("__epoch_id")
+    comp = dedup.components_read(spark, os.path.join(root, "store"))
+    # no broadcast hint: survivors AND the store are both corpus-sized at
+    # scale — this is a legitimate key-partitioned join (AQE may still
+    # broadcast at small SF)
+    return acc.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select("doc_id", "lang", "source", "n_chars", "component")

@@ -90,44 +90,13 @@ def q23_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q24_nation_volume",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
-    FROM region r
-    JOIN nation n ON n.n_regionkey = r.r_regionkey
-    JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-    doc="TPC-H Q5-shaped multi-dim join chain (region->nation->supplier->"
-    "lineitem), broadcast dims, one fact shuffle.",
-)
-def q24_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    td = Testdata(spark, sf_dir)
-    dims = (
-        td.region.where(F.col("r_name") == "ASIA")
-        .join(td.nation, F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(td.supplier, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    return (
-        td.lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("nation")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
+# q24_nation_volume RETIRED round 13 (r12 VERDICT #2): the TPC-H Q5 shape
+# (region->nation->supplier->lineitem broadcast dim chain + one fact
+# rollup) is a strict subset of q128_nation_trade_volume's Q7 shape (TWO
+# broadcast dim chains off the same fact scan, same decimal-sum contract);
+# its window slot funds q138_stream_dedup_pipeline. Retirement policy:
+# COVERAGE.md §"Driver window rotation". The physical-plan assert it
+# anchored (broadcast-no-SMJ dim chain) moved to q128 in test_plans.py.
 
 
 @query(

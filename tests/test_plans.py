@@ -38,7 +38,9 @@ def test_column_pruning(spark):
 
 
 def test_dim_joins_broadcast_no_smj(spark):
-    for q in ("q02_campaign_totals", "q24_nation_volume"):
+    # q128 carries the dim-chain plan assert since q24's retirement (r13):
+    # same broadcast-dim contract, two chains instead of one
+    for q in ("q02_campaign_totals", "q128_nation_trade_volume"):
         plan = _plan(spark, q)
         assert "BroadcastHashJoin" in plan, q
         assert "CartesianProduct" not in plan, q

@@ -110,7 +110,16 @@ QUERIES = [
     # serving entry and the component-store overlay read; first measured
     # in BENCH_SF1_r12
     "q136_minhash_index_serve", "q137_component_store",
+    # appended r13 (r12 VERDICT #1): the end-to-end streaming dedup
+    # pipeline entry; first measured in BENCH_SF1_r13
+    "q138_stream_dedup_pipeline",
 ]
+
+# Battery entries RETIRED from the registry (COVERAGE.md rotation policy)
+# keep their position in the frozen list above for trend-line history but
+# are skipped at run time; their rows simply end at the retirement round.
+RETIRED = {"q24_nation_volume"}  # r13: redundant with q128's family
+
 
 
 def _median(xs: list[float]) -> float:
@@ -136,16 +145,17 @@ def main() -> None:
     for d in (SRC, DST):
         for t in TESTDATA_TABLES:
             read_table(spark, d, t).count()
-    for name in QUERIES:
+    queries_live = [n for n in QUERIES if n not in RETIRED]
+    for name in queries_live:
         q = REGISTRY[name]
         if q.prepare is not None:
             q.prepare(spark, SRC)
             q.prepare(spark, DST)
 
-    base_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
-    sf1_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    base_runs: dict[str, list[float]] = {n: [] for n in queries_live}
+    sf1_runs: dict[str, list[float]] = {n: [] for n in queries_live}
     for _ in range(N_RUNS):
-        for name in QUERIES:
+        for name in queries_live:
             q = REGISTRY[name]
             t0 = time.time()
             q.spark(spark, SRC).write.format("noop").mode("overwrite").save()
@@ -156,7 +166,7 @@ def main() -> None:
             chunking.release_persisted()
 
     queries = {}
-    for name in QUERIES:
+    for name in queries_live:
         b, s = _median(base_runs[name]), _median(sf1_runs[name])
         queries[name] = {
             "sf0.1_sec": round(b, 3),
