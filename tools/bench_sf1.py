@@ -132,6 +132,13 @@ def main() -> None:
     if "--out" in argv:
         out_path = argv[argv.index("--out") + 1]
 
+    # box-speed denominator for cross-round comparisons (r12 VERDICT #4:
+    # the sf1 files carried no probe, so cross-round per-query ratios —
+    # the q17/q41 watch — needed a prose re-adjudication every round);
+    # tools/bench_compare.py divides ratios by it. Within-file sf1/sf0.1
+    # ratios never needed it (both legs share the session).
+    from bench import _cpu_probe
+    cpu_probe = _cpu_probe()
     spark = get_spark("bench_sf1")
     marker = Path(DST) / "_built_ok"
     if "--regen" in argv or not marker.exists():
@@ -184,6 +191,7 @@ def main() -> None:
         "total_sf01": round(sum(q["sf0.1_sec"] for q in queries.values()), 2),
         "total_sf1": round(sum(q["sf1_sec"] for q in queries.values()), 2),
         "max_ratio": max(q["ratio"] for q in queries.values()),
+        "cpu_probe": cpu_probe,
         "queries": queries,
     }
     Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
