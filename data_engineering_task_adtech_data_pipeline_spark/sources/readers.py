@@ -126,6 +126,36 @@ def read_jdbc(
     PostgresHook, ``dags/track_delta.py:33-40``). Partitioned reads split the
     scan across executors instead of one cursor; aggregate pushdown lets the
     source DB pre-aggregate like the reference's SQL-side CTEs did.
+
+    Production-Postgres recipe (the first thing a real user hits; this
+    sandbox has no PG server, so the path is round-tripped through
+    embedded Derby in tests — DEVIATIONS.md):
+
+    - **Driver jar**: ship ``org.postgresql:postgresql`` via
+      ``spark.jars.packages`` (the JVM needs it; pip psycopg does not
+      apply). URL shape ``jdbc:postgresql://host:5432/db``; pass
+      ``user``/``password`` through ``**options``.
+    - **Partitioned scan**: ``partition_column`` must be numeric, date or
+      timestamp (Postgres PKs like the reference's ``impressions.id``
+      qualify). Derive real bounds first — one probe query
+      ``(lower, upper) = df_or_cursor("SELECT min(id), max(id) ...")`` —
+      because the defaults here (0, 2^31) produce empty-stripe skew on
+      small ranges. Ranges are uniform in VALUE space, so a sparse or
+      hot-ended key skews stripes; prefer a dense sequence column.
+    - **fetchsize**: the Postgres driver defaults to streaming the whole
+      result unless autocommit is off; set ``fetchsize="10000"`` (an
+      ``**options`` passthrough) for cursor-batched reads.
+    - **Aggregate pushdown caveat**: Spark pushes a COMPLETE aggregate to
+      the source only when ``numPartitions == 1`` or the GROUP BY key
+      equals ``partition_column`` — otherwise it pushes partial aggs per
+      stripe and finishes the merge itself (still correct, still less
+      transfer). Don't expect a 32-stripe read of an unrelated grouping
+      to hit PG as one GROUP BY.
+    - **Predicate/column pushdown** work per stripe regardless — filters
+      land in each stripe's WHERE alongside the range predicate.
+    - For the reference's CDC extracts, push the high-watermark filter
+      into ``table`` as a subquery alias (``"(SELECT ... WHERE updated_at
+      > '...') t"``) so PG scans the index, not Spark the table.
     """
     reader = (
         spark.read.format("jdbc")
