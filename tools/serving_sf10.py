@@ -43,7 +43,12 @@ QUERIES = [
     "q134_ivf_sq8_serve",
     "q136_minhash_index_serve",
     "q137_component_store",
-    "q138_stream_dedup_pipeline",
+    # q138 is EXCLUDED by design, not oversight: its fixed waves
+    # (doc_id<175, 175..349) are 100% near-duplicated by their 99 base
+    # replicas under this data recipe — the pipeline correctly accepts
+    # ZERO docs, so the "serving" read measures an empty table. Its
+    # scale story is carried by q136 (same index serving kernel) and
+    # q137 (same store read) here, and by its own sf1 row.
 ]
 
 N_RUNS = 3
