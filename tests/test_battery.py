@@ -47,3 +47,29 @@ def test_sql_api_over_registered_views(spark):
     assert {(r.l_returnflag, r.n) for r in sql_out.collect()} == {
         (r.l_returnflag, r.n) for r in df_out.collect()
     }
+
+
+def test_q138_zero_survivor_state_reads_empty(spark, tmp_path):
+    """Zero survivors is a VALID pipeline outcome (observed on the 100x
+    replica stress data: every arrival duplicated the corpus) — the
+    landed table then holds no files, and the q138 read must return an
+    empty, correctly-shaped frame instead of failing schema inference."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.plans import battery_ext as bx
+
+    text = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "web", len(text)), (350, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = bx.q138_stream_dedup_pipeline(spark, sf_dir)
+    assert out.columns == ["doc_id", "lang", "source", "n_chars", "component"]
+    assert out.count() == 0
+    # the store still clustered the rejected doc with its corpus match
+    comp = bx.dedup.components_read(
+        spark, f"{bx._q138_root(sf_dir)}/store"
+    ).collect()
+    assert {(r.id, r.component) for r in comp} == {(0, 0), (350, 0)}
