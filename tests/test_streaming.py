@@ -1428,3 +1428,44 @@ def test_q136_q137_promotions_end_to_end(spark, tmp_path):
     assert os.path.isdir(
         os.path.join(_q137_root(sf_dir), "store", "delta")
     )
+
+
+def test_stream_dedup_pipeline_max_bucket_reaches_intra_pass(spark, tmp_path):
+    """r12 ADVICE: the intra-batch pass must share the caller's
+    max_bucket with the corpus pass. With max_bucket=1 every LSH bucket
+    truncates to one member, so NO intra-batch candidate pairs can form
+    — two same-batch duplicates both survive. Before the threading fix
+    the intra pass silently used the default cap (64) and dropped one."""
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_dedup_pipeline,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "a completely unrelated corpus document about warehouse inventory"
+    dup = "two identical arrivals share this exact sentence in one batch today"
+    d = str(tmp_path)
+    dedup.minhash_index_write(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        d + "/idx", num_hashes=32, bands=8,
+    )
+    spark.createDataFrame(
+        [(10, dup), (11, dup)], "doc_id long, text string"
+    ).write.parquet(d + "/in")
+
+    def run(tag, max_bucket):
+        stream_dedup_pipeline(
+            spark, d + "/in", d + "/idx", None, d + f"/acc_{tag}",
+            d + f"/ck_{tag}", verify_threshold=0.5, max_bucket=max_bucket,
+            schema=schema,
+        ).awaitTermination(120)
+        return {
+            r.doc_id for r in spark.read.parquet(d + f"/acc_{tag}").collect()
+        }
+
+    assert run("capped", 1) == {10, 11}   # no bucket can pair: both land
+    assert run("default", 64) == {10}     # intra pass collapses the pair
