@@ -166,6 +166,25 @@ def read_text(spark: SparkSession, path: str) -> str:
         inp.close()
 
 
+def fingerprint(spark: SparkSession, path: str) -> "tuple | None":
+    """Cheap content fingerprint of a directory: (name, length, mtime) of
+    each child, from ONE listStatus RPC; None if the path is absent.
+    The validity token for driver-side memos over write-once/rewritten-
+    whole tables (the minhash params memo): an overwrite rewrites part
+    files — new names or mtimes — so a stale memo entry MISSES and
+    re-reads instead of serving values from before an external rebuild."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    return tuple(
+        sorted(
+            (str(s.getPath().getName()), int(s.getLen()),
+             int(s.getModificationTime()))
+            for s in fs.listStatus(p)
+        )
+    )
+
+
 def list_names(spark: SparkSession, path: str) -> "list[str]":
     """Child entry names of a directory (empty list if absent) — Hadoop
     FileSystem listStatus, so hdfs:// and s3a:// roots behave like local

@@ -1746,25 +1746,32 @@ def _band_bucket(band_hash: Column, band_buckets: int) -> Column:
     return F.pmod(F.xxhash64(band_hash), F.lit(band_buckets)).cast("int")
 
 
-# In-process params memo: the params table is write-once per root
-# (minhash_index_write invalidates it on rebuild), yet the serving path
-# re-read the one-row parquet on every call — a full file-listing + scan
-# job of pure fixed latency per batch (r12 VERDICT). Keyed by normalized
-# root; bounded by the number of distinct indexes a process serves.
+# In-process params memo: the params table is write-once per root, yet
+# the serving path re-read the one-row parquet on every call — a full
+# Spark scan job of pure fixed latency per batch (r12 VERDICT). Each hit
+# is validated against a one-RPC directory fingerprint (child names +
+# lengths + mtimes), so a rebuild by ANY process — not just this one —
+# changes the part files and the stale entry misses instead of silently
+# serving old banding parameters (round-13 review).
 _PARAMS_MEMO: dict = {}
 
 
 def _minhash_params(spark, root: str):
     """Load the stored banding/shingling parameters (one driver-sized row),
-    memoized per root for the life of the process."""
+    memoized per root; the memo revalidates with one listStatus RPC
+    (~free vs the Spark job it replaces) and self-heals after an
+    out-of-process rebuild."""
+    fs = _fs_mod()
+    path = fs.join(root, MINHASH_PARAMS_DIR)
+    token = fs.fingerprint(spark, path)
     key = root.rstrip("/")
     hit = _PARAMS_MEMO.get(key)
-    if hit is not None:
-        return hit
-    rows = spark.read.parquet(_fs_mod().join(root, MINHASH_PARAMS_DIR)).collect()
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    rows = spark.read.parquet(path).collect()
     if len(rows) != 1:
         raise ValueError(f"corrupt minhash index params at {root}")
-    _PARAMS_MEMO[key] = rows[0]
+    _PARAMS_MEMO[key] = (token, rows[0])
     return rows[0]
 
 
@@ -1811,23 +1818,36 @@ def minhash_index_write(
     # streamed delta or tombstones — leftover delta profiles were computed
     # under the OLD parameters and would union into serving as silent
     # wrong-band corruption (and old tombstones would delete ids the new
-    # corpus legitimately holds). Compact or delete the overlays first,
-    # or build under a fresh root.
-    for overlay in (MINHASH_DELTA_DIR, "tombstones"):
+    # corpus legitimately holds). An interrupted-compaction staging dir
+    # refuses on sight: its rows may be half-applied, and the documented
+    # recovery (rename it back) would revive an old-parameter delta under
+    # the new base. Compact / recover first, or build under a fresh root.
+    # Only the "dir exists but holds no committed parquet" AnalysisException
+    # reads as empty — a transient read failure must refuse, not bypass the
+    # guard (round-13 review).
+    from pyspark.errors import AnalysisException
+
+    for overlay in (
+        MINHASH_DELTA_DIR, MINHASH_DELTA_DIR + ".compacting", "tombstones",
+    ):
         path = fs.join(root, overlay)
-        if fs.is_dir(spark, path):
+        if not fs.is_dir(spark, path):
+            continue
+        if overlay.endswith(".compacting"):
+            live = True
+        else:
             try:
                 live = not spark.read.parquet(path).isEmpty()
-            except Exception:  # dir exists but holds no committed files
+            except AnalysisException:  # no committed files yet
                 live = False
-            if live:
-                raise ValueError(
-                    f"minhash index root {root} still holds a live "
-                    f"'{overlay}' overlay; rebuilding the base under it "
-                    "would serve delta profiles computed with the old "
-                    "parameters (and stale deletes) — run "
-                    "minhash_index_compact first or use a fresh root"
-                )
+        if live:
+            raise ValueError(
+                f"minhash index root {root} still holds a live "
+                f"'{overlay}' overlay; rebuilding the base under it "
+                "would serve delta profiles computed with the old "
+                "parameters (and stale deletes) — run "
+                "minhash_index_compact first or use a fresh root"
+            )
     _PARAMS_MEMO.pop(root.rstrip("/"), None)
     spark.createDataFrame(
         [
@@ -1869,10 +1889,13 @@ def _minhash_delta(spark, root: str) -> "DataFrame | None":
     path = fs.join(root, MINHASH_DELTA_DIR)
     if not fs.is_dir(spark, path):
         return None
+    from pyspark.errors import AnalysisException
+
     try:
         delta = spark.read.parquet(path)
-    except Exception:  # dir exists but holds no committed files yet
-        return None
+    except AnalysisException:  # dir exists but holds no committed files
+        return None  # yet; any OTHER failure must surface, not read as
+        # "no delta" — that would silently serve without the streamed docs
     if "__epoch_id" in delta.columns:
         delta = delta.drop("__epoch_id")
     return delta
@@ -1914,6 +1937,13 @@ def minhash_index_dedup(
     :func:`minhash_lsh_candidates` does. Banding parameters come from the
     stored ``params`` table, so serving can never band differently than
     the index was built.
+
+    The batch side (its band rows and the duplicate-hit id set) is
+    BROADCAST unconditionally — that is the serving contract: the batch
+    must be micro-batch-sized (it fits the driver/broadcast limits, and
+    every serving cost is O(batch)). For a data-sized "batch" — deduping
+    one corpus against another — use :func:`dedup_against`, whose joins
+    shuffle both sides.
 
     ``keep="survivors"`` (default) returns the non-duplicate batch rows;
     ``keep="links"`` returns the batch↔corpus link pairs instead —
@@ -2190,10 +2220,12 @@ def _components_delta(spark, root: str) -> "DataFrame | None":
     path = fs.join(root, COMP_DELTA_DIR)
     if not fs.is_dir(spark, path):
         return None
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:  # dir exists but holds no committed files yet
-        return None
+    except AnalysisException:  # dir exists but holds no committed files
+        return None  # yet; other failures surface (stale-view hazard)
 
 
 def components_read(spark, root: str) -> DataFrame:

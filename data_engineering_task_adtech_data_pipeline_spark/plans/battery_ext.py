@@ -6416,15 +6416,19 @@ def q138_stream_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _q138_prepare(spark, sf_dir)  # no-op when warm
     root = _q138_root(sf_dir)
+    from pyspark.errors import AnalysisException
+
     try:
         acc = spark.read.parquet(
             os.path.join(root, "accepted")
         ).drop("__epoch_id")
-    except Exception:
+    except AnalysisException:
         # zero survivors is a VALID pipeline outcome (every arrival
         # duplicated the corpus — observed on the 100x replica stress
         # data); the sink then wrote no files, so the read can't infer a
         # schema. Survivors carry exactly the arriving document columns.
+        # Only the schema-inference AnalysisException reads as empty —
+        # a genuine read failure must surface, not return an empty frame.
         acc = Testdata(spark, sf_dir).documents.limit(0)
     comp = dedup.components_read(spark, os.path.join(root, "store"))
     # no broadcast hint: survivors AND the store are both corpus-sized at

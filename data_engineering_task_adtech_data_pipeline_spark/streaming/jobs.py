@@ -1255,10 +1255,15 @@ def _bloom_pin_params(
         # as the pin would silently OR wrong-hash bit positions into the
         # log if they differ — exactly the corruption the pin prevents
         # (r12 ADVICE: the md5→xxhash64 default flip made this live).
-        # Refuse unless the log is genuinely empty of committed rows.
+        # Refuse unless the log is genuinely empty of committed rows —
+        # and only the "no committed parquet" AnalysisException reads as
+        # empty; a transient read failure must refuse rather than bypass
+        # the corruption guard (round-13 review).
+        from pyspark.errors import AnalysisException
+
         try:
             stale = not spark.read.parquet(sketch_path).isEmpty()
-        except Exception:  # dir exists but holds no committed files yet
+        except AnalysisException:  # dir exists, no committed files yet
             stale = False
         if stale:
             raise ValueError(
@@ -1395,7 +1400,11 @@ def stream_dedup_pipeline(
     ``components_write`` initialized the store (an empty (id, component)
     frame is fine). The batch is profiled per epoch by the intra pass,
     the serving join, and ingest — batch-sized work each time, nothing
-    proportional to the corpus."""
+    proportional to the corpus. The serving join BROADCASTS the batch
+    side (the ``minhash_index_dedup`` contract), so micro-batches must
+    stay micro: draining a large backlog through availableNow with no
+    ``maxFilesPerTrigger`` can put one corpus-sized batch through a
+    broadcast — bound the trigger for backfills."""
     from .. import fs
     from ..operators.dedup import (
         MINHASH_DELTA_DIR,

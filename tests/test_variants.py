@@ -1063,6 +1063,17 @@ def test_minhash_index_write_refuses_live_overlays(spark, tmp_path):
     stream_minhash_ingest(spark, d + "/in", root, d + "/ckpt").awaitTermination(120)
     with pytest.raises(ValueError, match="live 'stream_profiles' overlay"):
         dedup.minhash_index_write(corpus, root, num_hashes=64, bands=16)
+    # an interrupted-compaction staging dir refuses ON SIGHT (its rows
+    # may be half-applied; renaming it back would revive an old-parameter
+    # delta under a new base)
+    import os
+
+    os.rename(root + "/stream_profiles", root + "/stream_profiles.compacting")
+    with pytest.raises(
+        ValueError, match="live 'stream_profiles.compacting' overlay"
+    ):
+        dedup.minhash_index_write(corpus, root, num_hashes=64, bands=16)
+    os.rename(root + "/stream_profiles.compacting", root + "/stream_profiles")
     dedup.minhash_index_compact(spark, root)
     dedup.minhash_index_delete(spark, root, [1])
     with pytest.raises(ValueError, match="live 'tombstones' overlay"):

@@ -139,7 +139,8 @@ def main() -> None:
             df = q.spark(spark, DST)
             df.write.format("noop").mode("overwrite").save()
             big_runs[name].append(time.time() - t0)
-            rows_big.setdefault(name, df.count())
+            if name not in rows_big:  # setdefault would re-count() every
+                rows_big[name] = df.count()  # run (eager default arg)
 
     queries = {}
     for name in QUERIES:
