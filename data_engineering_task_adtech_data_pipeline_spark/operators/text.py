@@ -886,7 +886,12 @@ def bigram_lm_nll(
     Portability: the interpolated probability is a fixed double
     expression over integer-count ratios (identical in any IEEE engine);
     each token's ``-ln p`` is rounded to 6-dp DECIMAL and summed exactly;
-    the mean divides the exact sum by the token count and rounds to 6 dp.
+    the mean is the RAW double quotient of that exact sum by the token
+    count (the ``unigram_nll_score`` pattern) — deliberately NOT rounded:
+    one IEEE division of exact operands is bit-identical across engines,
+    whereas round(quotient, 6) diverges when the exact mean lands on a
+    6-dp half-way boundary (measured at sf0.1: one doc in 5000 read
+    3.405587 in Spark vs 3.405588 in DuckDB through the double path).
 
     Scale shape: ONE posexplode; bigrams via a per-document ``lead``
     window (state bounded by doc length); count tables are hash
@@ -927,8 +932,8 @@ def bigram_lm_nll(
     return out.select(
         F.col("id").alias(id_col),
         "n_bigrams",
-        F.round(
-            F.col("__s").cast("double") / F.col("n_bigrams"), 6
+        (
+            F.col("__s").cast("double") / F.col("n_bigrams").cast("double")
         ).alias("mean_nll"),
     )
 

@@ -3928,13 +3928,16 @@ def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN uni ON uni.w = b.w2, n
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+           CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nll
     FROM terms GROUP BY doc_id
     """,
     doc="Interpolated bigram LM score (text.bigram_lm_nll, lam=0.5): "
     "p(w2|w1) = 0.5*c(w1,w2)/ctx(w1) + 0.5*c(w2)/N trained on the corpus "
-    "itself, per-doc mean NLL from 6-dp-DECIMAL token terms. The CCNet "
-    "quality-scoring shape one order above q89's unigram.",
+    "itself, per-doc mean NLL = exact 6-dp-DECIMAL term sum cast to "
+    "double over the count — the q89 raw-quotient pattern; a final "
+    "round(x, 6) diverged between engines on an exact half-way boundary "
+    "at sf0.1. The CCNet quality-scoring shape one order above q89's "
+    "unigram.",
 )
 def q106_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
