@@ -168,21 +168,42 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def fingerprint(spark: SparkSession, path: str) -> "tuple | None":
     """Cheap content fingerprint of a directory: (name, length, mtime) of
-    each child, from ONE listStatus RPC; None if the path is absent.
-    The validity token for driver-side memos over write-once/rewritten-
-    whole tables (the minhash params memo): an overwrite rewrites part
-    files — new names or mtimes — so a stale memo entry MISSES and
-    re-reads instead of serving values from before an external rebuild."""
+    each child, from ONE listStatus RPC; None if the path is absent (the
+    not-found error from listStatus IS the absence probe — no separate
+    exists() call, so a concurrent delete between two RPCs cannot leak a
+    FileNotFoundException to the caller; it returns None like any other
+    miss). The validity token for driver-side memos over write-once/
+    rewritten-whole tables (the minhash params memo): an overwrite
+    rewrites part files — new names or mtimes — so a stale memo entry
+    MISSES and re-reads instead of serving values from before an external
+    rebuild. Caveat: a byte- AND metadata-preserving restore of an older
+    directory (``cp -p``, some object-store copies) reproduces the old
+    tuple and would revalidate a stale entry — callers for whom that
+    matters should fold a content checksum into the memoed value."""
     fs, p = _fs_and_path(spark, path)
-    if not fs.exists(p):
-        return None
+    try:
+        statuses = fs.listStatus(p)
+    except Exception as e:  # py4j wraps java.io.FileNotFoundException
+        if "FileNotFoundException" in str(getattr(e, "java_exception", e)):
+            return None
+        raise
     return tuple(
         sorted(
             (str(s.getPath().getName()), int(s.getLen()),
              int(s.getModificationTime()))
-            for s in fs.listStatus(p)
+            for s in statuses
         )
     )
+
+
+def qualified(spark: SparkSession, path: str) -> str:
+    """The filesystem-qualified form of ``path`` (scheme + authority +
+    normalized path, e.g. ``file:/root/x`` for a bare ``/root/x//``) —
+    the canonical memo key: relative/absolute/trailing-slash aliases of
+    the same directory all map to one string, so driver-side caches keyed
+    by it cannot hold duplicate entries for one physical table."""
+    fs, p = _fs_and_path(spark, path)
+    return str(fs.makeQualified(p).toString())
 
 
 def list_names(spark: SparkSession, path: str) -> "list[str]":

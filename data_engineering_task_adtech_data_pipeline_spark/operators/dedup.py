@@ -1760,11 +1760,19 @@ def _minhash_params(spark, root: str):
     """Load the stored banding/shingling parameters (one driver-sized row),
     memoized per root; the memo revalidates with one listStatus RPC
     (~free vs the Spark job it replaces) and self-heals after an
-    out-of-process rebuild."""
+    out-of-process rebuild. Keys are the filesystem-QUALIFIED params dir
+    (``fs.qualified``), so relative/absolute/trailing-slash aliases of one
+    root share one entry. Known limit (inherits ``fs.fingerprint``'s):
+    a metadata-preserving restore of an OLDER params dir (``cp -p``)
+    reproduces the old (name, length, mtime) tuple and revalidates —
+    acceptable because params are write-once per root by contract
+    (``minhash_index_write`` refuses to re-band in place); a true
+    re-parameterization goes through a fresh Spark write, which always
+    generates new part-file names."""
     fs = _fs_mod()
     path = fs.join(root, MINHASH_PARAMS_DIR)
     token = fs.fingerprint(spark, path)
-    key = root.rstrip("/")
+    key = fs.qualified(spark, path)
     hit = _PARAMS_MEMO.get(key)
     if hit is not None and hit[0] == token:
         return hit[1]
@@ -1917,6 +1925,7 @@ def minhash_index_dedup(
     verify_threshold: float | None = 0.8,
     max_bucket: int = 64,
     keep: str = "survivors",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Serve :func:`dedup_against` from the persisted index: drop rows of
     ``batch`` that near-duplicate an accepted corpus doc, WITHOUT
@@ -1939,11 +1948,16 @@ def minhash_index_dedup(
     the index was built.
 
     The batch side (its band rows and the duplicate-hit id set) is
-    BROADCAST unconditionally — that is the serving contract: the batch
+    BROADCAST by default — that is the serving contract: the batch
     must be micro-batch-sized (it fits the driver/broadcast limits, and
     every serving cost is O(batch)). For a data-sized "batch" — deduping
     one corpus against another — use :func:`dedup_against`, whose joins
-    shuffle both sides.
+    shuffle both sides. ``broadcast_batch=False`` keeps this function's
+    candidate semantics but drops every forced batch-side broadcast (AQE
+    picks the join strategy) — the escape hatch callers that cannot
+    bound their batch (a backlog drain with no ``maxFilesPerTrigger``)
+    use instead of failing at the driver/broadcast limit; a corpus-sized
+    batch is still better served by :func:`dedup_against`.
 
     ``keep="survivors"`` (default) returns the non-duplicate batch rows;
     ``keep="links"`` returns the batch↔corpus link pairs instead —
@@ -1957,6 +1971,7 @@ def minhash_index_dedup(
     """
     if keep not in ("survivors", "links"):
         raise ValueError(f"unknown keep mode: {keep!r}")
+    B = F.broadcast if broadcast_batch else (lambda df: df)
     spark = batch.sparkSession
     fs = _fs_mod()
     p = _minhash_params(spark, root)
@@ -2004,7 +2019,7 @@ def minhash_index_dedup(
     # batch band keys broadcast -> the stored scan prunes to touched hb
     # partitions (dynamic partition pruning; plan-asserted in tests)
     keys = new_bands.select("hb", "band_idx", "band_hash").distinct()
-    matched = stored.join(F.broadcast(keys), ["hb", "band_idx", "band_hash"])
+    matched = stored.join(B(keys), ["hb", "band_idx", "band_hash"])
     # cap per bucket with the family-wide determinism contract: since the
     # key-join keeps every stored row of a matching bucket, capping the
     # matched rows == capping the full bucket (what dedup_against does)
@@ -2018,7 +2033,7 @@ def minhash_index_dedup(
     # sort-merge (two avoidable exchanges of fixed serving latency, r12
     # VERDICT); broadcast the band rows like every other batch-sized side
     cand = (
-        F.broadcast(new_bands)
+        B(new_bands)
         .join(buckets, ["band_idx", "band_hash"])
         .select("__id_new", F.explode("ids").alias("__id_corp"))
         .distinct()
@@ -2029,7 +2044,7 @@ def minhash_index_dedup(
                 F.col("__id_new").alias("id_a"), F.col("__id_corp").alias("id_b")
             )
         hits = cand.select(F.col("__id_new").alias(id_col)).distinct()
-        return batch.join(F.broadcast(hits), id_col, "left_anti")
+        return batch.join(B(hits), id_col, "left_anti")
     docs = spark.read.parquet(fs.join(root, MINHASH_DOCS_DIR)).select(
         F.col(corp_id).alias("__id_corp"), F.col("shingle_set").alias("__sh_c")
     )
@@ -2050,8 +2065,8 @@ def minhash_index_dedup(
         / F.size(F.array_union("__sh_n", "__sh_c")).cast("double")
     )
     verified = (
-        docs.join(F.broadcast(cand), "__id_corp")
-        .join(F.broadcast(sh_new), "__id_new")
+        docs.join(B(cand), "__id_corp")
+        .join(B(sh_new), "__id_new")
         .where(jac >= verify_threshold)
     )
     if keep == "links":
@@ -2061,7 +2076,7 @@ def minhash_index_dedup(
     # hits ≤ batch ids: broadcast the anti-join side (the last remaining
     # batch-proportional sort-merge exchange on the serving path)
     hits = verified.select(F.col("__id_new").alias(id_col)).distinct()
-    return batch.join(F.broadcast(hits), id_col, "left_anti")
+    return batch.join(B(hits), id_col, "left_anti")
 
 
 def minhash_index_delete(spark, root: str, ids, id_col: str | None = None) -> None:

@@ -1340,6 +1340,8 @@ def stream_dedup_pipeline(
     available_now: bool = True,
     processing_time: str = "5 minutes",
     schema: "T.StructType | None" = None,
+    max_files_per_trigger: int | None = None,
+    broadcast_max_batch_rows: int = 500_000,
 ):
     """The END-TO-END continuously-ingesting dedup pipeline, one job: per
     micro-batch of arriving documents,
@@ -1402,9 +1404,18 @@ def stream_dedup_pipeline(
     the serving join, and ingest — batch-sized work each time, nothing
     proportional to the corpus. The serving join BROADCASTS the batch
     side (the ``minhash_index_dedup`` contract), so micro-batches must
-    stay micro: draining a large backlog through availableNow with no
-    ``maxFilesPerTrigger`` can put one corpus-sized batch through a
-    broadcast — bound the trigger for backfills."""
+    stay micro. That contract is now ENFORCED, two ways (round-14
+    review — a backlog drain through availableNow used to push a
+    corpus-sized batch through a broadcast and die at the 8 GB/driver
+    limit): (a) ``max_files_per_trigger`` bounds how many input files
+    one micro-batch may coalesce (pass it for backfills; None keeps
+    the source's natural batching, which is what pins wave == epoch in
+    tests and the q138 oracle replay); (b) every batch counts itself
+    first — at most ``broadcast_max_batch_rows`` docs go through the
+    forced-broadcast serving plan, larger batches fall back to
+    ``broadcast_batch=False`` (AQE-chosen shuffle joins — the plan
+    that completes where a forced broadcast would fail). NOTE the
+    fallback changes only the physical plan, never which docs survive."""
     from .. import fs
     from ..operators.dedup import (
         MINHASH_DELTA_DIR,
@@ -1449,6 +1460,12 @@ def stream_dedup_pipeline(
         if batch_df.isEmpty():
             return
         batch = batch_df.localCheckpoint()
+        # micro-batch contract guard: the checkpointed batch counts for
+        # ~free; an oversized batch (unbounded backfill) downgrades the
+        # forced-broadcast serving plan to AQE-chosen joins instead of
+        # failing at the broadcast limit
+        bc = batch.count() <= broadcast_max_batch_rows
+        B = F.broadcast if bc else (lambda df: df)
         # (1) intra-batch pass: verified pairs within the batch under the
         # INDEX's own banding/shingling params, closed transitively; the
         # min-id doc of each intra cluster goes on to probe the corpus
@@ -1463,19 +1480,19 @@ def stream_dedup_pipeline(
             .select(F.col("id").alias(id_col))
         )
         canon = batch.join(
-            F.broadcast(intra_drop), id_col, "left_anti"
+            B(intra_drop), id_col, "left_anti"
         ).localCheckpoint()
         # (2) corpus pass over the intra-survivors only
         links = minhash_index_dedup(
             canon, index_root, text_col, id_col, verify_threshold,
-            max_bucket, keep="links",
+            max_bucket, keep="links", broadcast_batch=bc,
         )
         # replay guard: never match a corpus doc whose id arrived in THIS
         # batch (only possible from a partially-committed prior attempt)
         own = batch.select(F.col(id_col).alias("id_b")).distinct()
-        links = links.join(F.broadcast(own), "id_b", "left_anti").localCheckpoint()
+        links = links.join(B(own), "id_b", "left_anti").localCheckpoint()
         dup_ids = links.select(F.col("id_a").alias(id_col)).distinct()
-        survivors = canon.join(F.broadcast(dup_ids), id_col, "left_anti")
+        survivors = canon.join(B(dup_ids), id_col, "left_anti")
         (
             survivors.withColumn("__epoch_id", F.lit(epoch_id))
             .write.mode("overwrite")
@@ -1504,7 +1521,10 @@ def stream_dedup_pipeline(
             .parquet(delta_path)
         )
 
-    stream = spark.readStream.schema(schema or DOC_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(schema or DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     writer = (
         stream.writeStream.outputMode("append")
         .foreachBatch(sink)

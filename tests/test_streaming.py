@@ -1469,3 +1469,79 @@ def test_stream_dedup_pipeline_max_bucket_reaches_intra_pass(spark, tmp_path):
 
     assert run("capped", 1) == {10, 11}   # no bucket can pair: both land
     assert run("default", 64) == {10}     # intra pass collapses the pair
+
+
+def test_stream_dedup_pipeline_oversize_batch_shuffle_fallback(spark, tmp_path):
+    """r13 ADVICE: an unbounded backlog drain used to push a corpus-sized
+    batch through the forced-broadcast serving plan. The pipeline now
+    counts each batch and falls back to AQE-chosen joins past
+    ``broadcast_max_batch_rows`` — same survivors, same folds, different
+    physical plan. Forcing the threshold to 0 exercises the fallback on
+    every batch; results must be identical to the broadcast run. Also
+    covers ``minhash_index_dedup(broadcast_batch=False)`` directly and
+    ``max_files_per_trigger`` splitting a two-file backlog into two
+    micro-batches (two epoch partitions) instead of one."""
+    from pyspark.sql import types as T
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators import dedup
+    from data_engineering_task_adtech_data_pipeline_spark.streaming.jobs import (
+        stream_dedup_pipeline,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_c = "fresh unique content that matches nothing stored anywhere at all yet"
+    d = str(tmp_path)
+    corpus = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    dedup.minhash_index_write(corpus, d + "/idx", num_hashes=32, bands=8)
+
+    # direct operator equivalence: shuffle plan == broadcast plan
+    batch = spark.createDataFrame(
+        [(10, text_a), (11, text_c)], "doc_id long, text string"
+    )
+    bc = dedup.minhash_index_dedup(batch, d + "/idx", verify_threshold=0.5)
+    sh = dedup.minhash_index_dedup(
+        batch, d + "/idx", verify_threshold=0.5, broadcast_batch=False
+    )
+    assert {r.doc_id for r in bc.collect()} == {r.doc_id for r in sh.collect()} == {11}
+
+    # pipeline fallback on every batch (threshold 0) — survivors identical
+    dedup.components_write(
+        spark.createDataFrame([], "id long, component long"), d + "/comp"
+    )
+    batch.write.parquet(d + "/in")
+    stream_dedup_pipeline(
+        spark, d + "/in", d + "/idx", d + "/comp", d + "/acc", d + "/ck",
+        verify_threshold=0.5, schema=schema, broadcast_max_batch_rows=0,
+    ).awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(d + "/acc").collect()} == {11}
+    assert {
+        (r.id, r.component)
+        for r in dedup.components_read(spark, d + "/comp").collect()
+    } == {(1, 1), (10, 1)}
+
+    # max_files_per_trigger bounds a backfill: 2 files -> 2 micro-batches
+    # (two distinct docs, so each lands in its OWN epoch partition; an
+    # unbounded drain would coalesce both into a single __epoch_id=0)
+    text_d = "another novel document with its own vocabulary and no overlap here"
+    text_e = "yet one more singular passage covering completely separate topics"
+    spark.createDataFrame(
+        [(20, text_d)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d + "/in2")
+    spark.createDataFrame(
+        [(21, text_e)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d + "/in2")
+    dedup.minhash_index_write(corpus, d + "/idx2", num_hashes=32, bands=8)
+    stream_dedup_pipeline(
+        spark, d + "/in2", d + "/idx2", None, d + "/acc2", d + "/ck2",
+        verify_threshold=0.5, schema=schema, max_files_per_trigger=1,
+    ).awaitTermination(120)
+    landed = spark.read.parquet(d + "/acc2")
+    assert {r.doc_id for r in landed.collect()} == {20, 21}
+    epochs = {
+        f.name for f in (tmp_path / "acc2").iterdir()
+        if f.name.startswith("__epoch_id=")
+    }
+    assert len(epochs) == 2

@@ -45,17 +45,22 @@ def _load(path: str) -> dict:
     return d
 
 
-def _series(d: dict, series: str, sf1_leg: str) -> dict[str, float]:
+def _series(d: dict, series: str, sf1_leg: str) -> tuple[dict[str, float], str]:
+    """Return (per-query seconds, label of what was ACTUALLY used) — the
+    label is printed so an adjudication records which leg it compared
+    (round-14 review: a silent fallback could mislabel a load-bearing
+    BASELINE.md row)."""
     qs = d.get("queries") or {}
     if qs and isinstance(next(iter(qs.values())), dict):
         # BENCH_SF1 shape: per-query dicts with sf0.1_sec / sf1_sec
         key = "sf1_sec" if sf1_leg == "sf1" else "sf0.1_sec"
-        return {n: v[key] for n, v in qs.items() if key in v}
+        return {n: v[key] for n, v in qs.items() if key in v}, f"sf1-leg:{key}"
     if series == "median":
-        return d.get("queries_median") or qs
+        got = d.get("queries_median")
+        return (got, "median") if got else (qs, "single (no median recorded)")
     if series == "legacy":
-        return d.get("legacy_count_action_queries") or {}
-    return qs
+        return d.get("legacy_count_action_queries") or {}, "legacy"
+    return qs, "single"
 
 
 def _probe(d: dict) -> "float | None":
@@ -82,10 +87,16 @@ def main() -> None:
             out_json = argv[i + 1]; i += 2
         else:
             paths.append(a); i += 1
+    if series not in ("median", "single", "legacy"):
+        sys.exit(f"unknown --series {series!r}: expected median|single|legacy")
+    if sf1_leg not in ("sf1", "sf0.1"):
+        sys.exit(f"unknown --sf1-leg {sf1_leg!r}: expected sf1|sf0.1")
     if len(paths) != 2:
         sys.exit(__doc__)
     a, b = _load(paths[0]), _load(paths[1])
-    qa, qb = _series(a, series, sf1_leg), _series(b, series, sf1_leg)
+    (qa, used_a), (qb, used_b) = (
+        _series(a, series, sf1_leg), _series(b, series, sf1_leg)
+    )
     pa, pb = _probe(a), _probe(b)
     probe_ratio = (pb / pa) if (pa and pb) else None
 
@@ -114,6 +125,8 @@ def main() -> None:
     )
     summary = {
         "series": series,
+        "series_used_old": used_a,
+        "series_used_new": used_b,
         "n_common": len(common),
         "only_old": sorted(set(qa) - set(qb)),
         "only_new": sorted(set(qb) - set(qa)),
@@ -134,7 +147,8 @@ def main() -> None:
         )
 
     tag = "" if probe_ratio else "  [UNNORMALIZED — probe missing in ≥1 file]"
-    print(f"common queries: {len(common)}  series: {series}{tag}")
+    used = used_a if used_a == used_b else f"old={used_a} new={used_b}"
+    print(f"common queries: {len(common)}  series used: {used}{tag}")
     if probe_ratio:
         print(f"probe: {pa:.3f}s -> {pb:.3f}s  (box ratio {probe_ratio:.3f}x; "
               "ratios below are divided by it)")
