@@ -23,30 +23,36 @@ DRIVER_WINDOW: list[str] = [
     "q04_daily_ctr_report", "q05_delta_antijoin", "q06_upsert_dedup",
     "q59_merge_upsert", "q07_totals_report", "q08_distinct_projection",
     "q09_stats",
-    # (b) new this round, never driver-verified: the end-to-end streaming
-    # dedup pipeline promotion (r12 VERDICT #1); its slot comes from
-    # q24_nation_volume's retirement (r12 VERDICT #2 — redundant with
-    # q128's dim-chain family; policy in COVERAGE.md)
-    "q138_stream_dedup_pipeline",
-    # (c) longest-unverified block: last driver-green r10 — 39 of the 40
-    # r10-green entries (q21_doc_stats_by_source slips one round to r14,
-    # absorbed there by the r11-green block's 2 slots of slack; recorded
-    # in COVERAGE.md's rotation table)
-    "q133_ivf_sq8_topk", "q11_dedup_exact", "q17_text_features",
-    "q98_wav_stats", "q99_supplier_value_share",
-    "q100_inactive_customer_balance", "q101_waiting_suppliers",
-    "q102_gopher_gate", "q103_hybrid_rrf", "q104_char_entropy",
-    "q105_dsir_weights", "q106_bigram_lm_nll",
-    "q35_minhash_dedup_transitive", "q40_multimodal_features",
-    "q42_chunking", "q43_sequence_packing", "q49_embedding_dup_pairs",
-    "q50_ivf_topk", "q51_domain_cap", "q53_decontaminate",
-    "q55_ivf_lsh_topk", "q56_pii_redaction", "q58_greedy_pack_sharded",
-    "q60_duplicate_spans", "q61_export_shards", "q63_tfidf_topk",
-    "q64_hll_distinct", "q65_cm_heavy_hitters",
-    "q67_collapse_duplicates", "q68_semantic_dedup",
-    "q69_inverted_index", "q70_dedup_against_corpus", "q71_bm25_topk",
-    "q72_pq_adc_topk", "q73_salted_agg", "q74_corpus_datacard",
-    "q19_token_features", "q36_hash_split", "q41_curation_pipeline",
+    # (b) new this round, never driver-verified: the Bloom membership
+    # prefilter promotion (r13 VERDICT #1 — the last sketch family moved
+    # onto the value-checked path). Registry grows to 131: the cycle now
+    # carries a DOCUMENTED one-entry relaxation instead of a retirement
+    # (r13 VERDICT #2 decision; arithmetic in COVERAGE.md)
+    "q139_bloom_prefilter",
+    # (b') the one r10-green entry that slipped the r13 rotation —
+    # re-certified here as planned (COVERAGE.md reserved its slot)
+    "q21_doc_stats_by_source",
+    # (c) longest-unverified block: last driver-green r11 — 38 of the 40
+    # r11-green entries: the r8-green family re-certified in r11 (36)
+    # plus the r11 promotions q134/q135. q12/q13 (r11 fill) SLIP one
+    # round to r15 under the documented relaxation — both stable since
+    # round 4, zero code delta since, full-registry bit-exact gate at
+    # two scales every round in between (COVERAGE.md rotation table)
+    "q134_ivf_sq8_serve", "q135_stream_kmv_monitor",
+    "q48_jaccard_verify", "q54_contamination_report",
+    "q57_bigram_novelty", "q62_quantile_filter", "q66_mixture_sample",
+    "q107_triangle_count", "q108_phrase_search", "q109_hist_quantiles",
+    "q110_audio_resample", "q111_cheapest_supplier", "q112_image_ahash",
+    "q113_image_dup_groups", "q114_variant_extract",
+    "q115_pseudonymized_join", "q116_temporal_split", "q117_video_stats",
+    "q118_video_frame_dups",
+    "q75_winnow_match_pairs", "q76_hard_negatives", "q77_budget_select",
+    "q78_ivf_pq_topk", "q79_bpe_pair_counts", "q80_rank_metrics",
+    "q81_zipf_fit", "q82_curriculum_stages", "q83_validate",
+    "q84_snapshot_diff", "q85_crossmodal_curation", "q86_ivf_pq_serve",
+    "q87_line_dedup", "q88_bpe_learn_merges", "q89_unigram_nll",
+    "q90_pagerank", "q91_window_ranks", "q93_weighted_sample",
+    "q94_bpe_tokenize",
 ]
 
 

@@ -6440,3 +6440,135 @@ def q138_stream_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     ).select("doc_id", "lang", "source", "n_chars", "component")
+
+
+# ===========================================================================
+# q139 — Bloom-filter membership prefilter (round 14): the last first-class
+# sketch family promoted onto the DuckDB value-checked path (r13 VERDICT
+# #1; merge law / fp-rate / prefilter equivalence were pytest-only since
+# round 8). Two per-priority filters over the urgent+high order custkeys
+# are built INDEPENDENTLY and merged (bloom_merge — the per-day/per-source
+# composition law), then every customer is classified by the merged filter
+# (keep="maybe" / keep="miss" arms of bloom_filter_rows). The oracle
+# replays the md5 double-hashing construction bit for bit: DuckDB cannot
+# evaluate 1<<63 (overflow-checked shift), so it replays the bit SET as
+# distinct probe positions — the Spark side aggregates the PACKED (word,
+# bits) frame with sum(bit_count(bits))/count(word), which equals the
+# oracle's COUNT(DISTINCT pos)/COUNT(DISTINCT pos//64) iff the word/mask
+# packing is correct, so the packing itself is value-checked too. The
+# verdict grain (bloom_maybe × is_member, with sum(custkey) pinning the
+# exact false-positive SET) makes "no false negatives" a checked value,
+# not a property test: the (maybe=false, member=true) group must be empty
+# on both engines. m=8192/k=5 sizes the filter so sf0.01's ~900 member
+# keys fill ~42% of the bits — real false positives occur and are
+# replayed exactly.
+# ===========================================================================
+
+@query(
+    "q139_bloom_prefilter",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    mh AS (
+      SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(v || '#2'), 1, 15))::BIGINT AS h2
+      FROM members
+    ),
+    mpos AS (
+      SELECT DISTINCT
+             ((h1 % 8192) + i.i * ((h2 % 1099511627776) | 1)) % 8192 AS pos
+      FROM mh, generate_series(0, 4) i(i)
+    ),
+    sketch AS (
+      SELECT CAST(COUNT(DISTINCT pos // 64) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_set_bits
+      FROM mpos
+    ),
+    ph AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h1,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#2'), 1, 15))::BIGINT
+               AS h2
+      FROM customer
+    ),
+    ppos AS (
+      SELECT c_custkey,
+             ((h1 % 8192) + i.i * ((h2 % 1099511627776) | 1)) % 8192 AS pos
+      FROM ph, generate_series(0, 4) i(i)
+    ),
+    verdict AS (
+      SELECT p.c_custkey, (COUNT(*) = COUNT(m.pos)) AS bloom_maybe
+      FROM ppos p LEFT JOIN mpos m ON m.pos = p.pos
+      GROUP BY p.c_custkey
+    )
+    SELECT v.bloom_maybe,
+           (mm.v IS NOT NULL) AS is_member,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v.c_custkey) AS BIGINT) AS sum_custkey,
+           s.n_words, s.n_set_bits
+    FROM verdict v
+    LEFT JOIN members mm ON mm.v = CAST(v.c_custkey AS VARCHAR)
+    CROSS JOIN sketch s
+    GROUP BY v.bloom_maybe, (mm.v IS NOT NULL), s.n_words, s.n_set_bits
+    """,
+    doc="Bloom membership prefilter over customers vs urgent/high-priority "
+    "buyers (operators.sketch.bloom_sketch / bloom_merge / "
+    "bloom_filter_rows, md5 double-hashing arm, m=8192 k=5): two "
+    "independently-built per-priority filters merged, every customer "
+    "classified through BOTH keep arms, false-positive set pinned by "
+    "sum(custkey), packed-word popcount checked against the replayed "
+    "bit set. The 100 TB shape: the probe side never shuffles "
+    "(num_hashes broadcast word-joins), definite-miss decisions need "
+    "no exact join at all.",
+)
+def q139_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch
+
+    td = Testdata(spark, sf_dir)
+    M, K = 8192, 5
+
+    def member_keys(priority: str) -> DataFrame:
+        return td.orders.where(F.col("o_orderpriority") == priority).select(
+            F.col("o_custkey").cast("string").alias("__k")
+        )
+
+    bloom = sketch.bloom_merge(
+        sketch.bloom_sketch(member_keys("1-URGENT"), "__k", M, K, "md5"),
+        sketch.bloom_sketch(member_keys("2-HIGH"), "__k", M, K, "md5"),
+    )
+    stats = bloom.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_set_bits"),
+    )
+    probe = td.customer.select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("__k")
+    )
+    arms = [
+        sketch.bloom_filter_rows(probe, bloom, "__k", M, K, "md5", keep)
+        .withColumn("bloom_maybe", F.lit(keep == "maybe"))
+        for keep in ("maybe", "miss")
+    ]
+    both = arms[0].unionByName(arms[1])
+    members = (
+        member_keys("1-URGENT")
+        .unionByName(member_keys("2-HIGH"))
+        .distinct()
+        .withColumn("__m", F.lit(True))
+    )
+    return (
+        both.join(F.broadcast(members), "__k", "left")
+        .groupBy("bloom_maybe", F.coalesce("__m", F.lit(False)).alias("is_member"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_custkey"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bloom_maybe", "is_member", "n_rows", "sum_custkey",
+            "n_words", "n_set_bits",
+        )
+    )

@@ -113,6 +113,10 @@ QUERIES = [
     # appended r13 (r12 VERDICT #1): the end-to-end streaming dedup
     # pipeline entry; first measured in BENCH_SF1_r13
     "q138_stream_dedup_pipeline",
+    # appended r14 (r13 VERDICT #1): the Bloom membership prefilter —
+    # the last sketch family promoted to the oracle battery; first
+    # measured in BENCH_SF1_r14
+    "q139_bloom_prefilter",
 ]
 
 # Battery entries RETIRED from the registry (COVERAGE.md rotation policy)
