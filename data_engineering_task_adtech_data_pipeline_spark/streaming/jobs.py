@@ -1520,6 +1520,12 @@ def stream_dedup_pipeline(
             .partitionBy("__epoch_id")
             .parquet(delta_path)
         )
+        # the NEXT batch's serving join must see this epoch's profiles:
+        # drop the in-process resolved-relation memo entry now (never
+        # rely on dir-mtime fingerprints for our own writes)
+        from ..operators.dedup import _invalidate_index_memo
+
+        _invalidate_index_memo(spark, index_root)
 
     reader = spark.readStream.schema(schema or DOC_SCHEMA)
     if max_files_per_trigger is not None:
@@ -1618,6 +1624,9 @@ def stream_minhash_ingest(
             .partitionBy("__epoch_id")
             .parquet(output_path)
         )
+        from ..operators.dedup import _invalidate_index_memo
+
+        _invalidate_index_memo(spark, index_root)
 
     stream = spark.readStream.schema(schema or DOC_SCHEMA).parquet(input_dir)
     writer = (
