@@ -357,10 +357,25 @@ def merge_upsert(
         buckets = sorted(
             r[0] for r in src.select(BUCKET_COL).distinct().collect()
         )  # bounded by num_buckets — never corpus-sized
-        target = spark.read.parquet(path)
+        target = spark.read.option("mergeSchema", "true").parquet(path)
+        # schema evolution (round 14, r13 VERDICT #6): WIDENING only — a
+        # source may ADD columns (old rows read them as NULL; untouched
+        # buckets keep the old footer, read_merged merges schemas), but a
+        # source missing target columns refuses: latest_version picks
+        # whole rows, so a narrower winning row would silently NULL a
+        # column the target had (Delta's UPDATE SET * errors there too)
+        missing = (
+            set(target.columns) - set(src.columns) - {BUCKET_COL}
+        )
+        if missing:
+            raise ValueError(
+                f"merge_upsert source is missing target columns "
+                f"{sorted(missing)}: schema evolution is widening-only"
+            )
         relevant = target.where(F.col(BUCKET_COL).isin(buckets))
         merged = latest_version(
-            relevant.unionByName(src), keys, version, tiebreak
+            relevant.unionByName(src, allowMissingColumns=True),
+            keys, version, tiebreak,
         )
 
         staging = path.rstrip("/") + "__merge_tmp"
@@ -448,13 +463,119 @@ def _merge_upsert_delta(
         DeltaTable.forPath(spark, path)
         .alias("t")
         .merge(src.alias("s"), cond)
+        .withSchemaEvolution()  # widening sources evolve the table; a
+        # no-op when schemas already match — mirrors the parquet arm's
+        # allowMissingColumns union (round 14)
         .whenMatchedUpdateAll(condition=update_cond)
         .whenNotMatchedInsertAll()
         .execute()
     )
 
 
+def merge_delete(
+    ids: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    table_format: str = "parquet",
+) -> None:
+    """MERGE-style DELETE (the tombstone path of the lakehouse surface,
+    round 14 / r13 VERDICT #6): remove every target row whose key appears
+    in ``ids``. Parquet arm: copy-on-write anti-join of ONLY the buckets
+    the deleted keys hash into, same staging-swap and replay-idempotent
+    crash contract as :func:`merge_upsert` (re-running the same delete
+    anti-joins to the same rows). A bucket left empty by the delete is
+    removed outright. ``table_format="delta"`` routes through Delta's
+    ``whenMatchedDelete`` (env-gated; call sequence pinned by the offline
+    double in ``tests/test_operators.py``). NULL key values never match
+    (equality semantics, both arms)."""
+    spark = ids.sparkSession
+    if table_format == "delta":
+        _merge_delete_delta(spark, ids, path, keys)
+        return
+    if table_format != "parquet":
+        raise ValueError(f"unknown table_format: {table_format!r}")
+    import ast
+
+    stored = ast.literal_eval(
+        fs.read_text(spark, fs.join(path, _META_FILE)).strip()
+    )
+    if sorted(keys) != stored[0]:
+        raise ValueError(
+            f"merge_delete keys {sorted(keys)} != table keys {stored[0]}"
+        )
+    num_buckets = stored[2]
+    dk = (
+        ids.select(*keys)
+        .distinct()
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+            ).cast("int"),
+        )
+    )
+    with _write_fence(spark, path, "merge_delete"):
+        buckets = sorted(
+            r[0] for r in dk.select(BUCKET_COL).distinct().collect()
+        )
+        if not buckets:
+            return
+        target = spark.read.option("mergeSchema", "true").parquet(path)
+        relevant = target.where(F.col(BUCKET_COL).isin(buckets))
+        kept = relevant.join(dk.select(*keys), list(keys), "left_anti")
+        staging = path.rstrip("/") + "__merge_tmp"
+        kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        for b in buckets:
+            bdst = fs.join(path, f"{BUCKET_COL}={b}")
+            bsrc = fs.join(staging, f"{BUCKET_COL}={b}")
+            fs.delete(spark, bdst)
+            if fs.exists(spark, bsrc):
+                fs.rename(spark, bsrc, bdst)
+        fs.delete(spark, staging)
+        # a delete that emptied the whole table must leave it READABLE:
+        # with zero bucket dirs there is no footer to infer from, so pin
+        # the schema with one empty anchor partition
+        if not any(
+            n.startswith(BUCKET_COL + "=") for n in fs.list_names(spark, path)
+        ):
+            (
+                kept.drop(BUCKET_COL).limit(0).coalesce(1)
+                .write.mode("overwrite")
+                .parquet(fs.join(path, f"{BUCKET_COL}=0"))
+            )
+
+
+def _merge_delete_delta(
+    spark: SparkSession, ids: DataFrame, path: str, keys: Sequence[str]
+) -> None:
+    """Delta Lake arm of :func:`merge_delete`: forPath → alias →
+    merge(distinct keys, equi-cond) → whenMatchedDelete → execute —
+    env-gated like ``_merge_upsert_delta``, pinned by the same offline
+    recording double."""
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as exc:  # pragma: no cover - env-blocked
+        raise RuntimeError(
+            "table_format='delta' needs delta-spark on the classpath; "
+            "unavailable in this environment (DEVIATIONS.md)"
+        ) from exc
+    dk = ids.select(*keys).distinct()
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(dk.alias("s"), cond)
+        .whenMatchedDelete()
+        .execute()
+    )
+
+
 def read_merged(spark: SparkSession, path: str) -> DataFrame:
     """Read a merge_upsert table: latest versions WITHOUT a dedup window —
-    the read-amplification win MERGE buys over append+latest_version."""
-    return spark.read.parquet(path).drop(BUCKET_COL)
+    the read-amplification win MERGE buys over append+latest_version.
+    ``mergeSchema`` reconciles footers across buckets after a widening
+    merge (untouched buckets keep the narrower schema; their rows read
+    the added columns as NULL)."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path).drop(BUCKET_COL)
+    )

@@ -352,8 +352,16 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     calls = []
 
     class FakeMergeBuilder:
+        def withSchemaEvolution(self):
+            calls.append(("withSchemaEvolution",))
+            return self
+
         def whenMatchedUpdateAll(self, condition=None):
             calls.append(("whenMatchedUpdateAll", condition))
+            return self
+
+        def whenMatchedDelete(self):
+            calls.append(("whenMatchedDelete",))
             return self
 
         def whenNotMatchedInsertAll(self):
@@ -423,7 +431,7 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     merge_upsert(src, path, keys=["k"], version="ver", table_format="delta")
     ops = [c[0] for c in calls]
     assert ops == [
-        "isDeltaTable", "forPath", "alias", "merge",
+        "isDeltaTable", "forPath", "alias", "merge", "withSchemaEvolution",
         "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
     ]
     assert calls[1] == ("forPath", path)
@@ -434,7 +442,7 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
     # no tiebreak: null-safe strict-win arm + null-safe equality (r10
     # ADVICE: matches the parquet arm's desc-NULLS-LAST window exactly,
     # including batches with NULL versions)
-    assert calls[4] == (
+    assert calls[5] == (
         "whenMatchedUpdateAll",
         "(s.ver > t.ver OR (s.ver IS NOT NULL AND t.ver IS NULL)) "
         "OR (s.ver <=> t.ver)",
@@ -449,13 +457,30 @@ def test_merge_upsert_delta_arm_contract(spark, tmp_path, monkeypatch):
         src, path, keys=["k"], version="ver", tiebreak=["val"],
         table_format="delta",
     )
-    assert calls[4] == (
+    assert calls[5] == (
         "whenMatchedUpdateAll",
         "(s.ver > t.ver OR (s.ver IS NOT NULL AND t.ver IS NULL)) "
         "OR (s.ver <=> t.ver AND "
         "(s.val > t.val OR (s.val IS NOT NULL AND t.val IS NULL))) "
         "OR (s.ver <=> t.ver AND s.val <=> t.val)",
     )
+
+    # scenario 4 (round 14, r13 VERDICT #6): the tombstone path —
+    # merge_delete routes distinct keys through whenMatchedDelete, no
+    # update/insert clause anywhere in the chain
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        merge_delete,
+    )
+
+    calls.clear()
+    dead = spark.createDataFrame([(2, "x", 0), (2, "y", 1)],
+                                 "k long, val string, ver long")
+    merge_delete(dead, path, keys=["k"], table_format="delta")
+    ops = [c[0] for c in calls]
+    assert ops == ["forPath", "alias", "merge", "whenMatchedDelete",
+                   "execute"]
+    assert calls[2][1] == "t.k = s.k"
+    assert calls[2][2] == [(2,)]  # distinct key projection reached MERGE
 
 
 def test_orc_round_trip_with_pushdown(spark, tmp_path):
@@ -1076,3 +1101,144 @@ def test_kmv_xxhash64_scale_and_null_values(spark):
     assert skn.count() == 10
     e = sketch.kmv_estimate(skn, ["g"], k=64).collect()[0]
     assert e.est_distinct == 10.0
+
+
+def test_jdbc_contract_double(spark, tmp_path):
+    """r13 VERDICT #5: without a live Postgres, pin the GENERATED reader
+    configuration so the documented production recipe cannot drift.
+    Pure contract on jdbc_scan_options (option map exact, fetchsize
+    default + override, bounds required for partitioned scans), plus the
+    derivable pieces against embedded Derby: derive_jdbc_bounds probes
+    real MIN/MAX, read_jdbc without bounds stripes on them with no empty
+    partitions, and cdc_extract_table's subquery pushdown returns
+    exactly the rows past the watermark."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.sources.readers import (
+        cdc_extract_table,
+        derive_jdbc_bounds,
+        jdbc_scan_options,
+        read_jdbc,
+    )
+
+    # --- pure contract: the exact option map -----------------------------
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://h:5432/db", "impressions",
+        partition_column="id", num_partitions=32,
+        lower_bound=17, upper_bound=9000,
+        user="u", password="p",
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://h:5432/db",
+        "dbtable": "impressions",
+        "pushDownPredicate": "true",
+        "pushDownAggregate": "true",
+        "fetchsize": "10000",
+        "partitionColumn": "id",
+        "numPartitions": "32",
+        "lowerBound": "17",
+        "upperBound": "9000",
+        "user": "u",
+        "password": "p",
+    }
+    # caller's fetchsize wins over the default
+    assert jdbc_scan_options("u", "t", fetchsize="500")["fetchsize"] == "500"
+    # partitioned scan without bounds refuses (the old silent 0..2^31
+    # value-space defaults produced empty-stripe skew)
+    with pytest.raises(ValueError, match="bounds"):
+        jdbc_scan_options("u", "t", partition_column="id")
+    # CDC extract shape: index-scannable subquery alias
+    assert cdc_extract_table(
+        "events", "updated_at", "TIMESTAMP '2024-01-20 00:00:00'"
+    ) == (
+        "(SELECT * FROM events WHERE updated_at > "
+        "TIMESTAMP '2024-01-20 00:00:00') cdc_extract"
+    )
+
+    # --- live pieces against embedded Derby -------------------------------
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(40, 140).select(
+        "id", (F.col("id") % 7).alias("x")
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url).option("dbtable", "t").option("driver", driver)
+        .mode("overwrite").save()
+    )
+    assert derive_jdbc_bounds(spark, url, "t", "id", driver=driver) == (40, 139)
+    back = read_jdbc(
+        spark, url, "t", partition_column="id", num_partitions=4,
+        driver=driver,  # no bounds: derived from the probe
+    )
+    assert back.count() == 100
+    per_part = (
+        back.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p").count().collect()
+    )
+    assert len(per_part) == 4  # derived bounds -> every stripe non-empty
+    assert all(r["count"] > 0 for r in per_part)
+    # CDC extract through Derby: only rows past the watermark come back
+    # (column passed pre-quoted — the helper pins the shape, the caller
+    # owns dialect/quoting of the pieces, per its docstring)
+    cdc = read_jdbc(
+        spark, url, cdc_extract_table("t", '"id"', "129"), driver=driver
+    )
+    assert sorted(r.id for r in cdc.collect()) == list(range(130, 140))
+
+
+def test_merge_delete_and_schema_evolution_parquet(spark, tmp_path):
+    """The parquet arms of the round-14 lakehouse surface: merge_delete
+    removes exactly the keyed rows (touched buckets only, empty buckets
+    dropped, replay idempotent), and a WIDENING source evolves the table
+    schema (old rows read the new column as NULL via mergeSchema) while
+    a NARROWING source refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.upsert import (
+        merge_delete,
+        merge_upsert,
+        read_merged,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(20)], "k long, val string, ver long"
+    )
+    merge_upsert(base, path, keys=["k"], version="ver", num_buckets=8)
+
+    # --- tombstone path ---------------------------------------------------
+    dead = spark.createDataFrame([(3,), (7,), (999,)], "k long")  # 999 absent
+    merge_delete(dead, path, keys=["k"])
+    got = {r.k for r in read_merged(spark, path).collect()}
+    assert got == set(range(20)) - {3, 7}
+    merge_delete(dead, path, keys=["k"])  # replay: no-op
+    assert {r.k for r in read_merged(spark, path).collect()} == got
+    with pytest.raises(ValueError, match="keys"):
+        merge_delete(dead.withColumnRenamed("k", "j"), path, keys=["j"])
+
+    # deleting every row of a bucket removes the bucket dir outright
+    all_keys = spark.createDataFrame([(k,) for k in range(20)], "k long")
+    merge_delete(all_keys, path, keys=["k"])
+    assert read_merged(spark, path).count() == 0
+
+    # --- schema evolution -------------------------------------------------
+    path2 = str(tmp_path / "t2")
+    merge_upsert(base, path2, keys=["k"], version="ver", num_buckets=8)
+    widened = spark.createDataFrame(
+        [(1, "v1b", 2, "en"), (100, "new", 1, "de")],
+        "k long, val string, ver long, lang string",
+    )
+    merge_upsert(widened, path2, keys=["k"], version="ver", num_buckets=8)
+    out = {r.k: (r.val, r.lang) for r in read_merged(spark, path2).collect()}
+    assert out[1] == ("v1b", "en")      # updated row carries the new column
+    assert out[100] == ("new", "de")    # inserted row too
+    assert out[2] == ("v2", None)       # untouched bucket: NULL via mergeSchema
+    assert len(out) == 21
+
+    # narrowing refuses — a whole-row winner would silently NULL `val`
+    narrow = spark.createDataFrame([(1, 3)], "k long, ver long")
+    with pytest.raises(ValueError, match="widening-only"):
+        merge_upsert(narrow, path2, keys=["k"], version="ver", num_buckets=8)
