@@ -366,13 +366,48 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the closest centroid (squared L2; first-wins ties)."""
-    # F.lit(list) emits ONE array literal per centroid (not dim CreateArray
-    # children) — keeps the expression tree small enough that repeated
-    # re-analysis across Lloyd rounds stays cheap
-    dists = F.array(*[_sq_dist(emb, F.lit([float(x) for x in c])) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+# ---------------------------------------------------------------------------
+# SQL-string expression builders (round 14). The centroid-model expressions
+# are wide — n_cells (or m x n_codes) distance folds, each with array
+# literals and lambdas — and composing them as Column objects cost 4-8 py4j
+# gateway round trips PER NODE: profiling q78 showed ~43k round trips
+# (~4-15 s of pure driver latency) spent BUILDING the plan, re-paid every
+# Lloyd round. Each builder below renders the identical expression tree as
+# one SQL string parsed JVM-side in a single round trip. Exactness contract:
+# float literals use repr() (shortest round-trip; Double.parseDouble
+# restores the same IEEE value) with the D suffix forcing DoubleType, so
+# every oracle that unrolls the training in SQL (q50/q72/q78/...) stays
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal for a python float."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
+def _arr_sql(vec) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in vec) + ")"
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    """SQL form of :func:`_sq_dist` — same zip_with/aggregate fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _nearest_cell_sql(emb_sql: str, centroids: list[list[float]]) -> str:
+    """0-based index of the closest centroid (squared L2; first-wins
+    ties) — SQL form of the old ``_nearest_cell`` Column builder."""
+    dists = (
+        "array("
+        + ", ".join(_sq_dist_sql(emb_sql, _arr_sql(c)) for c in centroids)
+        + ")"
+    )
+    return f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
 
 
 # Above this many cells the centroid model stops riding the plan as literals
@@ -422,7 +457,9 @@ def _with_cell(
     models (zero joins, the plan the judge wants at n_cells<=64), broadcast
     centroid-table + codegen argmin above (no n_cells x dim literal tree)."""
     if len(centroids) <= literal_max:
-        return df.withColumn(out_col, _nearest_cell(F.col(emb_attr), centroids))
+        return df.withColumn(
+            out_col, F.expr(_nearest_cell_sql(f"`{emb_attr}`", centroids))
+        )
     cdf = _cells_df(df.sparkSession, centroids)
     return (
         df.crossJoin(F.broadcast(cdf))
@@ -522,20 +559,25 @@ def kmeans_fit(
     return centroids
 
 
-def _probed_cells(emb: Column, centroids: list[list[float]], n_probe: int) -> Column:
+def _probed_cells_sql(
+    emb_sql: str, centroids: list[list[float]], n_probe: int
+) -> str:
     """Explode a query row into its ``n_probe`` nearest centroid cells
-    (squared L2; ties broken by cell index, matching the oracles)."""
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(emb, F.lit([float(x) for x in cc])).alias("d"),
-                F.lit(i).cast("int").alias("cell"),
-            )
+    (squared L2; ties broken by cell index, matching the oracles) — SQL
+    form (round 14, same single-round-trip rationale as
+    ``_nearest_cell_sql``; struct sort order (d, cell) unchanged)."""
+    dists = (
+        "array("
+        + ", ".join(
+            f"struct({_sq_dist_sql(emb_sql, _arr_sql(cc))} as d, "
+            f"cast({i} as int) as cell)"
             for i, cc in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
-    return F.explode(
-        F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"])
+    return (
+        f"explode(transform(slice(array_sort({dists}), 1, {n_probe}), "
+        "s -> s.cell))"
     )
 
 
@@ -552,7 +594,8 @@ def _with_probed_cells(
     as ``_with_cell``; identical distances and tie-break either way)."""
     if len(centroids) <= literal_max:
         return df.withColumn(
-            out_col, _probed_cells(F.col(emb_attr), centroids, n_probe)
+            out_col,
+            F.expr(_probed_cells_sql(f"`{emb_attr}`", centroids, n_probe)),
         )
     cdf = _cells_df(df.sparkSession, centroids)
     probed = F.explode(
@@ -935,7 +978,7 @@ def pq_fit(
 
     All ``m`` subspaces train TOGETHER: each Lloyd round is ONE Spark job
     — every subspace's code assignment happens in a single codegen pass
-    (:func:`_pq_codes_expr`), and one posexplode → groupBy(subspace,
+    (:func:`_pq_codes_sql`), and one posexplode → groupBy(subspace,
     code, position) → avg computes every subspace's means at once. A
     per-subspace loop would cost m x (n_iter + 1) driver-synchronous
     jobs; this costs n_iter + 1 regardless of m (measured ~m x faster
@@ -986,7 +1029,9 @@ def pq_fit(
         for _ in range(n_iter):
             bound = d.select(
                 F.col(emb_col).alias("__e"),
-                _pq_codes_expr(F.col(emb_col), codebooks).alias("__codes"),
+                F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks)).alias(
+                    "__codes"
+                ),
             )
             means = (
                 bound.select("__codes", F.posexplode("__e").alias("pos", "x"))
@@ -1021,70 +1066,84 @@ def pq_fit(
     return codebooks
 
 
-def _pq_res_slice(
-    emb: Column, s: int, sub: int, centroid_arr: Column | None
-) -> Column:
+def _pq_res_slice_sql(
+    emb_sql: str, s: int, sub: int, centroid_arr_sql: "str | None"
+) -> str:
     """Subspace ``s``'s slice of the (residual-)vector. Residual encoding
     subtracts the coarse centroid SLICE-WISE — each element is touched
     once across all subspaces, so residual mode costs the same O(dim)
     arithmetic as raw mode (never a full-dim residual recomputed per
     subspace)."""
-    sl = F.slice(emb, s * sub + 1, sub)
-    if centroid_arr is not None:
-        sl = F.zip_with(
-            sl,
-            F.slice(centroid_arr, s * sub + 1, sub),
-            lambda x, y: x - y,
+    sl = f"slice({emb_sql}, {s * sub + 1}, {sub})"
+    if centroid_arr_sql is not None:
+        sl = (
+            f"zip_with({sl}, slice({centroid_arr_sql}, {s * sub + 1}, "
+            f"{sub}), (x, y) -> x - y)"
         )
     return sl
 
 
-def _pq_codes_expr(
-    emb: Column,
+def _pq_codes_sql(
+    emb_sql: str,
     codebooks: list[list[list[float]]],
-    centroid_arr: Column | None = None,
-) -> Column:
-    """codes array<int> for one row; ``centroid_arr`` (the row's coarse
-    centroid as an array column) switches on residual encoding."""
+    centroid_arr_sql: "str | None" = None,
+) -> str:
+    """codes array<int> for one row; ``centroid_arr_sql`` (the row's
+    coarse centroid as an array expression) switches on residual
+    encoding. SQL form (round 14 — the Column build cost m x n_codes x
+    ~6 py4j round trips per call)."""
     sub = len(codebooks[0][0])
-    return F.array(
-        *[
-            _nearest_cell(_pq_res_slice(emb, s, sub, centroid_arr), cb)
-            for s, cb in enumerate(codebooks)
-        ]
-    )
-
-
-def _pq_lut_expr(
-    emb: Column,
-    codebooks: list[list[list[float]]],
-    centroid_arr: Column | None = None,
-) -> Column:
-    """m x n_codes LUT of 6-dp squared L2 distances from a (residual-)
-    query vector to every codebook centroid."""
-    sub = len(codebooks[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sq_dist(
-                            _pq_res_slice(emb, s, sub, centroid_arr),
-                            F.lit([float(x) for x in c]),
-                        ),
-                        6,
-                    )
-                    for c in cb
-                ]
+    return (
+        "array("
+        + ", ".join(
+            _nearest_cell_sql(
+                _pq_res_slice_sql(emb_sql, s, sub, centroid_arr_sql), cb
             )
             for s, cb in enumerate(codebooks)
-        ]
+        )
+        + ")"
     )
+
+
+def _pq_lut_sql(
+    emb_sql: str,
+    codebooks: list[list[list[float]]],
+    centroid_arr_sql: "str | None" = None,
+) -> str:
+    """m x n_codes LUT of 6-dp squared L2 distances from a (residual-)
+    query vector to every codebook centroid (SQL form)."""
+    sub = len(codebooks[0][0])
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "round("
+                + _sq_dist_sql(
+                    _pq_res_slice_sql(emb_sql, s, sub, centroid_arr_sql),
+                    _arr_sql(c),
+                )
+                + ", 6)"
+                for c in cb
+            )
+            + ")"
+            for s, cb in enumerate(codebooks)
+        )
+        + ")"
+    )
+
+
+def _centroid_arr_sql(centroids: list[list[float]], cell_sql: str) -> str:
+    """The row's coarse centroid as an array expression (literal model
+    table, O(1) element_at by cell id) — SQL form."""
+    arrs = ", ".join(_arr_sql(c) for c in centroids)
+    return f"element_at(array({arrs}), {cell_sql} + 1)"
 
 
 def _centroid_arr(centroids: list[list[float]], cell: Column) -> Column:
     """The row's coarse centroid as an array column (literal model table,
-    O(1) element_at by cell id)."""
+    O(1) element_at by cell id). Column form — kept for the one-time
+    full-dim residual subtraction in ``ivf_pq_fit`` (not a wide tree)."""
     return F.element_at(
         F.lit([[float(x) for x in c] for c in centroids]), cell + 1
     )
@@ -1116,14 +1175,7 @@ def pq_encode(
     rule). Output: (id_col, codes array<int>). Pure codegen per row, no
     shuffle; the codebook literals are small by construction
     (m * n_codes * dim/m = dim * n_codes values)."""
-    sub = len(codebooks[0][0])
-    emb = F.col(emb_col)
-    codes = F.array(
-        *[
-            _nearest_cell(F.slice(emb, s * sub + 1, sub), cb)
-            for s, cb in enumerate(codebooks)
-        ]
-    )
+    codes = F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks))
     return with_double_embedding(df, emb_col).select(
         F.col(id_col), codes.alias(codes_col)
     )
@@ -1161,24 +1213,7 @@ def pq_topk(
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
-    qe = F.col("__q_emb")
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.round(
-                        _sq_dist(
-                            F.slice(qe, s * sub + 1, sub),
-                            F.lit([float(x) for x in c]),
-                        ),
-                        6,
-                    )
-                    for c in cb
-                ]
-            )
-            for s, cb in enumerate(codebooks)
-        ]
-    )
+    lut = F.expr(_pq_lut_sql("`__q_emb`", codebooks))
     q_lut = q.select("query_id", lut.alias("__lut"))
     dist = F.aggregate(
         F.zip_with(
@@ -1324,8 +1359,8 @@ def ivf_pq_topk(
     )
     d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
     assigned = _with_cell(d, emb_col, centroids, literal_max)
-    cent_arr = (
-        _centroid_arr(centroids, F.col("cell")) if residual else None
+    cent_sql = (
+        _centroid_arr_sql(centroids, "cell") if residual else None
     )
     codebooks = ivf_pq_fit(
         corpus, centroids, m, n_codes, pq_n_iter, id_col, emb_col, dim,
@@ -1335,20 +1370,24 @@ def ivf_pq_topk(
     coded = assigned.select(
         F.col(id_col),
         "cell",
-        _pq_codes_expr(F.col(emb_col), codebooks, cent_arr).alias("codes"),
+        F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)).alias(
+            "codes"
+        ),
     )
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
-    q_cent = (
-        _centroid_arr(centroids, F.col("cell")) if residual else None
+    q_cent_sql = (
+        _centroid_arr_sql(centroids, "cell") if residual else None
     )
     probed = _with_probed_cells(
         q, "__q_emb", centroids, n_probe, literal_max
     ).select(
         "query_id",
         "cell",
-        _pq_lut_expr(F.col("__q_emb"), codebooks, q_cent).alias("__lut"),
+        F.expr(_pq_lut_sql("`__q_emb`", codebooks, q_cent_sql)).alias(
+            "__lut"
+        ),
     )
     scored = (
         F.broadcast(probed)
@@ -1540,11 +1579,12 @@ def ivf_index_write(
         )
     assigned = _with_cell(work, emb_col, centroids, literal_max)
     if codebooks is not None:
-        cent_arr = (
-            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
+        cent_sql = (
+            _centroid_arr_sql(centroids, "cell") if pq_residual else None
         )
         assigned = assigned.withColumn(
-            "codes", _pq_codes_expr(F.col(emb_col), codebooks, cent_arr)
+            "codes",
+            F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)),
         )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         fs.join(root, "index")
@@ -1963,15 +2003,17 @@ def ivf_index_search(
         # (approx_dist) without rerank, cosine rows with. The index must
         # have been written with the same ``codebooks`` and
         # ``pq_residual``.
-        q_cent = (
-            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
+        q_cent_sql = (
+            _centroid_arr_sql(centroids, "cell") if pq_residual else None
         )
         probed = _with_probed_cells(
             q, "__q_emb", centroids, n_probe, literal_max
         ).select(
             "query_id",
             "cell",
-            _pq_lut_expr(F.col("__q_emb"), codebooks, q_cent).alias("__lut"),
+            F.expr(_pq_lut_sql("`__q_emb`", codebooks, q_cent_sql)).alias(
+                "__lut"
+            ),
         )
         c_codes = read_index([corpus_id, F.col("cell"), F.col("codes")])
         adc = (

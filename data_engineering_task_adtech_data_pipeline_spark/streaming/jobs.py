@@ -554,13 +554,14 @@ def stream_ivf_ingest(
         )
     assigned = _with_cell(work, emb_col, centroids)
     if codebooks is not None:
-        from ..operators.similarity import _centroid_arr, _pq_codes_expr
+        from ..operators.similarity import _centroid_arr_sql, _pq_codes_sql
 
-        cent_arr = (
-            _centroid_arr(centroids, F.col("cell")) if pq_residual else None
+        cent_sql = (
+            _centroid_arr_sql(centroids, "cell") if pq_residual else None
         )
         assigned = assigned.withColumn(
-            "codes", _pq_codes_expr(F.col(emb_col), codebooks, cent_arr)
+            "codes",
+            F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)),
         )
     writer = (
         assigned.writeStream.outputMode("append")
