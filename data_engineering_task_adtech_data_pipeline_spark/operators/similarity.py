@@ -187,7 +187,7 @@ def md5_plane_weights(planes: int, dim: int, seed: int = 42) -> list[list[float]
 
 
 def hyperplane_signature(
-    emb: Column,
+    emb: "Column | str",
     planes: int = 16,
     seed: int = 42,
     hash_method: str = "xxhash64",
@@ -199,63 +199,75 @@ def hyperplane_signature(
     the md5-portable family (``hash_method="md5"``, requires ``dim``) whose
     weights a SQL oracle can re-derive bit-for-bit.
 
+    ``emb`` is a column NAME (or a plain-attribute ``F.col``): the whole
+    planes-wide dot-product tree is rendered as ONE SQL string parsed
+    JVM-side (round 14 — the Column-composed form cost ~1600 py4j round
+    trips per signature, twice per lsh_topk call; identical parsed tree).
+
     md5 mode asserts ``size(emb) == dim`` once per row, as ONE top-level
     conditional wrapped around the finished signature: without it, a wrong
     ``dim`` would zip_with-pad dots to NULL and silently collapse every
     vector into signature 0 — degraded recall with no error. The guard must
     NOT wrap the embedding column itself: Spark excludes conditional
-    branches from subexpression elimination, so a ``F.when``-wrapped emb
+    branches from subexpression elimination, so a conditional-wrapped emb
     referenced once per plane re-runs the size check ``planes`` times and
     stops emb being a plain attribute inside the zip_with folds (measured
     ~15% on lsh_topk at sf0.1)."""
+    name = emb if isinstance(emb, str) else _plain_attr_name(emb)
+    e = f"`{name}`"
     if hash_method == "md5":
         if dim is None:
             raise ValueError("hash_method='md5' requires an explicit dim")
         weights = md5_plane_weights(planes, dim, seed)
 
-        def plane_weights(p: int) -> Column:
-            return F.array(*[F.lit(x) for x in weights[p]])
+        def plane_weights(p: int) -> str:
+            return _arr_sql(weights[p])
 
     else:
 
-        def plane_weights(p: int) -> Column:
-            return F.transform(
-                F.sequence(F.lit(0), F.size(emb) - 1),
-                lambda i: F.when(
-                    F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), 2) == 0, 1.0
-                ).otherwise(-1.0),
+        def plane_weights(p: int) -> str:
+            return (
+                f"transform(sequence(0, size({e}) - 1), "
+                f"i -> CASE WHEN pmod(xxhash64({p}, i, {seed}), 2) = 0 "
+                "THEN 1.0D ELSE -1.0D END)"
             )
 
-    def bit(p: int) -> Column:
-        dot = F.aggregate(
-            F.zip_with(emb, plane_weights(p), lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def bit(p: int) -> str:
+        dot = (
+            f"aggregate(zip_with({e}, {plane_weights(p)}, "
+            "(x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
         )
-        return F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-            F.lit(0).cast("long")
+        return (
+            f"CASE WHEN {dot} >= 0 THEN shiftleft(cast(1 as bigint), {p}) "
+            "ELSE cast(0 as bigint) END"
         )
 
-    sig = F.aggregate(
-        F.array(*[bit(p) for p in range(planes)]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    bits = ", ".join(bit(p) for p in range(planes))
+    sig = (
+        f"aggregate(array({bits}), cast(0 as bigint), "
+        "(acc, x) -> acc | x)"
     )
     if hash_method == "md5":
         # One conditional around the finished signature: emb stays a raw
         # attribute inside the folds; the size check runs once per row.
-        return F.when(F.size(emb) == dim, sig).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"hyperplane_signature: dim={dim} but embedding has "
-                    ),
-                    F.size(emb).cast("string"),
-                    F.lit(" elements"),
-                )
-            )
+        sig = (
+            f"CASE WHEN size({e}) = {dim} THEN {sig} ELSE "
+            f"raise_error(concat('hyperplane_signature: dim={dim} but "
+            f"embedding has ', cast(size({e}) as string), ' elements')) END"
         )
-    return sig
+    return F.expr(sig)
+
+
+def _plain_attr_name(col: Column) -> str:
+    """Name of a plain attribute Column (``F.col("x")``) — refuses
+    expression trees, which would silently mis-render inside an expr
+    string."""
+    s = col._jc.toString()
+    if not s.replace("_", "").replace("`", "").isalnum():
+        raise ValueError(
+            f"expected a plain column reference, got expression {s!r}"
+        )
+    return s.strip("`")
 
 
 def _band_rows(
