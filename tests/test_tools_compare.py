@@ -30,14 +30,24 @@ def test_series_and_probe_detection():
         "legacy_count_action_queries": {"q1": 1.0},
         "cpu_probe": {"single_s": 2.0, "procs32_s": 4.0},
     }
-    assert m._series(detail, "median", "sf1") == {"q1": 1.5}
-    assert m._series(detail, "single", "sf1") == {"q1": 2.0}
-    assert m._series(detail, "legacy", "sf1") == {"q1": 1.0}
+    # _series returns (values, label-actually-used) since round 14 so an
+    # adjudication records which leg it compared
+    assert m._series(detail, "median", "sf1") == ({"q1": 1.5}, "median")
+    assert m._series(detail, "single", "sf1") == ({"q1": 2.0}, "single")
+    assert m._series(detail, "legacy", "sf1") == ({"q1": 1.0}, "legacy")
     assert m._probe(detail) == 4.0
     sf1 = {"queries": {"q1": {"sf0.1_sec": 1.0, "sf1_sec": 7.0, "ratio": 7.0}}}
-    assert m._series(sf1, "median", "sf1") == {"q1": 7.0}
-    assert m._series(sf1, "median", "sf0.1") == {"q1": 1.0}
+    assert m._series(sf1, "median", "sf1") == ({"q1": 7.0}, "sf1-leg:sf1_sec")
+    assert m._series(sf1, "median", "sf0.1") == (
+        {"q1": 1.0}, "sf1-leg:sf0.1_sec"
+    )
     assert m._probe(sf1) is None
+    # a median request against a file with no recorded median falls back
+    # to the single series AND SAYS SO in the label
+    single_only = {"queries": {"q1": 2.0}}
+    assert m._series(single_only, "median", "sf1") == (
+        {"q1": 2.0}, "single (no median recorded)"
+    )
 
 
 def test_driver_wrapper_unwraps_parsed(tmp_path):
