@@ -286,6 +286,35 @@ def pairs_from_sorted_ids(
     )
 
 
+def fan_out_pairs(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Hash-repartition candidate pairs to ``defaultParallelism`` before a
+    verify join (optimization round 14, guide §2.5/2.6).
+
+    Candidate pairs are born from an EXPLODE over per-bucket id arrays —
+    a handful of bucket rows fans out to O(bucket²) pairs *inside* one
+    stage, so the expensive per-pair verify (64-dim cosine folds,
+    shingle-set intersections, 64-bit Hamming folds) inherits the BUCKET
+    frame's parallelism, which AQE has coalesced to 1-2 partitions because
+    the bucket rows are a few KB (measured: q68's verify ran 1 task,
+    8.0 s → 1.9-3.9 s with the fan-out at sf0.1). Bytes-based partition
+    sizing cannot see compute-heavy narrow rows; this pins the verify
+    stage to the cores instead.
+
+    Scale contract: the pair rows are two ids (~16 bytes) — one extra
+    exchange of them is noise next to the verify compute at any scale,
+    and when the verify join is itself a shuffle join (corpus-sized
+    profile side), that join re-shuffles pairs regardless. Explicit
+    ``n`` (not AQE-advised) because AQE would coalesce the tiny-bytes
+    case right back to 1 partition; ``defaultParallelism`` tracks the
+    real core count on both the local bench and a cluster. Hash keys
+    (id_a, id_b) are distinct per row — uniform spread, deterministic
+    under retries (no round-robin sort needed)."""
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n, F.col(id_a), F.col(id_b))
+
+
 def _sig_band_rows(
     signatures: DataFrame,
     id_col: str,
@@ -551,6 +580,7 @@ def exact_jaccard(
     the value-level coverage for minhash_dedup's verify stage, whose
     candidate generation itself is xxhash64-based and rows-only.
     """
+    pairs = fan_out_pairs(pairs)
     a = shingle_profile.select(
         F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sh_a")
     )
@@ -688,11 +718,28 @@ def connected_components_star(
     smaller-or-equal ones. At fixpoint the edge set is a forest of stars
     (node -> component root). Returns (id, component), component = min id.
     """
-    e = (
+    from pyspark.sql import Observation
+
+    # per-round fixpoint checksum rides the SAME job as the round's eager
+    # localCheckpoint via observe() (optimization round 14 — was a second
+    # full pass over the checkpointed edges per round; the min-label
+    # variant above already used this pattern for its `changed` flag).
+    # bit_xor: order-independent and overflow-free under ANSI mode
+    # (sum(xxhash64) overflows long).
+    def _observed_checkpoint(ed: DataFrame):
+        obs = Observation()
+        ck = ed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).localCheckpoint()
+        row = obs.get
+        return ck, (row["n"], row["h"])
+
+    e, prev = _observed_checkpoint(
         edges.where(F.col("id_a") != F.col("id_b"))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
 
     def large_star(ed: DataFrame) -> DataFrame:
@@ -728,19 +775,8 @@ def connected_components_star(
             .distinct()
         )
 
-    def checksum(ed: DataFrame):
-        row = ed.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor: order-independent and overflow-free under ANSI mode
-            # (sum(xxhash64) overflows long)
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).first()
-        return (row.n, row.h)
-
-    prev = checksum(e)
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint()
-        cur = checksum(e)
+        e, cur = _observed_checkpoint(small_star(large_star(e)))
         if cur == prev:
             break
         prev = cur
@@ -1551,7 +1587,8 @@ def dedup_against(
         / F.size(F.array_union("__sh_n", "__sh_c")).cast("double")
     )
     hits = (
-        cand.join(sh_new, "id_new")
+        fan_out_pairs(cand, "id_new", "id_corp")
+        .join(sh_new, "id_new")
         .join(sh_corp, "id_corp")
         .where(jac >= verify_threshold)
         .select(F.col("id_new").alias(id_col))

@@ -81,14 +81,23 @@ def pagerank(
         # silently demote a connected node to dangling, so the guard
         # checks the per-edge minimum, not the per-node out_weight
         # (review r7; the original ADVICE-r6 guard only caught sums)
-        minw = e.agg(F.min("__w").alias("__minw")).first()["__minw"]
+        # ONE job materializes BOTH persists and collects both scalars
+        # (optimization round 14, guide §1.2 "remove passes": the guard
+        # agg and the node count were two sequential driver round trips;
+        # a 1-row cross join runs them as one job over the two persisted
+        # frames). Guard semantics unchanged (review r7).
+        guard = (
+            e.agg(F.min("__w").alias("__minw"))
+            .crossJoin(base.agg(F.count(F.lit(1)).alias("__n")))
+            .first()
+        )
+        minw, n = guard["__minw"], guard["__n"]
         if minw is not None and minw < 0:
             raise ValueError(
                 "pagerank: negative edge weight (min weight = "
                 f"{minw}) — weights must be >= 0, or rank mass leaks "
                 "through the dangling/contribution split"
             )
-        n = base.agg(F.count(F.lit(1)).alias("__n")).first()["__n"]
         if n == 0:
             # empty edge list (e.g. every document is a single word):
             # an empty typed frame, not a driver-side ZeroDivisionError
@@ -99,10 +108,13 @@ def pagerank(
         # actually run against the persisted base/edges, and the next
         # round's lineage re-roots at a materialized rank table instead
         # of an ever-growing join chain (the canonical Spark iterative
-        # pattern; n_iter joins, not a 2^n_iter plan)
+        # pattern; n_iter joins, not a 2^n_iter plan). The INIT rank is a
+        # constant projection of the already-persisted base — no
+        # checkpoint job of its own (round 14): iteration 1's join reads
+        # base from cache either way.
         rank = base.select(
             "node", F.lit(round(1.0 / n, 12)).alias("rank")
-        ).localCheckpoint()
+        )
         for _ in range(n_iter):
             r = rank.join(base, "node")
             dangling = (

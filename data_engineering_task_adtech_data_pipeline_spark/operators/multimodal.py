@@ -1215,7 +1215,12 @@ def ahash_near_dup_pairs(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    pairs = pairs_from_sorted_ids(buckets).distinct()
+    from .dedup import fan_out_pairs
+
+    # pin the 64-step Hamming-fold verify's parallelism (fan_out_pairs
+    # docstring): the bucket frame the pairs explode from is a few KB and
+    # AQE coalesces it to 1-2 partitions at small scale
+    pairs = fan_out_pairs(pairs_from_sorted_ids(buckets).distinct())
     ha = h.select(F.col("id").alias("id_a"), F.col("ahash_bits").alias("__ba"))
     hb = h.select(F.col("id").alias("id_b"), F.col("ahash_bits").alias("__bb"))
     ham = F.expr(

@@ -814,13 +814,19 @@ def embedding_dup_pairs(
             "sig"
         ),
     )
-    from .dedup import pairs_from_sorted_ids
+    from .dedup import fan_out_pairs, pairs_from_sorted_ids
 
     banded = _band_rows(d, "sig", planes, bands)
     buckets = banded.groupBy("band_idx", "band_val").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_bucket).alias("ids")
     )
-    pairs = pairs_from_sorted_ids(buckets).dropDuplicates(["id_a", "id_b"])
+    # the dropDuplicates exchange doubles as the verify fan-out when keyed
+    # wide enough — but its AQE-coalesced output is 1-2 partitions at
+    # small bucket counts, so pin the verify parallelism explicitly
+    # (fan_out_pairs docstring; the cosine fold is the expensive stage).
+    pairs = fan_out_pairs(
+        pairs_from_sorted_ids(buckets).dropDuplicates(["id_a", "id_b"])
+    )
     emb_a = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("__emb_a")
     )
@@ -883,14 +889,17 @@ def semantic_dedup(
     d = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("__emb")
     )
-    from .dedup import pairs_from_sorted_ids
+    from .dedup import fan_out_pairs, pairs_from_sorted_ids
 
     assigned = _with_cell(d, "__emb", centroids, literal_max)
     cells = assigned.groupBy("cell").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_cell).alias("ids")
     )
-    # no cross-bucket dedup needed: each id lives in exactly one cell
-    pairs = pairs_from_sorted_ids(cells)
+    # no cross-bucket dedup needed: each id lives in exactly one cell.
+    # fan_out_pairs: the O(cell²) cosine verify must not inherit the
+    # n_cells-row cells frame's (AQE-coalesced) parallelism — see its
+    # docstring; measured 8.0 s -> 1.9-3.9 s on q68's verify at sf0.1.
+    pairs = fan_out_pairs(pairs_from_sorted_ids(cells))
     emb_a = d.select(F.col("id").alias("id_a"), F.col("__emb").alias("__emb_a"))
     emb_b = d.select(F.col("id").alias("id_b"), F.col("__emb").alias("__emb_b"))
     dups = (

@@ -12,6 +12,7 @@ date are partition-pruned via the `event_date` filter, and
 
 from __future__ import annotations
 
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,99 @@ def _ltz_normalize(df: DataFrame) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# Scan-parallelism floor (optimization round 14, guide §2.5/§6).
+#
+# A parquet scan's task count is bounded by its SPLIT count — and a table
+# written as a handful of single-row-group files caps every downstream
+# operator in the same stage at that parallelism, no matter how many cores
+# the cluster has. For compute-heavy per-row pipelines (shingling + 64-way
+# minhash, regex text features, 13-gram hashing) that serializes the whole
+# battery stage on 1-3 tasks (measured: q17 ran 2 tasks, q60's gram stage
+# 1-2 tasks at sf0.1 — 2-2.6x wall once spread).
+#
+# The floor is SCALE-ADAPTIVE, never a local constant: it fires only when
+# the scan provably cannot fill the cores (estimated split count below
+# half of ``defaultParallelism``) and the table is big enough for an extra
+# exchange of it to be worth anything (>= 1 MiB). At 100 TB every real
+# table exceeds the split-count condition, so no production scan ever pays
+# the shuffle; on the driver's reduced-core bench runs the floor shrinks
+# with ``defaultParallelism`` automatically.
+#
+# Only the COMPUTE-BOUND tables are fanned (documents, embeddings — text
+# regex/shingle/hash pipelines and vector folds do far more work per row
+# than they carry bytes). The relational tables (events, lineitem, ...)
+# feed I/O-thin scans whose map-side partial aggregation collapses the
+# data inside the scan stage; measured interleaved A/B at sf0.1: hash
+# fan-out moved q17 3.3->2.7 s, q60 6.0->4.5 s, q13 6.4->5.1 s but q05
+# (events anti-join) 0.7->1.6 s — the exchange is pure loss on cheap
+# scans, so they are excluded. Hash on the table's unique id (not
+# round-robin): uniform spread, no sort-before-repartition pass, and
+# deterministic under task retries.
+# ---------------------------------------------------------------------------
+
+_SCAN_FANOUT_MEMO: dict[str, int] = {}
+
+# compute-bound tables only (see block comment): table -> unique hash key
+_FANOUT_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _local_scan_size(path: str) -> "tuple[int, int] | None":
+    """(total_bytes, n_files) for a locally statable parquet path; None
+    when the path is remote (object store / HDFS) — those deployments are
+    cluster-scale, where the floor must come from file splits, not an
+    extra shuffle, so the fan-out stays off."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):] or "/"
+    elif p.startswith("file:"):
+        p = p[len("file:"):] or "/"
+    elif ":" in p.split("/", 1)[0]:
+        return None  # non-file scheme
+    if not os.path.exists(p):
+        return None
+    if os.path.isfile(p):
+        return os.path.getsize(p), 1
+    total = n = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+            n += 1
+    return total, n
+
+
+def scan_parallelism_floor(
+    spark: SparkSession, path: str, df: DataFrame, key_col: str | None
+) -> DataFrame:
+    """Hash fan-out of a compute-bound small-file scan to
+    ``defaultParallelism`` partitions — only when the scan's own split
+    count cannot fill the cores (see the block comment above).
+    Partitioning-only: emitted rows are identical, so every
+    oracle-checked result is unchanged."""
+    if key_col is None:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    key = f"{path}|{cores}"
+    n = _SCAN_FANOUT_MEMO.get(key)
+    if n is None:
+        info = _local_scan_size(path)
+        n = 0
+        if info is not None:
+            total, files = info
+            # maxPartitionBytes-default packing estimate of the split count
+            est_tasks = files + total // (128 << 20)
+            # 256 KiB floor: embeddings at bench scale is ~0.6 MiB of
+            # parquet but 2000 x 64 doubles of fold work per downstream
+            # pass — the whitelist already restricts to compute-bound
+            # tables, the floor only excludes truly trivial inputs
+            if total >= (256 << 10) and est_tasks < max(2, cores // 2):
+                n = cores
+        _SCAN_FANOUT_MEMO[key] = n
+    return df.repartition(n, F.col(key_col)) if n else df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table; schema comes from the parquet footer
     (written by the driver — declared copies live in ``schemas.TESTDATA_SCHEMAS``
@@ -58,7 +152,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # spacing and could round up across the truncation boundary
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ltz_normalize(df)
-    return _ltz_normalize(spark.read.parquet(path))
+    return scan_parallelism_floor(
+        spark, path, _ltz_normalize(spark.read.parquet(path)),
+        _FANOUT_KEYS.get(name),
+    )
 
 
 class Testdata:
