@@ -65,6 +65,19 @@ def chunk_documents(
 _PERSISTED_PARTS: list = []
 
 
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for :func:`release_persisted` —
+    the shared cache-lifetime discipline for operators whose plan
+    consumes one subtree several times (Catalyst's per-branch column
+    pruning specializes each copy, so ReuseExchange never fires on them
+    — measured zero ReusedExchange across the battery). Lazy: the first
+    action materializes, later references within the same action read
+    the cache; batch harnesses release per query."""
+    df = df.persist()
+    _PERSISTED_PARTS.append(df)
+    return df
+
+
 def release_persisted() -> int:
     """Unpersist every cached frame :func:`distributed_prefix_sum` has
     registered; returns how many were released. Call AFTER the downstream

@@ -2082,6 +2082,19 @@ def minhash_index_dedup(
         batch, text_col, id_col, p.num_hashes, p.shingle_k, p.max_shingles,
         p.hash_method,
     )
+    if broadcast_batch:
+        # Serving-path fixed-floor cut (optimization round 14, r13
+        # VERDICT #3): the batch profile feeds BOTH the band rows and the
+        # verify shingle sets, and each broadcast build re-ran the
+        # shingle+minhash pass over the batch. One eager materialization
+        # of the O(batch) profile replaces the duplicate pass. Applied
+        # BEFORE the selective filter below, so the filter stays visible
+        # to Catalyst's PartitionPruning rule (checkpointing above it
+        # would swallow the predicate and silently drop the DPP on the
+        # stored bands scan). Only on the micro-batch contract path —
+        # an unbounded batch (broadcast_batch=False) must not be
+        # checkpointed wholesale.
+        prof_new = prof_new.localCheckpoint()
     # Semantically a no-op (the profile groupBy only emits docs with >= 1
     # shingle) — but it is a "likely selective" predicate in Catalyst's
     # PartitionPruning rule, which is what makes the rule insert dynamic

@@ -193,6 +193,14 @@ def triangle_count(
     hash equi-joins + one explode + one aggregation, all integer exact,
     no window, no driver state.
     """
+    # Eager localCheckpoint (optimization round 14): `e` feeds deg AND
+    # the two orientation joins, `ori` feeds all three legs of the path
+    # join — without materialization every reference re-ran the upstream
+    # edge derivation (for the corpus word graph: the full text explode),
+    # 3x each; per-branch pruning blocks ReuseExchange (measured zero),
+    # and a lazy persist races its own concurrent broadcast builds. One
+    # materialized pass each replaces the recomputes at any scale — the
+    # standard triangle-counting discipline.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -200,6 +208,7 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("n"))
@@ -221,6 +230,7 @@ def triangle_count(
             .alias("o")
         )
         .select(F.col("o.a").alias("a"), F.col("o.b").alias("b"))
+        .localCheckpoint()
     )
     t2 = ori.select(F.col("a").alias("b"), F.col("b").alias("c"))
     t3 = ori.select(F.col("a").alias("a"), F.col("b").alias("c"))

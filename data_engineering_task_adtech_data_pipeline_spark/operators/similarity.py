@@ -413,13 +413,23 @@ def _sq_dist_sql(a: str, b: str) -> str:
 
 def _nearest_cell_sql(emb_sql: str, centroids: list[list[float]]) -> str:
     """0-based index of the closest centroid (squared L2; first-wins
-    ties) — SQL form of the old ``_nearest_cell`` Column builder."""
-    dists = (
-        "array("
-        + ", ".join(_sq_dist_sql(emb_sql, _arr_sql(c)) for c in centroids)
-        + ")"
+    ties) — SQL form of the old ``_nearest_cell`` Column builder.
+
+    argmin via ``array_min`` over (d, cell) structs, NOT
+    ``array_position(dists, array_min(dists))`` (optimization round 14):
+    the position form writes the whole distance array TWICE, and these
+    literal-model expressions dominate plan size (q78's plan was 310 KB
+    of text, mostly this doubling under the residual slices). Struct
+    comparison is lexicographic, so min (d, cell) = smallest distance
+    with smallest cell on ties — exactly the first-occurrence-of-min
+    contract (d is a sum of squares: never NaN/-0.0, so double equality
+    and struct ordering agree)."""
+    dists = ", ".join(
+        f"struct({_sq_dist_sql(emb_sql, _arr_sql(c))} as d, "
+        f"cast({i} as int) as cell)"
+        for i, c in enumerate(centroids)
     )
-    return f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+    return f"array_min(array({dists})).cell"
 
 
 # Above this many cells the centroid model stops riding the plan as literals
@@ -527,6 +537,15 @@ def kmeans_fit(
             method=train_hash_method,
         )
     d = d.persist()
+    # AQE off for the training loop (optimization round 14 — the BPE
+    # loop's documented discipline, operators/text.py): every Lloyd
+    # round is a fixed 2-stage model-sized aggregation, and AQE
+    # materializes its shuffle as one EXTRA driver-synchronous job per
+    # round with nothing to re-plan. Values are partition-independent by
+    # construction (6-dp rounded means), so this is latency-only.
+    from .text import _aqe_off_enter, _aqe_off_exit
+
+    _aqe_off_enter(d.sparkSession)
     try:
         if dim is None:
             # one tiny probe job; callers that know the dim should pass it
@@ -567,6 +586,7 @@ def kmeans_fit(
                 for c in range(len(centroids))
             ]
     finally:
+        _aqe_off_exit(d.sparkSession)
         d.unpersist()
     return centroids
 
@@ -1034,6 +1054,12 @@ def pq_fit(
             method=train_hash_method,
         )
     d = d.persist()
+    # AQE off for the PQ training loop — same per-round wasted-job
+    # rationale as kmeans_fit (values partition-independent by the 6-dp
+    # rounding contract).
+    from .text import _aqe_off_enter, _aqe_off_exit
+
+    _aqe_off_enter(d.sparkSession)
     try:
         init = (
             d.orderBy(id_col)
@@ -1083,6 +1109,7 @@ def pq_fit(
                 for s in range(m)
             ]
     finally:
+        _aqe_off_exit(d.sparkSession)
         d.unpersist()
     return codebooks
 
@@ -1167,6 +1194,29 @@ def _centroid_arr(centroids: list[list[float]], cell: Column) -> Column:
     full-dim residual subtraction in ``ivf_pq_fit`` (not a wide tree)."""
     return F.element_at(
         F.lit([[float(x) for x in c] for c in centroids]), cell + 1
+    )
+
+
+def _with_residual(
+    df: DataFrame, emb_attr: str, centroids: list[list[float]],
+    out_col: str,
+) -> DataFrame:
+    """Bind the row's full-dim residual ``emb - centroid[cell]`` as ONE
+    named column (optimization round 14): the PQ code/LUT expressions
+    over the residual then reference a cheap attribute instead of
+    re-deriving the residual — and re-embedding the whole coarse
+    centroid table — per (subspace, code). Values are element-identical
+    to the old slice-wise derivation (``x[i] - cent[i]`` either way), so
+    every training-unrolled oracle is unchanged. The alias is non-cheap
+    and multiply-referenced, so CollapseProject cannot inline it back
+    (SPARK-36718 guard)."""
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(emb_attr),
+            _centroid_arr(centroids, F.col("cell")),
+            lambda x, y: x - y,
+        ),
     )
 
 
@@ -1380,35 +1430,43 @@ def ivf_pq_topk(
     )
     d = with_double_embedding(corpus, emb_col).select(id_col, emb_col)
     assigned = _with_cell(d, emb_col, centroids, literal_max)
-    cent_sql = (
-        _centroid_arr_sql(centroids, "cell") if residual else None
-    )
     codebooks = ivf_pq_fit(
         corpus, centroids, m, n_codes, pq_n_iter, id_col, emb_col, dim,
         train_fraction, train_salt, train_hash_method, residual,
         literal_max,
     )
-    coded = assigned.select(
-        F.col(id_col),
-        "cell",
-        F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)).alias(
-            "codes"
-        ),
+    # Residual-ONCE layering (optimization round 14): the residual used
+    # to be re-derived slice-wise INSIDE every per-(subspace, code)
+    # distance expression, embedding the whole n_cells x dim coarse
+    # centroid table m x n_codes x 2 times in the plan — q78's plan text
+    # was 310 KB and its analysis dominated the query. One named
+    # full-dim residual column carries the centroid table once;
+    # element values are identical (x[i] - cent[i] either way), so every
+    # training-unrolled oracle still matches bit-for-bit. CollapseProject
+    # cannot inline it back: the alias is non-cheap and referenced by
+    # every subspace slice (SPARK-36718 guard).
+    if residual:
+        coded_src = _with_residual(assigned, emb_col, centroids, "__res")
+        codes_sql = _pq_codes_sql("`__res`", codebooks)
+    else:
+        coded_src = assigned
+        codes_sql = _pq_codes_sql(f"`{emb_col}`", codebooks)
+    coded = coded_src.select(
+        F.col(id_col), "cell", F.expr(codes_sql).alias("codes")
     )
     q = with_double_embedding(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__q_emb")
     )
-    q_cent_sql = (
-        _centroid_arr_sql(centroids, "cell") if residual else None
-    )
-    probed = _with_probed_cells(
+    probed_src = _with_probed_cells(
         q, "__q_emb", centroids, n_probe, literal_max
-    ).select(
-        "query_id",
-        "cell",
-        F.expr(_pq_lut_sql("`__q_emb`", codebooks, q_cent_sql)).alias(
-            "__lut"
-        ),
+    )
+    if residual:
+        probed_src = _with_residual(probed_src, "__q_emb", centroids, "__qres")
+        lut_sql = _pq_lut_sql("`__qres`", codebooks)
+    else:
+        lut_sql = _pq_lut_sql("`__q_emb`", codebooks)
+    probed = probed_src.select(
+        "query_id", "cell", F.expr(lut_sql).alias("__lut")
     )
     scored = (
         F.broadcast(probed)
@@ -1600,13 +1658,16 @@ def ivf_index_write(
         )
     assigned = _with_cell(work, emb_col, centroids, literal_max)
     if codebooks is not None:
-        cent_sql = (
-            _centroid_arr_sql(centroids, "cell") if pq_residual else None
-        )
-        assigned = assigned.withColumn(
-            "codes",
-            F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)),
-        )
+        if pq_residual:
+            assigned = _with_residual(
+                assigned, emb_col, centroids, "__res"
+            ).withColumn(
+                "codes", F.expr(_pq_codes_sql("`__res`", codebooks))
+            ).drop("__res")
+        else:
+            assigned = assigned.withColumn(
+                "codes", F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks))
+            )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         fs.join(root, "index")
     )
@@ -2024,17 +2085,18 @@ def ivf_index_search(
         # (approx_dist) without rerank, cosine rows with. The index must
         # have been written with the same ``codebooks`` and
         # ``pq_residual``.
-        q_cent_sql = (
-            _centroid_arr_sql(centroids, "cell") if pq_residual else None
-        )
-        probed = _with_probed_cells(
+        probed_src = _with_probed_cells(
             q, "__q_emb", centroids, n_probe, literal_max
-        ).select(
-            "query_id",
-            "cell",
-            F.expr(_pq_lut_sql("`__q_emb`", codebooks, q_cent_sql)).alias(
-                "__lut"
-            ),
+        )
+        if pq_residual:
+            probed_src = _with_residual(
+                probed_src, "__q_emb", centroids, "__qres"
+            )
+            lut_sql = _pq_lut_sql("`__qres`", codebooks)
+        else:
+            lut_sql = _pq_lut_sql("`__q_emb`", codebooks)
+        probed = probed_src.select(
+            "query_id", "cell", F.expr(lut_sql).alias("__lut")
         )
         c_codes = read_index([corpus_id, F.col("cell"), F.col("codes")])
         adc = (

@@ -582,7 +582,16 @@ def kmv_intersect_pairs(
     to the exact integer count. The sketch join is sketch-sized (≤ k
     rows per group) — the raw data is never touched again, which is the
     entire point at 100 TB: one scan builds the sketches, every pairwise
-    overlap after that is arithmetic."""
+    overlap after that is arithmetic.
+
+    The sketch frame is materialized on entry (eager localCheckpoint —
+    it is sketch-sized by contract): it is referenced six times below
+    (stats a/b, common a/b, union a/b), and an unmaterialized ``sk``
+    re-ran its whole build per reference — q121 measured 80 Exchanges
+    from exactly that, against the documented 'one scan' contract. A
+    lazy persist is not enough: the broadcast pair relations build
+    concurrently at action start and race the unpopulated cache."""
+    sk = sk.select(group_col, "h", "rank").localCheckpoint()
     st = _kmv_stats(sk, [group_col], k, method)
     a, b = "__ga", "__gb"
     pairs = (
@@ -786,6 +795,12 @@ def bloom_filter_rows(
     :func:`bloom_sketch` docstring (billion keys → ~1.2 GB) would OOM a
     forced broadcast ``num_hashes`` times over — pass False to let the
     optimizer pick the join strategy (shuffle join on ``word``) instead.
+
+    Materialize ``bloom`` before calling (``.localCheckpoint()`` for an
+    in-plan sketch, or read it from storage): this function references
+    the sketch frame ``num_hashes`` times, and an unmaterialized sketch
+    re-runs its whole build per reference (q139 measured 50 Exchanges
+    from exactly that).
     """
     if keep not in ("maybe", "miss"):
         raise ValueError(f"unknown keep mode: {keep!r}")

@@ -687,8 +687,19 @@ def bm25_scores(
         F.col(id_col).alias("id"),
         F.explode(_word_array(text_col)).alias("term"),
     ).where(F.col("term") != "")
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus explode (optimization round 14): tf is materialized
+    # (eager localCheckpoint — it is the inverted-index build, the
+    # operator's natural intermediate) and every other statistic derives
+    # from it: dl = sum(tf) per doc == the word count (integer-identical
+    # to counting the exploded rows), dft and avgdl fold over tf/dl.
+    # Before, words/tf were re-derived per consumer — four corpus explode
+    # passes per call (per-branch pruning blocks ReuseExchange).
+    tf = (
+        words.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))
     avgdl = dl.agg(F.avg("dl").alias("__avgdl"))

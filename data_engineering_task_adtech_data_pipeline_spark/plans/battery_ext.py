@@ -3332,7 +3332,12 @@ def _bpe_merge_oracle(n_merges: int) -> str:
 def q88_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Testdata(spark, sf_dir).documents
     norm = docs.select(dedup.normalize_text("text").alias("text"))
-    return text.bpe_learn_merges(norm, n_merges=5)
+    # batch=True (optimization round 14): the safe-prefix batched learner
+    # is PROVABLY order-equivalent to the strict per-merge loop
+    # (equivalence-tested at n_merges=5/64 + adversarial ties), and cuts
+    # the one-driver-round-trip-per-merge loop toward O(n/k) jobs — the
+    # oracle unroll matches either by construction.
+    return text.bpe_learn_merges(norm, n_merges=5, batch=True)
 
 
 # ===========================================================================
@@ -3545,7 +3550,8 @@ def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "doc_id", dedup.normalize_text("text").alias("text")
     )
-    learned = text.bpe_learn_merges(norm, n_merges=5).collect()
+    # batch=True: provably order-equivalent batched learning (see q88)
+    learned = text.bpe_learn_merges(norm, n_merges=5, batch=True).collect()
     merges = [(r.left_sym, r.right_sym) for r in
               sorted(learned, key=lambda r: r.merge_rank)]
     return text.bpe_tokenize_counts(norm, merges)
@@ -6536,10 +6542,20 @@ def q139_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").cast("string").alias("__k")
         )
 
+    # Eager one-shot materialization (optimization round 14): the merged
+    # sketch frame is consumed 11 times (5 broadcast word-joins per
+    # keep-arm + the stats agg), and each reference used to re-run the
+    # whole build (orders scan -> hash explode -> word groupBy -> merge)
+    # — 50 Exchanges in the plan. The sketch is bounded model state
+    # (<= m/64 = 128 words). Eager localCheckpoint, NOT a lazy persist:
+    # the 10 broadcast relations build concurrently at action start and
+    # would all MISS a lazily-populated cache in parallel (measured — the
+    # lazy form kept the 50-Exchange runtime), while the checkpoint pays
+    # the build exactly once. Values unchanged.
     bloom = sketch.bloom_merge(
         sketch.bloom_sketch(member_keys("1-URGENT"), "__k", M, K, "md5"),
         sketch.bloom_sketch(member_keys("2-HIGH"), "__k", M, K, "md5"),
-    )
+    ).localCheckpoint()
     stats = bloom.agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_set_bits"),

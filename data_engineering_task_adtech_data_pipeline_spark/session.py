@@ -41,6 +41,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce INSIDE cached plans too (off by default): the
+        # engine persists bounded intermediates (k-means training frames,
+        # pagerank rank tables, sketch/orientation reuse) and without
+        # this every cached subtree runs its shuffles at the static
+        # partition count — measured 935+ tasks on pagerank's tiny
+        # per-round frames at sf0.1 (optimization round 14). Scale-safe:
+        # the flag only re-enables the same size-based coalescing every
+        # uncached plan already gets.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # AQE sort-merge -> shuffled-hash rewrite (guide §3.1): when every
+        # post-shuffle partition's build side fits under this threshold,
+        # the join skips both sorts. Runtime and size-gated, so it cannot
+        # OOM a genuinely large build side, and it leaves non-shuffle
+        # joins (the bucketed zero-exchange SMJ path) untouched. Default
+        # is 0 (off); 64m mirrors the advisory partition size.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

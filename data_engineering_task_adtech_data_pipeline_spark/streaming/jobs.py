@@ -554,15 +554,18 @@ def stream_ivf_ingest(
         )
     assigned = _with_cell(work, emb_col, centroids)
     if codebooks is not None:
-        from ..operators.similarity import _centroid_arr_sql, _pq_codes_sql
+        from ..operators.similarity import _pq_codes_sql, _with_residual
 
-        cent_sql = (
-            _centroid_arr_sql(centroids, "cell") if pq_residual else None
-        )
-        assigned = assigned.withColumn(
-            "codes",
-            F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks, cent_sql)),
-        )
+        if pq_residual:
+            assigned = _with_residual(
+                assigned, emb_col, centroids, "__res"
+            ).withColumn(
+                "codes", F.expr(_pq_codes_sql("`__res`", codebooks))
+            ).drop("__res")
+        else:
+            assigned = assigned.withColumn(
+                "codes", F.expr(_pq_codes_sql(f"`{emb_col}`", codebooks))
+            )
     writer = (
         assigned.writeStream.outputMode("append")
         .format("parquet")
