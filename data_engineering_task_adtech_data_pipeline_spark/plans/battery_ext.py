@@ -203,7 +203,7 @@ def _simhash_oracle(bits: int, bands: int, max_hamming: int) -> str:
     doc="Exact dedup via normalized-content hash, min-id survivor.",
 )
 def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return dedup.exact_dedup(docs).select(
         "doc_id", "source", "lang", "content_hash"
     )
@@ -751,7 +751,7 @@ def q19_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a data-curation pipeline.",
 )
 def q21_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -818,7 +818,7 @@ def q35_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_split
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     split = hash_split(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}, keys=["doc_id"],
         method="md5",
@@ -899,7 +899,7 @@ def q48_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("source"),
@@ -1061,7 +1061,7 @@ def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import pack_documents, pack_documents_greedy
     from ..operators.text import token_counts
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     toks = token_counts(docs).select(
         "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
     )
@@ -1138,7 +1138,7 @@ def q58_greedy_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import pack_documents_greedy
     from ..operators.text import token_counts
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     toks = token_counts(docs).select(
         "doc_id", F.col("whitespace_tokens").cast("long").alias("n_tokens")
     )
@@ -1226,7 +1226,7 @@ def q60_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import cap_per_group
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return cap_per_group(
         docs, "source", cap=10, keys=["doc_id"], method="md5"
     ).select("doc_id", "source")
@@ -1491,7 +1491,7 @@ def q57_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import export_shards
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return export_shards(docs, 8, ["doc_id"], method="md5").select(
         "doc_id", "shard", "ordinal"
     )
@@ -1521,7 +1521,7 @@ def q61_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import quantile_threshold
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return quantile_threshold(docs, "n_chars", 0.2, tail="top").select(
         "doc_id", "source", "n_chars"
     )
@@ -2582,7 +2582,7 @@ def q78_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.text.bpe_pair_counts).",
 )
 def q79_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     return text.bpe_pair_counts(docs, min_count=5)
 
 
@@ -3500,7 +3500,7 @@ def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
 
-    docs = Testdata(spark, sf_dir).documents.where(F.col("n_chars") > 0)
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(F.col("n_chars") > 0)
     out = weighted_sample(
         docs, k=50, weight_col="n_chars", keys=["doc_id"], method="md5"
     )
@@ -3606,7 +3606,7 @@ def q94_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(F.col("text").isNotNull())
     wav = multimodal.synth_wav(docs)
     stats = multimodal.decode_audio(wav)
     return stats.select(
@@ -4182,7 +4182,7 @@ def q109_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q110_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(F.col("text").isNotNull())
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(F.col("text").isNotNull())
     wav = multimodal.synth_wav(docs)
     out = multimodal.resample_audio(wav, factor=2)
     return out.select(
@@ -4251,7 +4251,7 @@ _AHASH_CTES = """
 def q112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     ppm = multimodal.synth_ppm(docs)
@@ -4289,7 +4289,7 @@ def q112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q113_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     hashes = multimodal.ahash_images(multimodal.synth_ppm(docs))
@@ -4517,7 +4517,7 @@ _VIDEO_VIDS_CTE = """
 def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     vid = multimodal.synth_y4m(docs)
@@ -4619,7 +4619,7 @@ def q117_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_video_frame_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     frames = multimodal.sample_frames(multimodal.synth_y4m(docs), every_n=2)
@@ -4773,7 +4773,7 @@ def q121_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
-    docs = Testdata(spark, sf_dir).documents
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     out = sampling.stratified_exact_split(
         docs, 0.3, "source", ["doc_id"], salt=42, method="md5"
     )
@@ -5002,7 +5002,7 @@ def q125_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q129_visual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     hashes = multimodal.ahash_images(multimodal.synth_ppm(docs)).where(
@@ -5073,7 +5073,7 @@ def q129_visual_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q130_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
-    docs = Testdata(spark, sf_dir).documents.where(
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents.where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     fp = multimodal.audio_fingerprint(multimodal.synth_wav(docs))

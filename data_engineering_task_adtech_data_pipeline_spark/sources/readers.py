@@ -163,14 +163,31 @@ class Testdata:
 
     ``td = Testdata(spark, "/root/testdata/sf0.01"); td.lineitem`` — each
     access returns a fresh lazy DataFrame (no caching side effects).
+
+    ``scan_floor=False`` opts out of the compute-bound scan-parallelism
+    floor (see :func:`scan_parallelism_floor`). The multimodal battery
+    entries use it: their heavy work happens INSIDE Arrow batches
+    (``mapInPandas`` codecs) where per-task Python-worker init dominates
+    at small per-partition row counts — measured interleaved at sf0.1,
+    the fanned family ran 12.9 s vs 10.2 s unfanned (q129 4.0 vs 2.3),
+    the opposite of the JVM-expression pipelines the floor is for
+    (guide §4.5: amortize heavyweight init over many batches per task).
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self, spark: SparkSession, sf_dir: str, scan_floor: bool = True
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
+        self._scan_floor = scan_floor
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TESTDATA_TABLES:
+            if not self._scan_floor and name in _FANOUT_KEYS:
+                # the floored tables have no vintage special-casing, so
+                # the raw read is exactly read_table minus the floor
+                path = fs.join(self.sf_dir, f"{name}.parquet")
+                return _ltz_normalize(self.spark.read.parquet(path))
             return read_table(self.spark, self.sf_dir, name)
         raise AttributeError(name)
 
