@@ -12,6 +12,8 @@ via Arrow-batched ``applyInPandas``. No driver loops anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -65,32 +67,100 @@ def chunk_documents(
 _PERSISTED_PARTS: list = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
+def track_persist(df: DataFrame, storage_level=None, eager: bool = False) -> DataFrame:
     """Persist ``df`` and register it for :func:`release_persisted` —
     the shared cache-lifetime discipline for operators whose plan
     consumes one subtree several times (Catalyst's per-branch column
     pruning specializes each copy, so ReuseExchange never fires on them
-    — measured zero ReusedExchange across the battery). Lazy: the first
-    action materializes, later references within the same action read
-    the cache; batch harnesses release per query."""
-    df = df.persist()
+    — measured zero ReusedExchange across the battery). Callers:
+    :func:`distributed_prefix_sum` (its boundary-pinning persist) and
+    :func:`materialize` (the shared multiply-consumed-subtree
+    discipline). ``eager=True`` runs one count() so the cache is
+    populated BEFORE any downstream action — required when the consumers
+    include concurrently-built broadcast relations, which otherwise all
+    race the unpopulated cache and recompute the subtree in parallel
+    (measured in optimization round 14). Batch harnesses release per
+    query via :func:`release_persisted`."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    if eager:
+        df.count()
     _PERSISTED_PARTS.append(df)
     return df
 
 
 def release_persisted() -> int:
-    """Unpersist every cached frame :func:`distributed_prefix_sum` has
-    registered; returns how many were released. Call AFTER the downstream
+    """Unpersist every cached frame registered via :func:`track_persist`
+    (the prefix-sum boundary persists and :func:`materialize`'s subtree
+    caches); returns how many were released. Call AFTER the downstream
     results are materialized (batch harnesses: once per query) — in a
     long-lived session the caches otherwise accumulate until LRU
     eviction. Safe to call eagerly: an un-materialized downstream result
     recomputes through the same pinned RDD graph (see the persist comment
-    in :func:`distributed_prefix_sum`)."""
+    in :func:`distributed_prefix_sum`) — every registered frame is a
+    lineage-preserving persist(), never a lineage-truncating
+    checkpoint."""
     n = 0
     while _PERSISTED_PARTS:
         _PERSISTED_PARTS.pop().unpersist()
         n += 1
     return n
+
+
+_MATERIALIZE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MATERIALIZE_MIN_BYTES", str(256 << 20))
+)
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate for ``df`` —
+    the cheap (driver-only, no job) scale signal :func:`materialize`
+    gates on. Derived from scan file sizes through the optimizer's
+    per-operator propagation, so it is a coarse order-of-magnitude
+    number: exactly right for separating bench-scale inputs (MBs) from
+    production corpora (TBs), wrong for anything finer."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps scala.math.BigInt to a Python int for values that fit;
+    # very large estimates (unbounded-growth operators) arrive as the
+    # JVM object and stringify instead
+    return size if isinstance(size, int) else int(str(size))
+
+
+def materialize(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
+    """Size-gated EAGER materialization of a multiply-consumed subtree
+    (optimization round 15; guide §2.4/§5).
+
+    Catalyst's per-branch column pruning specializes every reference to
+    a shared frame, so ReuseExchange fires zero times battery-wide and
+    each consumer re-runs the whole upstream pipeline. Round 14 fixed
+    that with unconditional eager ``localCheckpoint()``; round 14's own
+    committed record shows the trade is scale-dependent — at bench scale
+    the recompute is cheaper than the materialization barrier (q107
+    regressed 1.39->2.27 s), while at corpus scale the recompute is
+    catastrophic (re-running a 100 TB text explode per consumer). This
+    helper encodes the trade:
+
+    - Below ``min_bytes`` (default 256 MiB,
+      ``$SPARK_GRAFT_MATERIALIZE_MIN_BYTES``): return ``df`` unchanged —
+      consumers recompute, which AQE runs fully parallel inside one job.
+    - At/above: ``persist()`` + one eager ``count()`` job, registered for
+      :func:`release_persisted`. persist (not localCheckpoint) on
+      purpose: lineage survives executor loss, the blocks are released
+      per query by the existing harness discipline instead of
+      accumulating for the session (r14 ADVICE), and downstream plans
+      still collapse to one ``InMemoryRelation`` scan per consumer. The
+      eager count exists because the consumers include concurrently-built
+      broadcast relations, which all miss a lazily-populated cache in
+      parallel (measured, round 14).
+
+    NOT for iterative loops — a persist keeps the full logical lineage,
+    so a loop referencing its own output k times per round grows the
+    analyzed plan k^n; iterative operators keep their per-round
+    ``localCheckpoint`` (pagerank, connected components, BPE).
+    """
+    threshold = _MATERIALIZE_MIN_BYTES if min_bytes is None else min_bytes
+    if threshold > 0 and plan_size_estimate(df) < threshold:
+        return df
+    return track_persist(df, eager=True)
 
 
 def distributed_prefix_sum(
@@ -134,15 +204,14 @@ def distributed_prefix_sum(
     # bounded, spillable, LRU-evicted after the job.
     from pyspark import StorageLevel
 
-    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
-    # Register the handle so long-lived sessions can release the cached
-    # partitions once the downstream result is materialized (ADVICE r6:
-    # repeated calls otherwise accumulate until LRU eviction). Releasing
-    # is correctness-safe: the persist pins ONE exchange instance in the
-    # plan (the InMemoryRelation both subtrees share); after eviction a
-    # recompute replays the same RDD graph with the same shuffle
-    # boundaries.
-    _PERSISTED_PARTS.append(parts)
+    # Registered via track_persist so long-lived sessions can release the
+    # cached partitions once the downstream result is materialized
+    # (ADVICE r6: repeated calls otherwise accumulate until LRU
+    # eviction). Releasing is correctness-safe: the persist pins ONE
+    # exchange instance in the plan (the InMemoryRelation both subtrees
+    # share); after eviction a recompute replays the same RDD graph with
+    # the same shuffle boundaries.
+    parts = track_persist(parts, StorageLevel.MEMORY_AND_DISK)
     w = (
         W.partitionBy("__pid")
         .orderBy(*order)

@@ -308,11 +308,54 @@ def fan_out_pairs(
     profile side), that join re-shuffles pairs regardless. Explicit
     ``n`` (not AQE-advised) because AQE would coalesce the tiny-bytes
     case right back to 1 partition; ``defaultParallelism`` tracks the
-    real core count on both the local bench and a cluster. Hash keys
-    (id_a, id_b) are distinct per row — uniform spread, deterministic
-    under retries (no round-robin sort needed)."""
+    real core count on both the local bench and a cluster. The hash key
+    is ``xxhash64(id_a, id_b)`` rather than the columns themselves
+    (round 15): several call sites fan out straight after a
+    ``distinct()``/``dropDuplicates`` on exactly (id_a, id_b), whose
+    ENSURE_REQUIREMENTS exchange statically satisfies a same-key
+    repartition — Catalyst then REMOVES the fan-out and AQE coalesces
+    the dedup exchange to 1-3 partitions, putting the whole verify
+    stage back on a straggler (measured on q49: the cosine fold ran as
+    a 3-task stage with one long tail; the round-14 form was silently a
+    no-op there). The derived key survives planning as
+    REPARTITION_BY_NUM (AQE may not coalesce it), is deterministic
+    under retries (a pure function of the row), and spreads the same
+    distinct-per-row way."""
     n = pairs.sparkSession.sparkContext.defaultParallelism
-    return pairs.repartition(n, F.col(id_a), F.col(id_b))
+    return pairs.repartition(n, F.xxhash64(F.col(id_a), F.col(id_b)))
+
+
+def fan_out_buckets(buckets: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a bucket/cell frame to ``defaultParallelism``
+    BEFORE the bucket-local pair explode — the generation-side sibling of
+    :func:`fan_out_pairs` (optimization round 15, r14 VERDICT #6).
+
+    ``fan_out_pairs`` pins the parallelism of the verify JOIN, but the
+    pair GENERATION itself — the O(bucket²) nested-transform explode, and
+    in operators whose verify rides inside the same projection
+    (simhash's Hamming popcount) the verify too — still runs at the
+    bucket frame's parallelism, which AQE coalesces to 1-2 partitions
+    because the bucket rows are a few KB of ids. Spreading the bucket
+    rows across the cores parallelizes the explode at bucket grain
+    (per-bucket work is bounded by the ``max_bucket`` cap, so no single
+    row can dominate).
+
+    Scale contract: the exchange carries one row per bucket (a capped id
+    array — the same bytes the generation stage was already holding),
+    and ``defaultParallelism`` tracks the real core count on the local
+    bench and a cluster alike, so the repartition is never a local-mode
+    constant. The hash key is ``xxhash64`` OVER the bucket identity
+    columns rather than the columns themselves: the bucket frame is the
+    output of a groupBy on exactly those columns, so a same-key
+    repartition is statically satisfied by the aggregation's own
+    exchange and Catalyst removes it — leaving the AQE-coalescible
+    ENSURE_REQUIREMENTS exchange as the stage's (1-2 partition)
+    parallelism, which is the problem this function exists to fix. The
+    derived key survives planning as a REPARTITION_BY_NUM exchange AQE
+    may not coalesce, stays deterministic under retries (a pure function
+    of the row), and spreads identically."""
+    n = buckets.sparkSession.sparkContext.defaultParallelism
+    return buckets.repartition(n, F.xxhash64(*[F.col(k) for k in keys]))
 
 
 def _sig_band_rows(
@@ -1187,8 +1230,13 @@ def simhash_candidates(
             max_bucket,
         ).alias("members")
     )
+    # generation AND the Hamming verify run inside this one projection
+    # (the simhash rides in the struct — no join-back), so the bucket
+    # fan-out pins the parallelism of the WHOLE candidate+verify stage
+    # (round 15; fan_out_buckets docstring)
     pairs = (
-        buckets.where(F.size("members") > 1)
+        fan_out_buckets(buckets, "band_idx", "band_val")
+        .where(F.size("members") > 1)
         .select(
             F.explode(
                 F.flatten(

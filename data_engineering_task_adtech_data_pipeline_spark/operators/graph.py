@@ -81,17 +81,25 @@ def pagerank(
         # silently demote a connected node to dangling, so the guard
         # checks the per-edge minimum, not the per-node out_weight
         # (review r7; the original ADVICE-r6 guard only caught sums)
-        # ONE job materializes BOTH persists and collects both scalars
-        # (optimization round 14, guide §1.2 "remove passes": the guard
-        # agg and the node count were two sequential driver round trips;
-        # a 1-row cross join runs them as one job over the two persisted
-        # frames). Guard semantics unchanged (review r7).
+        # ONE job materializes BOTH persists and collects all three
+        # scalars (optimization rounds 14/15, guide §1.2 "remove
+        # passes"): the guard min, the node count, and the dangling-node
+        # count (round 15 — it seeds the iteration-0 dangling mass below
+        # so no per-round dangling job is needed). Guard semantics
+        # unchanged (review r7).
         guard = (
             e.agg(F.min("__w").alias("__minw"))
-            .crossJoin(base.agg(F.count(F.lit(1)).alias("__n")))
+            .crossJoin(
+                base.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count(
+                        F.when(F.col("out_weight") == 0.0, 1)
+                    ).alias("__nd"),
+                )
+            )
             .first()
         )
-        minw, n = guard["__minw"], guard["__n"]
+        minw, n, n_dangling = guard["__minw"], guard["__n"], guard["__nd"]
         if minw is not None and minw < 0:
             raise ValueError(
                 "pagerank: negative edge weight (min weight = "
@@ -111,23 +119,43 @@ def pagerank(
         # pattern; n_iter joins, not a 2^n_iter plan). The INIT rank is a
         # constant projection of the already-persisted base — no
         # checkpoint job of its own (round 14): iteration 1's join reads
-        # base from cache either way.
+        # base from cache either way. Round 15 (guide §1.2, VERDICT #5):
+        # rank frames CARRY out_weight, so the per-round rank-with-base
+        # join disappears, and each round's dangling mass arrives as an
+        # exact DECIMAL(28,12) literal instead of a per-round agg job +
+        # broadcast build — iteration 0's is n_dangling * the constant
+        # init rank (decimal multiply == the old SUM over identical
+        # decimals), later ones ride the round's checkpoint via
+        # observe() (the connected-components discipline). Values are
+        # bit-identical: the literal is the same decimal the old __dm
+        # column held, cast to double in the same expression.
+        init = round(1.0 / n, 12)
         rank = base.select(
-            "node", F.lit(round(1.0 / n, 12)).alias("rank")
+            "node", F.lit(init).alias("rank"), "out_weight"
         )
+        # exact: every iteration-0 rank is the SAME double literal, so
+        # SUM(CAST(rank AS DEC(28,12))) over dangling rows ==
+        # CAST(rank AS DEC(28,12)) * n_dangling, folded at plan time
+        dm = (F.lit(init).cast(_DEC) * F.lit(n_dangling)).cast(_DEC)
+        # observe() metrics ride accumulators, which a resubmitted stage
+        # can double-apply after a shuffle-fetch failure on a real
+        # cluster — and here the metric feeds rank VALUES, not just a
+        # convergence probe. The observed fast path is therefore gated
+        # to local masters (the bench/oracle regime, where stage
+        # resubmission cannot occur); clusters take a retry-exact 1-row
+        # agg job over the just-checkpointed rank instead (r14 ADVICE on
+        # the closure checksum, applied with a stricter rule here).
+        observed = edges.sparkSession.sparkContext.master.startswith("local")
+        dangling_sum = F.coalesce(
+            F.sum(
+                F.when(F.col("out_weight") == 0.0, F.col("rank")).cast(_DEC)
+            ),
+            F.lit(0).cast(_DEC),
+        ).alias("__dm")
         for _ in range(n_iter):
-            r = rank.join(base, "node")
-            dangling = (
-                r.where(F.col("out_weight") == 0.0)
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("rank").cast(_DEC)), F.lit(0).cast(_DEC)
-                    ).alias("__dm")
-                )
-            )
             contrib = (
-                r.where(F.col("out_weight") > 0.0)
-                .join(e, r["node"] == e["__src"])
+                rank.where(F.col("out_weight") > 0.0)
+                .join(e, rank["node"] == e["__src"])
                 .select(
                     F.col("__dst").alias("node"),
                     F.round(
@@ -140,30 +168,39 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("__c").alias("__in"))
             )
-            rank = (
-                base.select("node")
-                .join(contrib, "node", "left")
-                .join(F.broadcast(dangling))
-                .select(
-                    "node",
-                    F.round(
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(
-                                F.col("__in").cast("double"), F.lit(0.0)
-                            )
-                            + F.col("__dm").cast("double") / F.lit(float(n))
-                        ),
-                        12,
-                    ).alias("rank"),
-                )
-            ).localCheckpoint()
-        return (
-            rank.join(base, "node")
-            .select("node", "rank", "out_weight")
-            .localCheckpoint()
-        )
+            new_rank = base.join(contrib, "node", "left").select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("__in").cast("double"), F.lit(0.0)
+                        )
+                        + dm.cast("double") / F.lit(float(n))
+                    ),
+                    12,
+                ).alias("rank"),
+                "out_weight",
+            )
+            if observed:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                rank = new_rank.observe(obs, dangling_sum).localCheckpoint()
+                dm = F.lit(obs.get["__dm"]).cast(_DEC)
+            else:
+                rank = new_rank.localCheckpoint()
+                row = rank.where(F.col("out_weight") == 0.0).agg(
+                    dangling_sum
+                ).first()
+                dm = F.lit(row["__dm"]).cast(_DEC)
+        if n_iter <= 0:
+            # materialize the init frame so the returned rows do not
+            # depend on the persisted base released in `finally` (the
+            # loop's own checkpoints already guarantee this otherwise)
+            rank = rank.localCheckpoint()
+        return rank.select("node", "rank", "out_weight")
     finally:
         base.unpersist()
         e.unpersist()
@@ -198,9 +235,20 @@ def triangle_count(
     # join — without materialization every reference re-ran the upstream
     # edge derivation (for the corpus word graph: the full text explode),
     # 3x each; per-branch pruning blocks ReuseExchange (measured zero),
-    # and a lazy persist races its own concurrent broadcast builds. One
-    # materialized pass each replaces the recomputes at any scale — the
-    # standard triangle-counting discipline.
+    # and a lazy persist races its own concurrent broadcast builds.
+    # Round 15 re-adjudicated both alternatives under the interleaved
+    # same-box protocol and KEPT this form: the r14-committed "q107
+    # regression" (1.39->2.27 s) does not reproduce interleaved
+    # (r13-lazy vs r14-checkpoint = 0.935x normalized,
+    # plans/r15/ab_start), a size-gated lazy variant measured 1.11x
+    # SLOWER and an eager persist()+count() variant 1.14x slower
+    # (plans/r15/ab_q90_q107.json, ab_q107_persist.json) — the
+    # checkpoint's task count is 5x lower than the cached-scan form (80
+    # vs 451). Block lifetime: localCheckpoint blocks are reclaimed by
+    # the ContextCleaner once the frame's last reference drops (per
+    # query in the bench/oracle harnesses); executor loss invalidates
+    # them — acceptable for a single-query intermediate, documented
+    # rather than traded for the measured-slower persist (r14 ADVICE).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),

@@ -834,18 +834,23 @@ def embedding_dup_pairs(
             "sig"
         ),
     )
-    from .dedup import fan_out_pairs, pairs_from_sorted_ids
+    from .dedup import fan_out_buckets, fan_out_pairs, pairs_from_sorted_ids
 
     banded = _band_rows(d, "sig", planes, bands)
     buckets = banded.groupBy("band_idx", "band_val").agg(
         F.slice(F.array_sort(F.collect_set("id")), 1, max_bucket).alias("ids")
     )
-    # the dropDuplicates exchange doubles as the verify fan-out when keyed
-    # wide enough — but its AQE-coalesced output is 1-2 partitions at
-    # small bucket counts, so pin the verify parallelism explicitly
-    # (fan_out_pairs docstring; the cosine fold is the expensive stage).
+    # BOTH halves of the pair pipeline are pinned to the cores: the
+    # O(bucket²) pair GENERATION via fan_out_buckets (round 15 — q49's
+    # pairs side is consumed by a broadcast build, so the generation
+    # explode otherwise runs on the 1-2 AQE-coalesced bucket partitions
+    # inside the broadcast job), and the cosine verify via fan_out_pairs
+    # (round 14; the dropDuplicates exchange alone would coalesce right
+    # back at small bucket counts).
     pairs = fan_out_pairs(
-        pairs_from_sorted_ids(buckets).dropDuplicates(["id_a", "id_b"])
+        pairs_from_sorted_ids(
+            fan_out_buckets(buckets, "band_idx", "band_val")
+        ).dropDuplicates(["id_a", "id_b"])
     )
     emb_a = with_double_embedding(df, emb_col).select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("__emb_a")

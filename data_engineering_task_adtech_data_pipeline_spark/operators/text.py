@@ -653,6 +653,26 @@ def inverted_index(
     )
 
 
+def term_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document term frequencies ``(id, term, tf)`` over normalized
+    non-empty words — the corpus inverted-index intermediate
+    :func:`bm25_scores` builds internally. Public (round 15, VERDICT #4)
+    so retrieval-evaluation pipelines can compute it ONCE, materialize
+    it, and feed the same frame to both ``bm25_scores(tf=...)`` and
+    their relevance/truth derivation instead of re-exploding the corpus
+    per consumer. Lazy — callers that reuse it are responsible for
+    materializing (one localCheckpoint; see bm25_scores)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_array(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    return words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def bm25_scores(
     df: DataFrame,
     queries: DataFrame,
@@ -661,6 +681,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     k: int | None = 10,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 retrieval over the corpus: score every document against
     every query in ``queries`` (query_id, term — one row per query term)
@@ -683,22 +704,24 @@ def bm25_scores(
     occurrences before any scoring), and one per-query window for the
     top-k. Nothing is driver-side.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_word_array(text_col)).alias("term"),
-    ).where(F.col("term") != "")
     # ONE corpus explode (optimization round 14): tf is materialized
     # (eager localCheckpoint — it is the inverted-index build, the
     # operator's natural intermediate) and every other statistic derives
     # from it: dl = sum(tf) per doc == the word count (integer-identical
     # to counting the exploded rows), dft and avgdl fold over tf/dl.
     # Before, words/tf were re-derived per consumer — four corpus explode
-    # passes per call (per-branch pruning blocks ReuseExchange).
-    tf = (
-        words.groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
+    # passes per call (per-branch pruning blocks ReuseExchange). Round
+    # 15: callers evaluating the SAME corpus (truth tables, hybrid arms)
+    # pass a pre-materialized ``tf`` (see :func:`term_freq`) so the
+    # explode is shared across the whole pipeline, not just within this
+    # call. Checkpoint block lifetime: reclaimed by the ContextCleaner
+    # when the result frame's last reference drops (per query in the
+    # batch harnesses); executor loss invalidates the blocks mid-query —
+    # the documented trade for lineage truncation (an eager
+    # persist+count alternative measured slower at bench scale,
+    # plans/r15/ab_q107_persist.json — same shape, 5x the task count).
+    if tf is None:
+        tf = term_freq(df, text_col, id_col).localCheckpoint()
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("__n"))

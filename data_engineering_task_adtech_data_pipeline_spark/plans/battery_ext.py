@@ -1754,7 +1754,11 @@ def q65_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import mixture_sample
 
-    docs = Testdata(spark, sf_dir).documents
+    # scan_floor=False (round 15): metadata-grain md5 sampling over doc
+    # keys — the floor's exchange is pure loss here, and the budget
+    # machinery range-repartitions on its own (interleaved r13-vs-r14
+    # A/B flagged q66 as the top mover; same family ruling as q93/q36)
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     out = mixture_sample(
         docs,
         {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
@@ -2400,7 +2404,11 @@ def q77_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import budget_select
     from ..operators.text import _word_array
 
-    docs = Testdata(spark, sf_dir).documents
+    # scan_floor=False (round 15): the token-count pass feeds straight
+    # into distributed_prefix_sum's OWN range repartition, so the floor's
+    # hash exchange is a redundant extra shuffle (interleaved A/B:
+    # exchanges 14->22, tasks 303->656 with the floor on)
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     toks = docs.select(
         "doc_id",
         "source",
@@ -2651,20 +2659,20 @@ def q79_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q80_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.evaluation import rank_metrics
-    from ..operators.text import _word_array, bm25_scores
+    from ..operators.text import bm25_scores, term_freq
 
     docs = Testdata(spark, sf_dir).documents
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
-    results = bm25_scores(docs, qdf, k=5)
-    tfc = (
-        docs.select(
-            "doc_id", F.explode(_word_array("text")).alias("term")
-        )
-        .where(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-    )
+    # ONE corpus explode for the whole evaluation (round 15, VERDICT #4):
+    # the truth table used to re-derive exactly the (doc, term, count)
+    # aggregation bm25 had already checkpointed internally — term_freq is
+    # now computed once, materialized once, and shared by the scorer
+    # (tf=...) and the relevance filter (tf >= 3 is the same count)
+    tf = term_freq(docs).localCheckpoint()
+    results = bm25_scores(docs, qdf, k=5, tf=tf)
+    tfc = tf.select(
+        F.col("id").alias("doc_id"), "term", F.col("tf").alias("c")
+    ).where(F.col("c") >= 3)
     nq = qdf.groupBy("query_id").agg(
         F.countDistinct("term").alias("n_terms")
     )
@@ -2864,7 +2872,10 @@ def q83_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.validate import snapshot_diff
 
-    docs = Testdata(spark, sf_dir).documents
+    # scan_floor=False (round 15): snapshot_diff is a hash-compare join
+    # at metadata grain, not a compute-bound per-row pipeline — the
+    # floor only added tasks (10->72) for identical work
+    docs = Testdata(spark, sf_dir, scan_floor=False).documents
     old = docs.where(F.col("doc_id") < 400)
     new = docs.where(F.col("doc_id") >= 100).withColumn(
         "text",

@@ -2817,3 +2817,82 @@ def test_bpe_batched_equals_strict_random_corpora(spark):
         batched = [tuple(r) for r in
                    bpe_learn_merges(corpus, n_merges=n, batch=True).collect()]
         assert batched == strict, (seed, n, words, strict, batched)
+
+
+def test_bm25_shared_tf_identical(spark):
+    """Round-15 pin for the shared inverted-index input (VERDICT #4): a
+    caller-materialized term_freq frame passed via ``tf=`` must produce
+    exactly the rows the internal path builds — same aggregation, so the
+    whole scored output is row-identical."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_task_adtech_data_pipeline_spark.operators.text import (
+        bm25_scores,
+        term_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow join slow shuffle"),
+            (2, "fast join"),
+            (3, "window window window batch"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "slow"), (1, "join"), (2, "window")], "query_id int, term string"
+    )
+    internal = {tuple(r) for r in bm25_scores(docs, q, k=None).collect()}
+    shared_tf = term_freq(docs).localCheckpoint()
+    shared = {
+        tuple(r) for r in bm25_scores(docs, q, k=None, tf=shared_tf).collect()
+    }
+    assert shared == internal
+    # the tf frame doubles as the relevance-count table (q80's tfc reuse)
+    tfc = {
+        tuple(r)
+        for r in shared_tf.where(F.col("tf") >= 2)
+        .select("id", "term")
+        .collect()
+    }
+    assert tfc == {(1, "slow"), (3, "window")}
+
+
+def test_materialize_gate_and_release(spark):
+    """Round-15 pin for chunking.materialize: below the size threshold
+    the frame is returned UNCHANGED (no persist — bench-scale recompute
+    is the measured-faster form), while min_bytes=0 forces an eager
+    persist that release_persisted() then unpersists."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators import (
+        chunking,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    lazy = chunking.materialize(df, min_bytes=1 << 40)
+    assert lazy is df
+    assert chunking.plan_size_estimate(df) > 0
+
+    eager = chunking.materialize(df, min_bytes=0)
+    assert eager.storageLevel.useMemory  # persisted (and already counted)
+    assert chunking.release_persisted() >= 1
+    assert not eager.storageLevel.useMemory
+
+
+def test_fan_out_pairs_survives_same_key_dedup(spark):
+    """Round-15 regression pin: fan_out_pairs placed AFTER a
+    distinct()/dropDuplicates on (id_a, id_b) must still pin the
+    partition count — the round-14 same-column form was statically
+    satisfied by the dedup's own exchange, so Catalyst removed it and
+    AQE coalesced the verify stage back to 1-3 tasks (the q49
+    straggler)."""
+    from data_engineering_task_adtech_data_pipeline_spark.operators.dedup import (
+        fan_out_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    fanned = fan_out_pairs(pairs.distinct())
+    n = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == n
