@@ -768,14 +768,29 @@ def connected_components_star(
     # full pass over the checkpointed edges per round; the min-label
     # variant above already used this pattern for its `changed` flag).
     # bit_xor: order-independent and overflow-free under ANSI mode
-    # (sum(xxhash64) overflows long).
+    # (sum(xxhash64) overflows long). Cluster caveat (r14 ADVICE):
+    # observe() rides accumulators, which a resubmitted stage can
+    # double-apply after a shuffle-fetch failure — worst case an extra
+    # round, or (vanishingly unlikely, but an early EXIT would be a
+    # wrong result) a spurious cur==prev. Non-local masters therefore
+    # take a retry-exact agg over the just-checkpointed frame instead;
+    # local masters (the bench/oracle regime, where stage resubmission
+    # cannot occur) keep the fused single-job form. The min-label
+    # variant above needs no gate: its `changed` flag can only be
+    # INFLATED by double-apply (an extra round), never zeroed.
+    _local = edges.sparkSession.sparkContext.master.startswith("local")
+    _checks = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+    ]
+
     def _observed_checkpoint(ed: DataFrame):
+        if not _local:
+            ck = ed.localCheckpoint()
+            row = ck.agg(*_checks).first()
+            return ck, (row["n"], row["h"])
         obs = Observation()
-        ck = ed.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ).localCheckpoint()
+        ck = ed.observe(obs, *_checks).localCheckpoint()
         row = obs.get
         return ck, (row["n"], row["h"])
 

@@ -997,9 +997,22 @@ def word_jaccard_topk(
     vocabularies — production corpora should drop top-df terms first
     (same cap discipline as ``dedup.minhash_dedup`` buckets).
     """
-    cw = df.select(
-        F.col(id_col).alias("cid"), F.explode(_word_array(text_col)).alias("w")
-    ).where(F.col("w") != "").distinct()
+    # the corpus word-set frame feeds BOTH the set-size aggregation and
+    # the inverted-index join; per-branch pruning re-runs the corpus
+    # explode for each. Size-gated materialization only (round 15): an
+    # unconditional localCheckpoint here measured 3x SLOWER warm at
+    # sf0.1 (2.2 -> 6.6 s — the barrier serializes what AQE otherwise
+    # runs as one parallel job over MB-scale input), so the recompute
+    # stays below the gate and a released persist takes over at corpus
+    # scale where a second full explode is the greater evil.
+    from .chunking import materialize
+
+    cw = materialize(
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.explode(_word_array(text_col)).alias("w"),
+        ).where(F.col("w") != "").distinct()
+    )
     qw = queries.select(
         F.col(id_col).alias("qid"), F.explode(_word_array(text_col)).alias("w")
     ).where(F.col("w") != "").distinct()

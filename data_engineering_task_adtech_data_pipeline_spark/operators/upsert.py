@@ -354,6 +354,13 @@ def merge_upsert(
                 "would split keys across buckets and silently duplicate rows"
             )
 
+        # persist the deduped source for the two passes below (round 15,
+        # guide §2.4): the touched-bucket probe and the merge write both
+        # consume `src`, and per-branch pruning re-ran the caller's whole
+        # source pipeline (q59: a full events aggregation) for each. The
+        # collect doubles as the EAGER materialization; delta-sized by
+        # contract, spillable, released before the fence exits.
+        src = src.persist()
         buckets = sorted(
             r[0] for r in src.select(BUCKET_COL).distinct().collect()
         )  # bounded by num_buckets — never corpus-sized
@@ -379,7 +386,12 @@ def merge_upsert(
         )
 
         staging = path.rstrip("/") + "__merge_tmp"
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        try:
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staging
+            )
+        finally:
+            src.unpersist()
         for b in buckets:
             bdst = fs.join(path, f"{BUCKET_COL}={b}")
             bsrc = fs.join(staging, f"{BUCKET_COL}={b}")
@@ -515,16 +527,24 @@ def merge_delete(
         )
     )
     with _write_fence(spark, path, "merge_delete"):
-        buckets = sorted(
-            r[0] for r in dk.select(BUCKET_COL).distinct().collect()
-        )
-        if not buckets:
-            return
-        target = spark.read.option("mergeSchema", "true").parquet(path)
-        relevant = target.where(F.col(BUCKET_COL).isin(buckets))
-        kept = relevant.join(dk.select(*keys), list(keys), "left_anti")
-        staging = path.rstrip("/") + "__merge_tmp"
-        kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        # same two-consumer persist as merge_upsert's src (round 15):
+        # the bucket probe and the anti-join both read dk
+        dk = dk.persist()
+        try:
+            buckets = sorted(
+                r[0] for r in dk.select(BUCKET_COL).distinct().collect()
+            )
+            if not buckets:
+                return
+            target = spark.read.option("mergeSchema", "true").parquet(path)
+            relevant = target.where(F.col(BUCKET_COL).isin(buckets))
+            kept = relevant.join(dk.select(*keys), list(keys), "left_anti")
+            staging = path.rstrip("/") + "__merge_tmp"
+            kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                staging
+            )
+        finally:
+            dk.unpersist()
         for b in buckets:
             bdst = fs.join(path, f"{BUCKET_COL}={b}")
             bsrc = fs.join(staging, f"{BUCKET_COL}={b}")

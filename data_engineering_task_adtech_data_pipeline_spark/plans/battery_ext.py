@@ -3034,20 +3034,70 @@ def _q86_model(spark: SparkSession, sf_dir: str):
 
 def _q86_prepare(spark: SparkSession, sf_dir: str) -> None:
     """Build the persisted index once per (sf_dir, data vintage); no-op
-    when the cache is warm. bench.py runs this untimed in warm-up."""
+    when the cache is warm. bench.py runs this untimed in warm-up.
+
+    Concurrency (round 15, r14 VERDICT #7): this was the LAST cache root
+    still built IN PLACE under a bare marker check — two concurrent
+    first-touch processes raced the same ``_temporary`` staging dir
+    (observed when round 14 ran pytest and the oracle gate together).
+    Now the q131/q134 protocol: build in a pid-private stage dir
+    (marker + ``_source`` breadcrumb written inside), publish by one
+    atomic ``os.rename``; the loser of a race discards its stage and
+    reuses the winner's landing. Crashed stages and orphaned
+    old-vintage roots are swept on entry with the shared q131
+    sweepers."""
     import os
+    import shutil
     from pathlib import Path
 
     root = _q86_root(sf_dir)
+    _q131_sweep_vintages(root, sf_dir)
     marker = os.path.join(root, "_built_ok")
     if os.path.exists(marker):
         _q86_model(spark, sf_dir)  # warm the in-process model memo
         return
+    _q131_sweep_dead(root)
+    stage = f"{root}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)  # this pid's prior crash only
     emb, cents, cb = _q86_model(spark, sf_dir)
     similarity.ivf_index_write(
-        emb, cents, root, dim=_Q86["dim"], codebooks=cb, pq_residual=True
+        emb, cents, stage, dim=_Q86["dim"], codebooks=cb, pq_residual=True
     )
-    Path(marker).write_text("ok")
+    Path(os.path.join(stage, "_source")).write_text(sf_dir.rstrip("/"))
+    Path(os.path.join(stage, "_built_ok")).write_text("ok")
+    try:
+        os.rename(stage, root)  # atomic claim: complete stage -> root
+        return
+    except OSError:
+        pass
+    if not os.path.exists(marker):
+        # marker-less root = pre-protocol debris or a crashed move-aside:
+        # move it aside under a unique pre-cleared name and retry once.
+        # If the aside TOCTOU-stole a landing a racer published in the
+        # interim, the marker inside betrays it — rename it straight back.
+        debris = f"{root}.stale.{os.getpid()}"
+        shutil.rmtree(debris, ignore_errors=True)  # pid-reuse leftover
+        try:
+            os.rename(root, debris)
+        except OSError:
+            pass
+        if os.path.exists(os.path.join(debris, "_built_ok")):
+            try:
+                os.rename(debris, root)  # stole a live landing: restore
+            except OSError:
+                shutil.rmtree(debris, ignore_errors=True)  # re-published
+        else:
+            shutil.rmtree(debris, ignore_errors=True)
+            try:
+                os.rename(stage, root)
+            except OSError:
+                pass
+    shutil.rmtree(stage, ignore_errors=True)
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            f"q86 index claim failed twice for {root}; "
+            "remove the directory and retry"
+        )
 
 
 def _q86_oracle() -> str:

@@ -1437,6 +1437,13 @@ def q127_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
     )
+    # the battery's ONE unpartitioned window, and it is bounded by
+    # construction: it runs over `daily` — day-grain pre-aggregated rows,
+    # at most one per calendar day of the order span (~2,400 for the
+    # TPC-H date range) — never over row-grain data, so the single
+    # WindowExec partition holds a few KB at any corpus scale (the
+    # hist_quantile discipline; round-15 audit of the r13 bench-tail
+    # `WindowExec single partition` warning)
     w = W.orderBy("d_ord").rangeBetween(-6, 0)
     return daily.select(
         "d",

@@ -69,8 +69,6 @@ def _ltz_normalize(df: DataFrame) -> DataFrame:
 # deterministic under task retries.
 # ---------------------------------------------------------------------------
 
-_SCAN_FANOUT_MEMO: dict[str, int] = {}
-
 # compute-bound tables only (see block comment): table -> unique hash key
 _FANOUT_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
@@ -108,33 +106,42 @@ def scan_parallelism_floor(
     ``defaultParallelism`` partitions — only when the scan's own split
     count cannot fill the cores (see the block comment above).
     Partitioning-only: emitted rows are identical, so every
-    oracle-checked result is unchanged."""
+    oracle-checked result is unchanged.
+
+    The decision is recomputed per call — no memo (round 15, r14
+    ADVICE): a path-keyed cache silently served a stale decision after
+    a test harness regenerated the parquet at a different size, and the
+    os.walk it saves costs microseconds on the handful-of-files layouts
+    the floor can fire on (remote schemes return early; huge local
+    trees fail the split-count test after a bounded walk)."""
     if key_col is None:
         return df
     cores = spark.sparkContext.defaultParallelism
-    key = f"{path}|{cores}"
-    n = _SCAN_FANOUT_MEMO.get(key)
-    if n is None:
-        info = _local_scan_size(path)
-        n = 0
-        if info is not None:
-            total, files = info
-            # maxPartitionBytes-default packing estimate of the split count
-            est_tasks = files + total // (128 << 20)
-            # 256 KiB floor: embeddings at bench scale is ~0.6 MiB of
-            # parquet but 2000 x 64 doubles of fold work per downstream
-            # pass — the whitelist already restricts to compute-bound
-            # tables, the floor only excludes truly trivial inputs
-            if total >= (256 << 10) and est_tasks < max(2, cores // 2):
-                n = cores
-        _SCAN_FANOUT_MEMO[key] = n
+    info = _local_scan_size(path)
+    n = 0
+    if info is not None:
+        total, files = info
+        # maxPartitionBytes-default packing estimate of the split count
+        est_tasks = files + total // (128 << 20)
+        # 256 KiB floor: embeddings at bench scale is ~0.6 MiB of
+        # parquet but 2000 x 64 doubles of fold work per downstream
+        # pass — the whitelist already restricts to compute-bound
+        # tables, the floor only excludes truly trivial inputs
+        if total >= (256 << 10) and est_tasks < max(2, cores // 2):
+            n = cores
     return df.repartition(n, F.col(key_col)) if n else df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, scan_floor: bool = True
+) -> DataFrame:
     """Read one driver testdata table; schema comes from the parquet footer
     (written by the driver — declared copies live in ``schemas.TESTDATA_SCHEMAS``
-    for validation, not for inference).
+    for validation, not for inference). ``scan_floor=False`` skips the
+    compute-bound scan-parallelism floor — the ONE read path for every
+    table regardless of floor choice (round 15, r14 ADVICE: the opt-out
+    used to re-implement the raw read and would have silently diverged
+    from any future vintage special-casing added here).
 
     ``events.ts`` has been written by different driver generations as either
     parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
@@ -152,10 +159,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # spacing and could round up across the truncation boundary
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ltz_normalize(df)
-    return scan_parallelism_floor(
-        spark, path, _ltz_normalize(spark.read.parquet(path)),
-        _FANOUT_KEYS.get(name),
-    )
+    df = _ltz_normalize(spark.read.parquet(path))
+    if not scan_floor:
+        return df
+    return scan_parallelism_floor(spark, path, df, _FANOUT_KEYS.get(name))
 
 
 class Testdata:
@@ -183,12 +190,9 @@ class Testdata:
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TESTDATA_TABLES:
-            if not self._scan_floor and name in _FANOUT_KEYS:
-                # the floored tables have no vintage special-casing, so
-                # the raw read is exactly read_table minus the floor
-                path = fs.join(self.sf_dir, f"{name}.parquet")
-                return _ltz_normalize(self.spark.read.parquet(path))
-            return read_table(self.spark, self.sf_dir, name)
+            return read_table(
+                self.spark, self.sf_dir, name, scan_floor=self._scan_floor
+            )
         raise AttributeError(name)
 
     def register_views(self) -> None:
